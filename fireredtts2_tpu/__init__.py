@@ -1,0 +1,26 @@
+"""FireRedTTS2-TPU: a TPU-native (JAX/XLA/Pallas) text-to-speech framework.
+
+A from-scratch rebuild of the capabilities of the FireRedTTS-2 stack
+(dual-transformer text-speech interleaved AR model over a 12.5 Hz RVQ
+speech codec with a streaming Vocos/iSTFT vocoder), designed for TPU:
+
+- all compute paths are jit-compiled, static-shape JAX with bfloat16
+  matmuls on the MXU;
+- KV caches are preallocated HBM ring/slab buffers (no dynamic concat);
+- multi-chip scaling goes through ``jax.sharding.Mesh`` + NamedSharding
+  (data axis for multi-stream serving, tensor axis for large backbones);
+- the streaming vocoder is a ``(carry, token) -> (carry, audio)`` step
+  function with fixed-shape caches so XLA compiles it once.
+
+Reference capability surface: /root/reference (FireRedTTS2), see SURVEY.md.
+"""
+
+__version__ = "0.1.0"
+
+from fireredtts2_tpu.config import (  # noqa: F401
+    LLMConfig,
+    TransformerConfig,
+    CodecConfig,
+    EngineConfig,
+    FLAVORS,
+)
