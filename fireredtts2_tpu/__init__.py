@@ -17,6 +17,14 @@ Reference capability surface: /root/reference (FireRedTTS2), see SURVEY.md.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# JAX's DEFAULT matmul precision may run fp32 operands through bf16 passes.
+# "float32" makes fp32 math exact (codec numerics / parity) while bf16
+# operands keep the fast single-pass MXU path — exactly the policy we want
+# everywhere, so set it once at import.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from fireredtts2_tpu.config import (  # noqa: F401
     LLMConfig,
     TransformerConfig,

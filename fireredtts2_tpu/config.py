@@ -343,11 +343,11 @@ def tiny_engine_config(**overrides) -> EngineConfig:
     )
     codec = CodecConfig(
         ssl=WhisperEncoderConfig(in_dim=16, embed_dim=32, num_layers=1, num_heads=2,
-                                 max_positions=256),
+                                 max_positions=512),
         ssl_adaptor=SslAdaptorConfig(in_dim=32, embed_dim=16, out_dim=16,
                                      num_layers=1, num_heads=2),
         acoustic_encoder=WhisperEncoderConfig(in_dim=16, embed_dim=16, num_layers=1,
-                                              num_heads=2, max_positions=256),
+                                              num_heads=2, max_positions=512),
         downsample_embed_dim=32,
         rvq=RVQConfig(input_dim=32, rvq_dim=32, output_dim=32, num_quantizers=4,
                       codebook_size=64, codebook_dim=8),

@@ -1,0 +1,184 @@
+"""Whisper-style transformer encoder blocks in JAX.
+
+Capability parity with the reference's re-implemented Whisper encoder
+(fireredtts2/codec/whisper.py:23-272): pre-LN MHA (k has no bias; q, v,
+out do), GELU FFN, sinusoidal positions, conv frontend that halves the
+frame rate (100 Hz mel -> 50 Hz).
+
+TPU-first design: layer params are stacked on a leading L axis and the
+layer loop is a lax.scan; the streaming (vocoder) variant uses a
+fixed-size KV slab written at a position counter instead of the
+reference's unbounded torch.cat cache (whisper.py:100-104).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from fireredtts2_tpu.ops.attention import mha_attention
+
+Params = dict[str, Any]
+
+
+def layer_norm(x: Array, w: Array, b: Array, eps: float = 1e-5) -> Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10_000.0) -> np.ndarray:
+    """Whisper sinusoidal position table (whisper.py:11-20)."""
+    assert channels % 2 == 0
+    log_inc = np.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-log_inc * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+def init_whisper_layers(key: Array, num_layers: int, dim: int, ffn_dim: int,
+                        dtype=jnp.float32) -> Params:
+    """Stacked (L, ...) params for a pre-LN whisper encoder layer stack."""
+    ks = jax.random.split(key, 6)
+
+    def w(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    L, D, F = num_layers, dim, ffn_dim
+    return {
+        "wq": w(ks[0], L, D, D), "bq": jnp.zeros((L, D), dtype),
+        "wk": w(ks[1], L, D, D),
+        "wv": w(ks[2], L, D, D), "bv": jnp.zeros((L, D), dtype),
+        "wo": w(ks[3], L, D, D), "bo": jnp.zeros((L, D), dtype),
+        "attn_ln_w": jnp.ones((L, D), dtype), "attn_ln_b": jnp.zeros((L, D), dtype),
+        "fc1_w": w(ks[4], L, D, F), "fc1_b": jnp.zeros((L, F), dtype),
+        "fc2_w": w(ks[5], L, F, D), "fc2_b": jnp.zeros((L, D), dtype),
+        "ffn_ln_w": jnp.ones((L, D), dtype), "ffn_ln_b": jnp.zeros((L, D), dtype),
+    }
+
+
+def _whisper_layer(h: Array, lp: Params, num_heads: int, mask: Optional[Array],
+                   k_slab: Optional[Array], v_slab: Optional[Array],
+                   cache_pos: Optional[Array]):
+    B, S, D = h.shape
+    Dh = D // num_heads
+
+    x = layer_norm(h, lp["attn_ln_w"], lp["attn_ln_b"])
+    q = (x @ lp["wq"] + lp["bq"]).reshape(B, S, num_heads, Dh)
+    k = (x @ lp["wk"]).reshape(B, S, num_heads, Dh)
+    v = (x @ lp["wv"] + lp["bv"]).reshape(B, S, num_heads, Dh)
+
+    if k_slab is not None:
+        k_slab = jax.lax.dynamic_update_slice(k_slab, k.astype(k_slab.dtype),
+                                              (0, cache_pos, 0, 0))
+        v_slab = jax.lax.dynamic_update_slice(v_slab, v.astype(v_slab.dtype),
+                                              (0, cache_pos, 0, 0))
+        attn = mha_attention(q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
+    else:
+        attn = mha_attention(q, k, v, mask)
+    h = h + (attn.reshape(B, S, D) @ lp["wo"] + lp["bo"]).astype(h.dtype)
+
+    x = layer_norm(h, lp["ffn_ln_w"], lp["ffn_ln_b"])
+    x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
+    h = h + (x @ lp["fc2_w"] + lp["fc2_b"]).astype(h.dtype)
+    return h, k_slab, v_slab
+
+
+def whisper_layers_forward(
+    params: Params, num_heads: int, h: Array,
+    mask: Optional[Array] = None,
+    cache: Optional[dict[str, Array]] = None,
+    cache_pos: Optional[Array] = None,
+) -> tuple[Array, Optional[dict[str, Array]]]:
+    """Run the stacked layer scan. cache (if given): k/v slabs of shape
+    (L, B, T_max, H, Dh) written at cache_pos."""
+    if cache is not None:
+        def body(hh, xs):
+            lp, ks, vs = xs
+            hh, ks, vs = _whisper_layer(hh, lp, num_heads, mask, ks, vs, cache_pos)
+            return hh, (ks, vs)
+        h, (nk, nv) = jax.lax.scan(body, h, (params, cache["k"], cache["v"]))
+        return h, {"k": nk, "v": nv}
+    else:
+        def body(hh, lp):
+            hh, _, _ = _whisper_layer(hh, lp, num_heads, mask, None, None, None)
+            return hh, None
+        h, _ = jax.lax.scan(body, h, params)
+        return h, None
+
+
+def init_kv_slab(num_layers: int, batch: int, max_len: int, num_heads: int,
+                 head_dim: int, dtype=jnp.float32) -> dict[str, Array]:
+    shape = (num_layers, batch, max_len, num_heads, head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Full whisper encoder (conv frontend + positions + layers + final LN)
+# ---------------------------------------------------------------------------
+
+
+def init_conv1d(key: Array, in_ch: int, out_ch: int, k: int, dtype=jnp.float32,
+                bias: bool = True) -> Params:
+    w = (jax.random.normal(key, (out_ch, in_ch, k), jnp.float32) * 0.02).astype(dtype)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), dtype)
+    return p
+
+
+def conv1d(x: Array, p: Params, stride: int = 1, padding: int = 0) -> Array:
+    """x: (B, C, T) -> (B, C', T'). Torch-layout weights (out, in, k)."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None),
+    ).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)[None, :, None]
+    return y
+
+
+def init_whisper_encoder(key: Array, in_dim: int, embed_dim: int,
+                         num_layers: int, num_heads: int, ffn_dim: int,
+                         max_positions: int, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "conv1": init_conv1d(ks[0], in_dim, embed_dim, 3, dtype),
+        "conv2": init_conv1d(ks[1], embed_dim, embed_dim, 3, dtype),
+        "pos": jnp.asarray(sinusoids(max_positions, embed_dim)).astype(dtype),
+        "layers": init_whisper_layers(ks[2], num_layers, embed_dim, ffn_dim, dtype),
+        "ln_w": jnp.ones((embed_dim,), dtype),
+        "ln_b": jnp.zeros((embed_dim,), dtype),
+    }
+
+
+def whisper_encoder_forward(params: Params, num_heads: int, mel: Array,
+                            mel_lengths: Array, apply_position: bool = True
+                            ) -> tuple[Array, Array]:
+    """mel: (B, T, n_mels) -> (B, T//2, D), lengths halved.
+
+    Mirrors reference WhisperEncoder.forward (whisper.py:234-261): two convs
+    (k3 p1; k3 s2 p1) with GELU, sinusoid positions, non-pad attention mask.
+    """
+    x = mel.transpose(0, 2, 1)                       # (B, n_mels, T)
+    x = jax.nn.gelu(conv1d(x, params["conv1"], 1, 1), approximate=False)
+    x = jax.nn.gelu(conv1d(x, params["conv2"], 2, 1), approximate=False)
+    x = x.transpose(0, 2, 1)                         # (B, T', D)
+    lengths = mel_lengths // 2
+    if apply_position:
+        x = x + params["pos"][None, :x.shape[1], :].astype(x.dtype)
+    T = x.shape[1]
+    valid = jnp.arange(T)[None, :] < lengths[:, None]
+    mask = valid[:, None, :] & jnp.ones((1, T, 1), bool)  # (B, T, T) keys masked
+    h, _ = whisper_layers_forward(params["layers"], num_heads, x, mask)
+    h = layer_norm(h, params["ln_w"], params["ln_b"])
+    return h, lengths

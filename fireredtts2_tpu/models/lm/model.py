@@ -1,0 +1,410 @@
+"""Dual-transformer text-speech LM (backbone + depth decoder).
+
+Capability parity with the reference `Model` (fireredtts2/llm/llm.py:86-350):
+- interleaved frames of audio_num_codebooks audio columns + 1 text column;
+  frame embedding = masked sum of per-column embeddings (llm.py:297-299);
+- backbone predicts codebook-0 from the frame stream; a small depth
+  transformer predicts codebooks 1..N-1 within each frame (llm.py:274-330);
+- codebook-0 sampled with caller temperature/topk, codebooks 1..N-1 with
+  fixed topk=10 / temperature=0.75 (llm.py:306,324);
+- training loss = 2*((1-w)*c0 + w*depth) + 0.01*text, depth loss amortized
+  on a random 1/8 subset of audio positions (llm.py:225-272).
+
+TPU-first differences (design, not behavior):
+- one jitted `lm_generate_frame` covers prefill (S=prompt bucket) and decode
+  (S=1); KV lives in a static slab; the 15-step depth loop is a
+  `lax.fori_loop` inside the same jit, so a whole 80 ms frame is ONE device
+  dispatch;
+- batches are left-padded / right-aligned; a `slot_valid` bitmap masks
+  padded KV slots. RoPE attention is relative, so left-padding preserves
+  the reference's exact attention pattern while allowing bucketed batching;
+- the depth decoder's per-frame cache reset (llm.py:317) is free here: its
+  cache is a fresh 16-slot scratch allocated inside the step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from fireredtts2_tpu.config import LLMConfig
+from fireredtts2_tpu.ops import masks as mask_ops
+from fireredtts2_tpu.ops.sampling import sample_topk
+from fireredtts2_tpu.models.lm.transformer import (
+    init_transformer_params, init_kv_cache, transformer_forward,
+)
+
+Params = dict[str, Any]
+
+
+class LMState(NamedTuple):
+    """Mutable decode state threaded through jitted steps."""
+    cache_k: Array        # (L, B, T_max, Hkv, Dh)
+    cache_v: Array
+    slot_valid: Array     # (B, T_max) bool — which KV slots hold real tokens
+    pos: Array            # () int32 — next slab slot to write
+
+
+def init_lm_params(key: Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
+    bb, dec = cfg.backbone, cfg.decoder
+    ks = jax.random.split(key, 8)
+
+    def emb(k, n, d):
+        return (jax.random.normal(k, (n, d), jnp.float32) * 0.02).astype(dtype)
+
+    def lin(k, i, o):
+        bound = 1.0 / jnp.sqrt(i)
+        return (jax.random.uniform(k, (i, o), jnp.float32, -bound, bound)).astype(dtype)
+
+    return {
+        "backbone": init_transformer_params(ks[0], bb, dtype),
+        "decoder": init_transformer_params(ks[1], dec, dtype),
+        "text_embeddings": emb(ks[2], cfg.text_vocab_size, bb.embed_dim),
+        "audio_embeddings": emb(
+            ks[3], cfg.audio_vocab_size * cfg.audio_num_codebooks, bb.embed_dim),
+        "projection": lin(ks[4], bb.embed_dim, dec.embed_dim),
+        "codebook0_head": lin(ks[5], bb.embed_dim, cfg.audio_vocab_size),
+        "text_head": lin(ks[6], bb.embed_dim, cfg.text_vocab_size),
+        "audio_head": lin(
+            ks[7], dec.embed_dim,
+            (cfg.audio_num_codebooks - 1) * cfg.audio_vocab_size,
+        ).reshape(dec.embed_dim, cfg.audio_num_codebooks - 1, cfg.audio_vocab_size)
+         .transpose(1, 0, 2),   # (ncb-1, D_dec, V_audio)
+    }
+
+
+def init_lm_state(cfg: LLMConfig, batch_size: int, dtype=jnp.float32) -> LMState:
+    cache = init_kv_cache(cfg.backbone, batch_size, cfg.max_seq_len, dtype)
+    return LMState(
+        cache_k=cache["k"], cache_v=cache["v"],
+        slot_valid=jnp.zeros((batch_size, cfg.max_seq_len), jnp.bool_),
+        pos=jnp.zeros((), jnp.int32),
+    )
+
+
+def embed_audio(params: Params, cfg: LLMConfig, codebook, tokens: Array) -> Array:
+    """Embedding of audio tokens for a given codebook index (int or traced),
+    using the flat audio table with per-codebook offset (llm.py:336-337)."""
+    idx = tokens + codebook * cfg.audio_vocab_size
+    return params["audio_embeddings"][idx]
+
+
+def embed_tokens(params: Params, cfg: LLMConfig, tokens: Array) -> Array:
+    """(B, S, C+1) int tokens -> (B, S, C+1, D) per-column embeddings."""
+    text = params["text_embeddings"][tokens[..., -1]][..., None, :]  # (B,S,1,D)
+    offsets = jnp.arange(cfg.audio_num_codebooks, dtype=tokens.dtype) * cfg.audio_vocab_size
+    audio = params["audio_embeddings"][tokens[..., :-1] + offsets]   # (B,S,C,D)
+    return jnp.concatenate([audio, text], axis=-2)
+
+
+def frame_hidden(params: Params, cfg: LLMConfig, tokens: Array,
+                 tokens_mask: Array, dtype) -> Array:
+    """Masked sum of per-column embeddings -> (B, S, D)."""
+    embeds = embed_tokens(params, cfg, tokens)
+    return (embeds * tokens_mask[..., None].astype(embeds.dtype)).sum(-2).astype(dtype)
+
+
+def _depth_decode(params: Params, cfg: LLMConfig, last_h: Array, c0: Array,
+                  key: Array, depth_topk: int, depth_temperature: float) -> Array:
+    """Sample codebooks 1..N-1 with the depth transformer (fresh 16-slot
+    cache; reference resets it every frame, llm.py:317)."""
+    dec_cfg = cfg.decoder
+    ncb = cfg.audio_num_codebooks
+    B = last_h.shape[0]
+    dtype = last_h.dtype
+
+    proj = params["projection"]
+    cache = init_kv_cache(dec_cfg, B, ncb, dtype)
+
+    # Prefill slots 0..1: [backbone last_h, embed(c0)]
+    e0 = embed_audio(params, cfg, 0, c0).astype(dtype)          # (B, D_b)
+    h01 = jnp.stack([last_h, e0], axis=1) @ proj                # (B, 2, D_dec)
+    pos01 = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
+    m01 = mask_ops.decode_step_mask(pos01, ncb)
+    hh, cache = transformer_forward(params["decoder"], dec_cfg, h01, pos01,
+                                    m01, cache, jnp.int32(0))
+    logits1 = (hh[:, -1].astype(jnp.float32)
+               @ params["audio_head"][0].astype(jnp.float32))
+    c1 = sample_topk(logits1, depth_topk, depth_temperature,
+                     jax.random.fold_in(key, 1))
+
+    samples = jnp.zeros((B, ncb), jnp.int32)
+    samples = samples.at[:, 0].set(c0).at[:, 1].set(c1)
+
+    def body(i, carry):
+        cache_k, cache_v, prev, samples = carry
+        emb = embed_audio(params, cfg, i - 1, prev).astype(dtype)  # (B, D_b)
+        h = (emb @ proj)[:, None, :]                               # (B, 1, D_dec)
+        pos = jnp.broadcast_to(i.astype(jnp.int32), (B, 1))
+        m = mask_ops.decode_step_mask(pos, ncb)
+        hh, new_cache = transformer_forward(
+            params["decoder"], dec_cfg, h, pos, m,
+            {"k": cache_k, "v": cache_v}, i.astype(jnp.int32))
+        head_i = jax.lax.dynamic_index_in_dim(
+            params["audio_head"], i - 1, axis=0, keepdims=False)
+        logits = hh[:, -1].astype(jnp.float32) @ head_i.astype(jnp.float32)
+        ci = sample_topk(logits, depth_topk, depth_temperature,
+                         jax.random.fold_in(key, i))
+        samples = samples.at[:, i].set(ci)
+        return new_cache["k"], new_cache["v"], ci, samples
+
+    _, _, _, samples = jax.lax.fori_loop(
+        2, ncb, body, (cache["k"], cache["v"], c1, samples))
+    return samples
+
+
+def lm_generate_frame(
+    params: Params,
+    cfg: LLMConfig,
+    state: LMState,
+    tokens: Array,          # (B, S, C+1) int32
+    tokens_mask: Array,     # (B, S, C+1) bool — which columns are real
+    valid: Array,           # (B, S) bool — which sequence slots are real
+    key: Array,
+    temperature: float | Array = 0.9,
+    topk: int = 20,
+    depth_topk: int = 10,
+    depth_temperature: float = 0.75,
+) -> tuple[LMState, Array]:
+    """One AR step: consume a token window, sample the next frame.
+
+    Covers prefill (S = prompt bucket, content RIGHT-ALIGNED / left-padded)
+    and decode (S=1). Mirrors reference generate_frame semantics
+    (fireredtts2/llm/llm.py:274-330) with bucketed batching.
+
+    Returns (new_state, sampled (B, ncb) int32).
+    """
+    bb_cfg = cfg.backbone
+    B, S, _ = tokens.shape
+    dtype = state.cache_k.dtype
+
+    h = frame_hidden(params, cfg, tokens, tokens_mask, dtype)
+
+    positions = state.pos + jnp.arange(S, dtype=jnp.int32)
+    positions_b = jnp.broadcast_to(positions[None, :], (B, S))
+
+    # Mark this window's real slots, then build slab attention rows:
+    # query at absolute position p attends slot j iff j <= p and slot is real.
+    slot_valid = jax.lax.dynamic_update_slice(
+        state.slot_valid, valid, (0, state.pos))
+    attn = mask_ops.decode_step_mask(positions_b, cfg.max_seq_len)
+    attn = attn & slot_valid[:, None, :]
+
+    cache = {"k": state.cache_k, "v": state.cache_v}
+    h_out, cache = transformer_forward(
+        params["backbone"], bb_cfg, h, positions_b, attn, cache, state.pos)
+
+    last_h = h_out[:, -1, :]  # right-aligned content ⇒ newest real token
+    c0_logits = (last_h.astype(jnp.float32)
+                 @ params["codebook0_head"].astype(jnp.float32))
+    key_c0, key_depth = jax.random.split(key)
+    c0 = sample_topk(c0_logits, topk, temperature, key_c0)
+
+    samples = _depth_decode(params, cfg, last_h, c0, key_depth,
+                            depth_topk, depth_temperature)
+
+    new_state = LMState(
+        cache_k=cache["k"], cache_v=cache["v"],
+        slot_valid=slot_valid, pos=state.pos + S,
+    )
+    return new_state, samples
+
+
+def build_step_frame(cfg: LLMConfig, frame: Array) -> tuple[Array, Array]:
+    """Sampled frame (B, ncb) -> next AR input ((B,1,C+1) tokens, mask):
+    audio columns filled, text column zero/unmasked (fireredtts2.py:183-193)."""
+    B = frame.shape[0]
+    tokens = jnp.concatenate(
+        [frame.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1)[:, None, :]
+    mask = jnp.concatenate(
+        [jnp.ones((B, cfg.audio_num_codebooks), jnp.bool_),
+         jnp.zeros((B, 1), jnp.bool_)], axis=1)[:, None, :]
+    return tokens, mask
+
+
+def lm_generate_loop(
+    params: Params,
+    cfg: LLMConfig,
+    state: LMState,
+    tokens: Array,          # (B, S, C+1) right-aligned prompt bucket
+    tokens_mask: Array,
+    valid: Array,
+    key: Array,
+    max_frames: int,        # STATIC buffer capacity
+    frame_cap: Array,       # () traced: stop after this many frames
+    temperature: float | Array = 0.9,
+    topk: int = 20,
+    depth_topk: int = 10,
+    depth_temperature: float = 0.75,
+) -> tuple[LMState, Array, Array]:
+    """Whole-utterance AR generation as ONE device program.
+
+    Prefill + a lax.while_loop over decode frames with per-stream EOS
+    (all-zero frame, fireredtts2.py:178). This is the batch path: a single
+    dispatch replaces the reference's one-python-step-per-80ms loop.
+
+    Returns (state, frames (B, max_frames, ncb) int32 zero-padded after each
+    stream's EOS, n_frames (B,) int32 — EOS frame excluded).
+    """
+    B = tokens.shape[0]
+    ncb = cfg.audio_num_codebooks
+
+    kwargs = dict(temperature=temperature, topk=topk, depth_topk=depth_topk,
+                  depth_temperature=depth_temperature)
+    state, frame = lm_generate_frame(params, cfg, state, tokens, tokens_mask,
+                                     valid, jax.random.fold_in(key, 0), **kwargs)
+
+    buf = jnp.zeros((B, max_frames, ncb), jnp.int32)
+    n_frames = jnp.zeros((B,), jnp.int32)
+    done = jnp.zeros((B,), jnp.bool_)
+
+    def record(buf, n_frames, done, frame, t):
+        is_eos = jnp.all(frame == 0, axis=-1)
+        live = ~done & ~is_eos
+        buf = jax.lax.dynamic_update_index_in_dim(
+            buf, jnp.where(live[:, None], frame, 0), t, axis=1)
+        n_frames = n_frames + live.astype(jnp.int32)
+        return buf, n_frames, done | is_eos
+
+    buf, n_frames, done = record(buf, n_frames, done, frame, 0)
+
+    def cond(carry):
+        state, frame, buf, n_frames, done, t = carry
+        return (t < jnp.minimum(max_frames, frame_cap)) & ~jnp.all(done)
+
+    def body(carry):
+        state, frame, buf, n_frames, done, t = carry
+        st_tokens, st_mask = build_step_frame(cfg, frame)
+        st_valid = jnp.ones((B, 1), jnp.bool_)
+        state, new_frame = lm_generate_frame(
+            params, cfg, state, st_tokens, st_mask, st_valid,
+            jax.random.fold_in(key, t), **kwargs)
+        buf, n_frames, done = record(buf, n_frames, done, new_frame, t)
+        return (state, new_frame, buf, n_frames, done, t + 1)
+
+    carry = (state, frame, buf, n_frames, done, jnp.int32(1))
+    state, _, buf, n_frames, done, _ = jax.lax.while_loop(cond, body, carry)
+    return state, buf, n_frames
+
+
+def lm_prefill(params: Params, cfg: LLMConfig, state: LMState,
+               tokens: Array, tokens_mask: Array, valid: Array,
+               key: Array, temperature=0.9, topk: int = 20) -> tuple[LMState, Array]:
+    """Alias for the prefill-shaped generate_frame call."""
+    return lm_generate_frame(params, cfg, state, tokens, tokens_mask, valid,
+                             key, temperature, topk)
+
+
+def lm_decode_frame(params: Params, cfg: LLMConfig, state: LMState,
+                    frame: Array, frame_mask: Array, key: Array,
+                    temperature=0.9, topk: int = 20) -> tuple[LMState, Array]:
+    """Single-frame decode step: frame (B, 1, C+1)."""
+    B = frame.shape[0]
+    valid = jnp.ones((B, 1), jnp.bool_)
+    return lm_generate_frame(params, cfg, state, frame, frame_mask, valid,
+                             key, temperature, topk)
+
+
+# ---------------------------------------------------------------------------
+# Training loss
+# ---------------------------------------------------------------------------
+
+
+def _masked_ce(logits: Array, targets: Array, weights: Array) -> Array:
+    """Weighted mean cross-entropy in fp32."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    w = weights.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def lm_loss(params: Params, cfg: LLMConfig, tokens: Array, tokens_mask: Array,
+            key: Array, depth_subset: Optional[int] = None) -> dict[str, Array]:
+    """Training loss, mirroring reference Model.forward (llm.py:145-272).
+
+    Args:
+        tokens: (B, S, C+1) int32 interleaved frames.
+        tokens_mask: (B, S, C+1) bool.
+        depth_subset: static size of the amortized depth-decoder subset;
+            defaults to (B*S)//8 (the reference's 1/8 random subset,
+            llm.py:228, with static shape for XLA).
+
+    Returns dict(loss, text_loss, c0_loss, depth_loss).
+    """
+    bb_cfg, dec_cfg = cfg.backbone, cfg.decoder
+    B, S, _ = tokens.shape
+    ncb = cfg.audio_num_codebooks
+    dtype = params["projection"].dtype
+
+    h = frame_hidden(params, cfg, tokens, tokens_mask, dtype)
+
+    audio_mask = tokens_mask[:, :, 0]      # (B, S) frame is audio
+    text_mask = tokens_mask[:, :, -1]      # (B, S) frame is text
+    padding_mask = audio_mask | text_mask
+
+    # Causal mask restricted to non-pad positions, plus self (llm.py:192-200).
+    causal = mask_ops.causal_mask(S)[None]
+    pair = padding_mask[:, :, None] & padding_mask[:, None, :]
+    attn = (causal & pair) | jnp.eye(S, dtype=jnp.bool_)[None]
+
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    h_out, _ = transformer_forward(params["backbone"], bb_cfg, h, positions, attn)
+
+    # Codebook-0: h at position p predicts the audio frame at p+1
+    # (audio_mask rolled left by 1, llm.py:210-215).
+    c0_pred_mask = jnp.roll(audio_mask, -1, axis=1).at[:, -1].set(False)
+    c0_logits = h_out.astype(jnp.float32) @ params["codebook0_head"].astype(jnp.float32)
+    c0_targets = jnp.roll(tokens[:, :, 0], -1, axis=1)
+    c0_loss = _masked_ce(c0_logits, c0_targets, c0_pred_mask)
+
+    # Text loss: positions whose NEXT token is text predict it; target ids of 0
+    # are ignored (llm.py:218-220 cross_entropy(ignore_index=0)).
+    text_target_mask = jnp.roll(text_mask, -1, axis=1).at[:, -1].set(False)
+    text_targets = jnp.roll(tokens[:, :, -1], -1, axis=1)
+    text_w = text_target_mask & (text_targets != 0)
+    # NOTE: the reference gathers h[text_mask] against targets at the *next*
+    # text slot; equivalent: every position p with text at p+1 predicts it.
+    text_logits = h_out.astype(jnp.float32) @ params["text_head"].astype(jnp.float32)
+    text_loss = _masked_ce(text_logits, text_targets, text_w)
+
+    # Depth decoder on a random subset of audio positions (llm.py:225-252).
+    n_sub = depth_subset if depth_subset is not None else max((B * S) // 8, 1)
+    flat_w = c0_pred_mask.reshape(-1).astype(jnp.float32)
+    probs = flat_w / jnp.maximum(flat_w.sum(), 1.0)
+    idx = jax.random.choice(key, B * S, shape=(n_sub,), replace=True, p=probs)
+    sub_w = flat_w[idx]  # 0 for any degenerate picks
+
+    h_flat = h_out.reshape(B * S, -1)
+    # Target frame tokens live at position p+1 of the same batch row.
+    next_tokens = jnp.roll(tokens, -1, axis=1).reshape(B * S, -1)
+    sub_h = h_flat[idx]                             # (N, D_b)
+    sub_frame = next_tokens[idx]                    # (N, C+1)
+
+    # Depth input sequence: [h, embed(c_0), ..., embed(c_{ncb-2})]
+    offs = jnp.arange(ncb - 1, dtype=tokens.dtype) * cfg.audio_vocab_size
+    c_embeds = params["audio_embeddings"][sub_frame[:, :ncb - 1] + offs]
+    dec_in = jnp.concatenate(
+        [sub_h[:, None, :], c_embeds.astype(dtype)], axis=1) @ params["projection"]
+    dec_pos = jnp.broadcast_to(jnp.arange(ncb, dtype=jnp.int32)[None], (n_sub, ncb))
+    dec_attn = jnp.broadcast_to(mask_ops.causal_mask(ncb)[None], (n_sub, ncb, ncb))
+    dec_h, _ = transformer_forward(params["decoder"], dec_cfg, dec_in, dec_pos, dec_attn)
+
+    # Position i (1..ncb-1) predicts codebook i via audio_head[i-1]
+    # (einsum bsd,sdv->bsv, llm.py:252).
+    dep_logits = jnp.einsum(
+        "nsd,sdv->nsv", dec_h[:, 1:, :].astype(jnp.float32),
+        params["audio_head"].astype(jnp.float32))
+    dep_targets = sub_frame[:, 1:ncb]
+    dep_w = jnp.broadcast_to(sub_w[:, None], dep_targets.shape)
+    depth_loss = _masked_ce(dep_logits, dep_targets, dep_w)
+
+    w = cfg.decoder_loss_weight
+    loss = 2.0 * ((1.0 - w) * c0_loss + w * depth_loss)
+    if cfg.use_text_loss:
+        loss = loss + 0.01 * text_loss
+    return {"loss": loss, "text_loss": text_loss,
+            "c0_loss": c0_loss, "depth_loss": depth_loss}

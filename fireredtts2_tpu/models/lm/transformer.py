@@ -1,0 +1,166 @@
+"""Qwen2-family decoder-only transformer as pure functions over a pytree.
+
+Replaces the reference's torchtune `TransformerDecoder` (used via
+fireredtts2/llm/modules.py:1-2 with the cache API at
+fireredtts2/llm/llm.py:123-143) with a TPU-first design:
+
+- layer parameters are STACKED along a leading L axis and the layer loop is
+  a `lax.scan` — one compiled layer body regardless of depth (36 layers for
+  qwen-3b), fast compiles and uniform sharding;
+- the KV cache is a preallocated (L, B, T_max, H_kv, D) slab in HBM;
+  decode writes in place via dynamic_update_slice at the current position —
+  shapes never change, so XLA compiles the decode step exactly once;
+- RMSNorm runs in fp32; matmuls run in the params dtype (bf16 on TPU) with
+  fp32 accumulation where it matters.
+
+Architecture facts mirrored from Qwen2 (via torchtune's qwen2 builder):
+GQA with q/k/v bias, o-proj without bias, RoPE base 1e6 on q/k, RMSNorm
+(eps 1e-6) pre-attn and pre-mlp, SwiGLU MLP, final RMSNorm.
+Token embedding / LM head are external (the LM strips them, reference
+fireredtts2/llm/llm.py:9-13).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from fireredtts2_tpu.config import TransformerConfig
+from fireredtts2_tpu.ops.attention import gqa_attention
+from fireredtts2_tpu.ops.rope import rope_angles, apply_rope
+
+Params = dict[str, Any]
+KVCache = dict[str, Array]
+
+
+def rms_norm(x: Array, weight: Array, eps: float) -> Array:
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale).astype(x.dtype) * weight.astype(x.dtype)
+
+
+def init_transformer_params(key: Array, cfg: TransformerConfig,
+                            dtype=jnp.float32) -> Params:
+    """Random init (trunc-normal-ish). Real weights come from the checkpoint
+    converter (runtime/checkpoint.py); init only needs sane magnitudes."""
+    L, D, I = cfg.num_layers, cfg.embed_dim, cfg.intermediate_dim
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ks = jax.random.split(key, 8)
+
+    def norm_init(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    return {
+        "wq": norm_init(ks[0], L, D, Hq * Dh),
+        "bq": jnp.zeros((L, Hq * Dh), dtype),
+        "wk": norm_init(ks[1], L, D, Hkv * Dh),
+        "bk": jnp.zeros((L, Hkv * Dh), dtype),
+        "wv": norm_init(ks[2], L, D, Hkv * Dh),
+        "bv": jnp.zeros((L, Hkv * Dh), dtype),
+        "wo": norm_init(ks[3], L, Hq * Dh, D),
+        "w_gate": norm_init(ks[4], L, D, I),
+        "w_up": norm_init(ks[5], L, D, I),
+        "w_down": norm_init(ks[6], L, I, D),
+        "attn_norm": jnp.ones((L, D), dtype),
+        "mlp_norm": jnp.ones((L, D), dtype),
+        "final_norm": jnp.ones((D,), dtype),
+    }
+
+
+def init_kv_cache(cfg: TransformerConfig, batch_size: int, max_seq_len: int,
+                  dtype=jnp.float32) -> KVCache:
+    """Preallocated KV slab: (L, B, T_max, H_kv, D_head) for k and v."""
+    shape = (cfg.num_layers, batch_size, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _layer(h: Array, lp: Params, cfg: TransformerConfig,
+           cos: Array, sin: Array, mask: Optional[Array],
+           k_slab: Optional[Array], v_slab: Optional[Array],
+           cache_pos: Optional[Array]):
+    """One transformer layer. Returns (h, new_k_slab, new_v_slab)."""
+    B, S, D = h.shape
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)
+    q = (x @ lp["wq"] + lp["bq"]).reshape(B, S, Hq, Dh)
+    k = (x @ lp["wk"] + lp["bk"]).reshape(B, S, Hkv, Dh)
+    v = (x @ lp["wv"] + lp["bv"]).reshape(B, S, Hkv, Dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if k_slab is not None:
+        # In-place slab update at cache_pos (same pos across batch).
+        k_slab = jax.lax.dynamic_update_slice(k_slab, k.astype(k_slab.dtype),
+                                              (0, cache_pos, 0, 0))
+        v_slab = jax.lax.dynamic_update_slice(v_slab, v.astype(v_slab.dtype),
+                                              (0, cache_pos, 0, 0))
+        attn = gqa_attention(q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
+    else:
+        attn = gqa_attention(q, k, v, mask)
+
+    h = h + (attn.reshape(B, S, Hq * Dh) @ lp["wo"]).astype(h.dtype)
+
+    x = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)
+    gate = jax.nn.silu((x @ lp["w_gate"]).astype(jnp.float32)).astype(h.dtype)
+    up = x @ lp["w_up"]
+    h = h + ((gate * up) @ lp["w_down"]).astype(h.dtype)
+    return h, k_slab, v_slab
+
+
+def transformer_forward(
+    params: Params,
+    cfg: TransformerConfig,
+    h: Array,
+    positions: Array,
+    mask: Optional[Array] = None,
+    cache: Optional[KVCache] = None,
+    cache_pos: Optional[Array] = None,
+) -> tuple[Array, Optional[KVCache]]:
+    """Run the decoder stack.
+
+    Args:
+        h: (B, S, D) input embeddings (already summed/projected).
+        positions: (B, S) absolute positions for RoPE.
+        mask: bool, True = attend. Without cache: (B, S, S). With cache:
+            (B, S, T_max) rows of the causal mask at `positions`
+            (see ops.masks.decode_step_mask).
+        cache: KV slab from :func:`init_kv_cache`; None = stateless forward.
+        cache_pos: scalar int — the slab slot where this call's first token
+            is written (prefill writes [0, S), decode writes [pos, pos+S)).
+
+    Returns:
+        (h_out (B, S, D) after final norm, updated cache or None).
+    """
+    cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_base)
+
+    use_cache = cache is not None
+    if use_cache:
+        assert cache_pos is not None
+
+        def body(carry, xs):
+            hh = carry
+            lp, k_slab, v_slab = xs
+            hh, k_slab, v_slab = _layer(hh, lp, cfg, cos, sin, mask,
+                                        k_slab, v_slab, cache_pos)
+            return hh, (k_slab, v_slab)
+
+        layer_params = {k: v for k, v in params.items() if k != "final_norm"}
+        h, (new_k, new_v) = jax.lax.scan(
+            body, h, (layer_params, cache["k"], cache["v"]))
+        new_cache: Optional[KVCache] = {"k": new_k, "v": new_v}
+    else:
+        def body(carry, lp):
+            hh = carry
+            hh, _, _ = _layer(hh, lp, cfg, cos, sin, mask, None, None, None)
+            return hh, None
+
+        layer_params = {k: v for k, v in params.items() if k != "final_norm"}
+        h, _ = jax.lax.scan(body, h, layer_params)
+        new_cache = None
+
+    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+    return h, new_cache

@@ -1,0 +1,115 @@
+"""Sharded training step for the dual-transformer LM.
+
+The reference ships no training loop — only the loss (fireredtts2/llm/
+llm.py:145-272), an LR schedule (WarmupDecayLR, llm/utils.py:20-59) and a
+grad-norm helper (llm/utils.py:280-292). This module provides the TPU
+training step around our `lm_loss`: optax AdamW + warmup-decay schedule,
+jitted over a (dp, tp) mesh with NamedSharding on params and batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fireredtts2_tpu.config import LLMConfig
+from fireredtts2_tpu.models.lm.model import lm_loss
+from fireredtts2_tpu.parallel.mesh import lm_param_pspecs, to_named
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def warmup_decay_schedule(peak_lr: float, warmup_steps: int, total_steps: int,
+                          decay_type: str = "linear"):
+    """Reference WarmupDecayLR semantics (llm/utils.py:33-59)."""
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(warmup_steps, 1)
+        frac = (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1)
+        if decay_type == "linear":
+            dec = (total_steps - step) / jnp.maximum(total_steps - warmup_steps, 1)
+        elif decay_type == "constant":
+            dec = jnp.ones_like(step)
+        elif decay_type == "exponential":
+            dec = 0.1 ** frac
+        elif decay_type == "cosine":
+            dec = 0.5 * (1 + jnp.cos(jnp.pi * frac))
+        else:
+            raise ValueError(decay_type)
+        return peak_lr * jnp.where(step < warmup_steps, warm, dec)
+    return sched
+
+
+def make_optimizer(peak_lr: float = 3e-4, warmup_steps: int = 1000,
+                   total_steps: int = 100_000, weight_decay: float = 0.01,
+                   max_grad_norm: float = 1.0) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(warmup_decay_schedule(peak_lr, warmup_steps, total_steps),
+                    weight_decay=weight_decay),
+    )
+
+
+def train_step(state: TrainState, tokens, tokens_mask, key, *,
+               cfg: LLMConfig, optimizer: optax.GradientTransformation):
+    """One fp32-master step; returns (new_state, metrics)."""
+    def loss_fn(p):
+        out = lm_loss(p, cfg, tokens, tokens_mask, key)
+        return out["loss"], out
+
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    gnorm = optax.global_norm(grads)
+    metrics = dict(metrics)
+    metrics["grad_norm"] = gnorm
+    return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
+def make_sharded_train_step(mesh: Mesh, cfg: LLMConfig, params,
+                            optimizer: optax.GradientTransformation):
+    """jit the train step with explicit (dp, tp) shardings.
+
+    Batch rides dp; weights/optimizer state ride tp per
+    parallel.mesh.lm_param_pspecs. Returns (step_fn, sharded TrainState).
+    """
+    p_specs = lm_param_pspecs(params)
+    p_shard = to_named(mesh, p_specs)
+    params = jax.device_put(params, p_shard)
+
+    data_shard = NamedSharding(mesh, P("dp", None, None))
+    rep = NamedSharding(mesh, P())
+
+    # Eager init: zeros_like preserves param shardings for mu/nu; scalars
+    # (e.g. adam step count) land on one device and must be replicated.
+    opt_state = optimizer.init(params)
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, rep)
+        if (hasattr(x, "ndim") and x.ndim == 0) else x, opt_state)
+
+    state = TrainState(params, opt_state,
+                       jax.device_put(jnp.zeros((), jnp.int32), rep))
+
+    fn = jax.jit(
+        partial(train_step, cfg=cfg, optimizer=optimizer),
+        in_shardings=(jax.tree.map(lambda x: x.sharding, state),
+                      data_shard, data_shard, rep),
+        donate_argnums=(0,),
+    )
+
+    def step_fn(st: TrainState, tokens, tokens_mask, key):
+        tokens = jax.device_put(tokens, data_shard)
+        tokens_mask = jax.device_put(tokens_mask, data_shard)
+        key = jax.device_put(key, rep)
+        return fn(st, tokens, tokens_mask, key)
+
+    return step_fn, state

@@ -3,13 +3,22 @@ multi-chip sharding tests work without TPU hardware (SURVEY.md §4 lesson)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. FORCE cpu: the environment
+# ships JAX_PLATFORMS=axon (the TPU tunnel), and tests must not contend for
+# the single TPU chip — they run on an 8-device virtual CPU mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize imports jax at interpreter startup, freezing the
+# env-var default (JAX_PLATFORMS=axon) into jax's config before this
+# conftest runs — update the config explicitly too.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,179 @@
+"""Serving-layer tests: VAD state machine, sessions, monitor, and an
+end-to-end WebSocket round trip against the tiny random-weight engine
+(real server, real socket — SURVEY.md §4: serving tests with a fake tiny
+model instead of Mocks)."""
+
+import asyncio
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from fireredtts2_tpu.serve.vad import HybridVAD, VADConfig, VADState
+from fireredtts2_tpu.serve.sessions import SessionManager
+from fireredtts2_tpu.serve.monitor import (
+    PerformanceMonitor, analyze_audio_quality,
+)
+
+
+# ------------------------------------------------------------------- VAD
+
+def _speech_like(rng, n, sr=16000):
+    """Modulated 300-3000 Hz harmonics, clearly voiced."""
+    t = np.arange(n) / sr
+    sig = sum(np.sin(2 * np.pi * f * t) for f in (300, 600, 1200, 2400))
+    return (0.3 * sig / 4 + 0.001 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_vad_detects_speech_turn(rng):
+    cfg = VADConfig()
+    vad = HybridVAD(cfg)
+    sr = cfg.sample_rate
+    audio = np.concatenate([
+        0.0005 * rng.standard_normal(sr // 2).astype(np.float32),  # silence
+        _speech_like(rng, sr),                                     # 1 s speech
+        0.0005 * rng.standard_normal(sr).astype(np.float32),       # silence
+    ])
+    events = vad.process_audio(audio)
+    kinds = [e.kind for e in events]
+    assert "speech_start" in kinds and "speech_end" in kinds
+    start = next(e for e in events if e.kind == "speech_start")
+    end = next(e for e in events if e.kind == "speech_end")
+    assert end.timestamp > start.timestamp
+    assert end.duration_ms > 500
+
+
+def test_vad_ignores_silence(rng):
+    vad = HybridVAD()
+    audio = 0.0003 * rng.standard_normal(16000).astype(np.float32)
+    assert vad.process_audio(audio) == []
+    assert vad.state == VADState.SILENCE
+
+
+def test_vad_min_speech_gate(rng):
+    """A burst shorter than min_speech_ms must not trigger speech_start."""
+    cfg = VADConfig(min_speech_ms=250)
+    vad = HybridVAD(cfg)
+    sr = cfg.sample_rate
+    audio = np.concatenate([
+        0.0005 * rng.standard_normal(sr // 4).astype(np.float32),
+        _speech_like(rng, int(0.12 * sr)),  # 120 ms blip
+        0.0005 * rng.standard_normal(sr // 2).astype(np.float32),
+    ])
+    assert [e.kind for e in vad.process_audio(audio)] == []
+
+
+# --------------------------------------------------------------- sessions
+
+def test_session_lifecycle(tmp_path):
+    mgr = SessionManager(persist_dir=str(tmp_path))
+    s = mgr.create_session({"user": "x"})
+    mgr.add_turn(s.session_id, "user", "hello")
+    mgr.add_turn(s.session_id, "assistant", "hi", audio_duration_s=1.2)
+    ctx = mgr.context_window(s.session_id)
+    assert [t.role for t in ctx] == ["user", "assistant"]
+
+    # persistence round trip
+    mgr2 = SessionManager(persist_dir=str(tmp_path))
+    s2 = mgr2.get(s.session_id)
+    assert s2 is not None and len(s2.turns) == 2
+    assert s2.turns[1].audio_duration_s == 1.2
+
+
+def test_session_expiry(tmp_path):
+    mgr = SessionManager(persist_dir=None, expiry_seconds=0.0)
+    mgr.create_session()
+    time.sleep(0.01)
+    assert mgr.cleanup_expired() == 1
+    assert mgr.active_count == 0
+
+
+# ---------------------------------------------------------------- monitor
+
+def test_monitor_tracks_latency():
+    mon = PerformanceMonitor()
+    mon.start_inference("r1")
+    mon.record_first_packet("r1")
+    mon.record_frame("r1", 10)
+    rec = mon.end_inference("r1", audio_seconds=0.8)
+    assert rec.first_packet_s is not None and rec.first_packet_s >= 0
+    s = mon.summary()
+    assert s["requests"] == 1 and s["frames"] == 10
+    assert "first_packet_ms_p50" in s
+
+
+def test_audio_quality_analysis(rng):
+    sr = 24000
+    t = np.arange(sr // 2) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    quiet = 0.001 * rng.standard_normal(sr // 2)
+    audio = np.concatenate([quiet, tone]).astype(np.float32)  # speech-like: pauses + voice
+    q = analyze_audio_quality(audio, sr)
+    assert q["duration_s"] == pytest.approx(1.0)
+    assert q["clipping_ratio"] == 0.0
+    assert q["snr_db"] > 10  # floor from the quiet half, rms from the tone
+
+
+# ------------------------------------------------------------- websocket
+
+@pytest.mark.asyncio_disabled  # plain sync test driving its own loop
+def test_websocket_server_end_to_end():
+    import websockets
+
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.server import WebSocketTTSServer
+
+    engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18765)
+
+    results = {}
+
+    async def scenario():
+        await server.start()
+        try:
+            async with websockets.connect("ws://127.0.0.1:18765") as ws:
+                # ping
+                await ws.send(json.dumps({"type": "ping"}))
+                results["pong"] = json.loads(await ws.recv())
+                # session
+                await ws.send(json.dumps({"type": "session_start"}))
+                sess = json.loads(await ws.recv())
+                results["session"] = sess
+                # bad message
+                await ws.send(json.dumps({"type": "nope"}))
+                results["bad"] = json.loads(await ws.recv())
+                # streaming TTS
+                await ws.send(json.dumps({
+                    "type": "generate_speech", "text": "hello world",
+                    "session_id": sess["session_id"], "streaming": True}))
+                chunks = 0
+                while True:
+                    msg = json.loads(await asyncio.wait_for(ws.recv(), 300))
+                    if msg["type"] == "audio_chunk":
+                        chunks += 1
+                        assert msg["format"] == "pcm16"
+                        pcm = bytes.fromhex(msg["data"])
+                        assert len(pcm) % 2 == 0 and len(pcm) > 0
+                    elif msg["type"] == "generation_complete":
+                        results["complete"] = msg
+                        results["chunks"] = chunks
+                        break
+                    elif msg["type"] == "error":
+                        raise AssertionError(msg)
+                # stats
+                await ws.send(json.dumps({"type": "get_stats"}))
+                results["stats"] = json.loads(await ws.recv())
+        finally:
+            await server.stop()
+
+    asyncio.run(scenario())
+
+    assert results["pong"]["type"] == "pong"
+    assert "session_id" in results["session"]
+    assert results["bad"]["type"] == "error"
+    assert results["chunks"] >= 1
+    assert results["complete"]["chunks"] == results["chunks"]
+    assert results["stats"]["stats"]["requests"] == 1
