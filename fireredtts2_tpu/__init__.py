@@ -25,6 +25,18 @@ import jax as _jax
 # everywhere, so set it once at import.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: flagship-model compiles are minutes; cache
+# them across processes (serving restarts, benches, tools).
+import os as _os
+
+_cache_dir = _os.environ.get("FIREREDTTS2_JAX_CACHE", "/tmp/frtts2_jax_cache")
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never a hard dependency
+    pass
+
 from fireredtts2_tpu.config import (  # noqa: F401
     LLMConfig,
     TransformerConfig,

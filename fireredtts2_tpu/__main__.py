@@ -1,0 +1,135 @@
+"""Command-line interface.
+
+Replaces the reference's CLI surface (gradio_demo.py --pretrained-dir ...,
+runpod launchers) with subcommands:
+
+  python -m fireredtts2_tpu generate  --text "[S1]Hi. [S2]Hello." --out out.wav
+  python -m fireredtts2_tpu monologue --text "..." --prompt-wav ref.wav \
+                                      --prompt-text "..." --out out.wav
+  python -m fireredtts2_tpu serve     --ws-port 8765 --http-port 8080
+  python -m fireredtts2_tpu qa        # run the QA scenario suite
+  python -m fireredtts2_tpu bench     # headline benchmark JSON
+
+Without --pretrained-dir a tiny random-weight config is used (dev mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+
+def _build_engine(args):
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.config import tiny_engine_config
+
+    if args.pretrained_dir:
+        return FireRedTTS2Engine(pretrained_dir=args.pretrained_dir,
+                                 gen_type=args.gen_type)
+    print("[warn] no --pretrained-dir: using tiny random-weight dev config",
+          file=sys.stderr)
+    return FireRedTTS2Engine(config=tiny_engine_config(), gen_type=args.gen_type)
+
+
+def _cmd_generate(args):
+    from fireredtts2_tpu.utils.audio_io import save_wav
+
+    engine = _build_engine(args)
+    # Split "[S1]... [S2]..." inline dialogue text into utterances
+    parts = re.split(r"(?=\[S\d\])", args.text)
+    text_list = [p.strip() for p in parts if p.strip()]
+    if not text_list[0].startswith("[S"):
+        text_list = ["[S1]" + args.text]
+    audio = engine.generate_dialogue(
+        text_list,
+        prompt_wav_list=args.prompt_wav or None,
+        prompt_text_list=args.prompt_text or None,
+        temperature=args.temperature, topk=args.topk)
+    save_wav(args.out, audio, engine.output_sample_rate)
+    print(f"wrote {args.out}: {len(audio)/engine.output_sample_rate:.2f}s")
+
+
+def _cmd_monologue(args):
+    from fireredtts2_tpu.utils.audio_io import save_wav
+
+    engine = _build_engine(args)
+    audio = engine.generate_monologue(
+        args.text, prompt_wav=args.prompt_wav_single,
+        prompt_text=args.prompt_text_single,
+        temperature=args.temperature, topk=args.topk)
+    save_wav(args.out, audio, engine.output_sample_rate)
+    print(f"wrote {args.out}: {len(audio)/engine.output_sample_rate:.2f}s")
+
+
+def _cmd_serve(args):
+    from fireredtts2_tpu.serve.server import serve
+
+    engine = _build_engine(args)
+    print(f"serving: ws://0.0.0.0:{args.ws_port}  http://0.0.0.0:{args.http_port}/health")
+    serve(engine, ws_port=args.ws_port, http_port=args.http_port,
+          session_dir=args.session_dir)
+
+
+def _cmd_qa(args):
+    from fireredtts2_tpu.serve.qa import QAPipeline
+
+    engine = _build_engine(args)
+    results = QAPipeline(engine).run_all()
+    ok = all(r.passed for r in results)
+    for r in results:
+        mark = "PASS" if r.passed else "FAIL"
+        print(f"[{mark}] {r.name} ({r.duration_s:.1f}s) {r.detail}")
+    sys.exit(0 if ok else 1)
+
+
+def _cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fireredtts2_tpu")
+    p.add_argument("--pretrained-dir", default=None,
+                   help="checkpoint dir (config_llm.json, codec.pt, ...)")
+    p.add_argument("--gen-type", default="dialogue",
+                   choices=["dialogue", "monologue"])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="dialogue synthesis to a wav")
+    g.add_argument("--text", required=True)
+    g.add_argument("--prompt-wav", nargs="*", default=None)
+    g.add_argument("--prompt-text", nargs="*", default=None)
+    g.add_argument("--temperature", type=float, default=0.9)
+    g.add_argument("--topk", type=int, default=20)
+    g.add_argument("--out", default="out.wav")
+    g.set_defaults(fn=_cmd_generate)
+
+    m = sub.add_parser("monologue", help="monologue synthesis (optional clone)")
+    m.add_argument("--text", required=True)
+    m.add_argument("--prompt-wav", dest="prompt_wav_single", default=None)
+    m.add_argument("--prompt-text", dest="prompt_text_single", default=None)
+    m.add_argument("--temperature", type=float, default=0.75)
+    m.add_argument("--topk", type=int, default=20)
+    m.add_argument("--out", default="out.wav")
+    m.set_defaults(fn=_cmd_monologue)
+
+    s = sub.add_parser("serve", help="websocket + http serving")
+    s.add_argument("--ws-port", type=int, default=8765)
+    s.add_argument("--http-port", type=int, default=8080)
+    s.add_argument("--session-dir", default=None)
+    s.set_defaults(fn=_cmd_serve)
+
+    q = sub.add_parser("qa", help="run QA scenarios against the engine")
+    q.set_defaults(fn=_cmd_qa)
+
+    b = sub.add_parser("bench", help="headline benchmark (prints JSON)")
+    b.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

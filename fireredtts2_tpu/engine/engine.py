@@ -36,8 +36,11 @@ from fireredtts2_tpu.config import (
     EngineConfig, llm_config_from_json, codec_config_from_json,
 )
 from fireredtts2_tpu.models.lm.model import (
-    init_lm_params, init_lm_state, lm_generate_frame,
+    init_lm_params, init_lm_state, lm_generate_frame, lm_generate_loop,
+    build_step_frame,
 )
+from fireredtts2_tpu.models.codec.decoder import stream_decode_tail
+from fireredtts2_tpu.models.pipeline import stream_block
 from fireredtts2_tpu.models.codec.model import (
     init_codec_params, encode_window, codec_encode, codec_decode_chunks,
     assemble_chunks, stream_decode_init, stream_decode_step,
@@ -115,11 +118,39 @@ class FireRedTTS2Engine:
 
         # ---- compiled functions (cfg objects are hashable -> static) ----
         llm_cfg, codec_cfg = self.config.llm, self.config.codec
+        acfg = codec_cfg.acoustic_decoder
 
-        self._frame_fn = jax.jit(
-            partial(lm_generate_frame, cfg=llm_cfg),
-            static_argnames=("topk", "depth_topk"),
-        )
+        def _prefill(params, state, tokens, tokens_mask, valid, key,
+                     temperature, topk, depth_topk, depth_temperature):
+            state, frame = lm_generate_frame(
+                params, llm_cfg, state, tokens, tokens_mask, valid, key,
+                temperature, topk, depth_topk, depth_temperature)
+            return state, frame, jnp.all(frame == 0, axis=-1)
+
+        def _decode_step(params, state, prev_frame, key,
+                         temperature, topk, depth_topk, depth_temperature):
+            """One AR step fed directly by the previous frame ON DEVICE —
+            no host round trip between frames."""
+            tokens, mask = build_step_frame(llm_cfg, prev_frame)
+            valid = jnp.ones((prev_frame.shape[0], 1), jnp.bool_)
+            state, frame = lm_generate_frame(
+                params, llm_cfg, state, tokens, mask, valid, key,
+                temperature, topk, depth_topk, depth_temperature)
+            return state, frame, jnp.all(frame == 0, axis=-1)
+
+        # donate the KV slabs so decode updates are in place, not copies
+        self._prefill_fn = jax.jit(
+            _prefill, static_argnames=("topk", "depth_topk"),
+            donate_argnames=("state",))
+        self._decode_step_fn = jax.jit(
+            _decode_step, static_argnames=("topk", "depth_topk"),
+            donate_argnames=("state",))
+        # whole-utterance generation: ONE device program (prefill +
+        # while_loop over frames with on-device EOS)
+        self._gen_loop_fn = jax.jit(
+            partial(lm_generate_loop, cfg=llm_cfg),
+            static_argnames=("max_frames", "topk", "depth_topk"),
+            donate_argnames=("state",))
         # Bound to the engine's codec params: codec_encode calls it as
         # encode_fn(audio_batch, lengths).
         self._encode_fn = jax.jit(
@@ -127,8 +158,20 @@ class FireRedTTS2Engine:
         self._decode_fn = jax.jit(partial(codec_decode_chunks, cfg=codec_cfg))
         self._stream_step_fn = jax.jit(
             partial(stream_decode_step, cfg=codec_cfg),
-            static_argnames=("first", "last"),
-        )
+            static_argnames=("first", "last"), donate_argnames=("state",))
+        self._stream_tail_fn = jax.jit(
+            lambda state: stream_decode_tail(acfg, state))
+        # Fused K-frame stream blocks: one dispatch + one packed fetch per K
+        # frames (the host<->device round trip dominates per-frame loops on
+        # tunneled TPUs; see models/pipeline.py).
+        self._block_fn = jax.jit(
+            partial(stream_block, llm_cfg=llm_cfg, codec_cfg=codec_cfg),
+            static_argnames=("block", "topk", "depth_topk"),
+            donate_argnames=("state", "vstate"))
+        self._chunk_samples = 8 * acfg.hop_length
+        self._tail_samples = (acfg.n_fft - acfg.hop_length) \
+            - (acfg.n_fft - acfg.hop_length) // 2
+        self._lead_samples = self._tail_samples
 
     # ------------------------------------------------------------------
     # Tokenization to interleaved frames
@@ -194,16 +237,10 @@ class FireRedTTS2Engine:
     # Core AR generation
     # ------------------------------------------------------------------
 
-    def _run_ar(self, prompt: np.ndarray, prompt_mask: np.ndarray,
-                max_generation_len: int, temperature: float, topk: int,
-                on_frame=None) -> np.ndarray:
-        """Prefill + decode loop. Returns (T, ncb) int32 sampled frames
-        (EOS excluded). Calls on_frame(t, frame) after each sampled frame."""
+    def _bucketize(self, prompt: np.ndarray, prompt_mask: np.ndarray):
+        """Left-pad a prompt into its static bucket."""
         L = prompt.shape[0]
         bucket = self._bucket(L)
-        if bucket + max_generation_len > self.max_seq_len:
-            max_generation_len = self.max_seq_len - bucket
-
         pad = bucket - L
         tokens = np.zeros((1, bucket, self._ncols), np.int32)
         mask = np.zeros((1, bucket, self._ncols), bool)
@@ -211,37 +248,29 @@ class FireRedTTS2Engine:
         tokens[0, pad:] = prompt
         mask[0, pad:] = prompt_mask
         valid[0, pad:] = True
+        return bucket, tokens, mask, valid
+
+    def _run_ar(self, prompt: np.ndarray, prompt_mask: np.ndarray,
+                max_generation_len: int, temperature: float, topk: int
+                ) -> np.ndarray:
+        """Whole-utterance AR generation as ONE device dispatch
+        (lax.while_loop with on-device EOS). Returns (T, ncb) int32 frames.
+        """
+        bucket, tokens, mask, valid = self._bucketize(prompt, prompt_mask)
+        max_frames = self.max_seq_len - bucket  # static per bucket
+        cap = min(max_generation_len, max_frames)
 
         state = init_lm_state(self.config.llm, 1,
                               _dtype_of(self.config.llm.dtype))
-        state, frame = self._frame_fn(
+        state, buf, n_frames = self._gen_loop_fn(
             self.lm_params, state=state, tokens=jnp.asarray(tokens),
             tokens_mask=jnp.asarray(mask), valid=jnp.asarray(valid),
-            key=self._next_key(), temperature=temperature, topk=topk,
+            key=self._next_key(), max_frames=max_frames,
+            frame_cap=jnp.int32(cap), temperature=temperature, topk=topk,
             depth_topk=self.config.depth_topk,
             depth_temperature=self.config.depth_temperature)
-
-        samples: list[np.ndarray] = []
-        step_tokens = np.zeros((1, 1, self._ncols), np.int32)
-        step_mask = np.zeros((1, 1, self._ncols), bool)
-        step_mask[:, :, :-1] = True
-        ones_valid = jnp.ones((1, 1), bool)
-
-        for t in range(max_generation_len):
-            f = np.asarray(frame)                 # (1, ncb) — host sync
-            if (f == 0).all():                    # EOS (fireredtts2.py:178)
-                break
-            samples.append(f[0])
-            if on_frame is not None:
-                on_frame(t, f)
-            step_tokens[0, 0, :-1] = f[0]
-            state, frame = self._frame_fn(
-                self.lm_params, state=state, tokens=jnp.asarray(step_tokens),
-                tokens_mask=jnp.asarray(step_mask), valid=ones_valid,
-                key=self._next_key(), temperature=temperature, topk=topk,
-                depth_topk=self.config.depth_topk,
-                depth_temperature=self.config.depth_temperature)
-        return np.stack(samples) if samples else np.zeros((0, self._ncb), np.int32)
+        n = int(n_frames[0])
+        return np.asarray(buf[0, :n])
 
     def _decode_tokens(self, gen_tokens: np.ndarray) -> np.ndarray:
         """(T, ncb) -> (n_samples,) float32 @24 kHz.
@@ -304,17 +333,8 @@ class FireRedTTS2Engine:
         t_start = time.perf_counter()
         self._first_packet_s = None
 
-        L = prompt.shape[0]
-        bucket = self._bucket(L)
-        if bucket + max_len > self.max_seq_len:
-            max_len = self.max_seq_len - bucket
-        pad = bucket - L
-        tokens = np.zeros((1, bucket, self._ncols), np.int32)
-        tmask = np.zeros((1, bucket, self._ncols), bool)
-        valid = np.zeros((1, bucket), bool)
-        tokens[0, pad:] = prompt
-        tmask[0, pad:] = mask
-        valid[0, pad:] = True
+        bucket, tokens, tmask, valid = self._bucketize(prompt, mask)
+        max_len = min(max_len, self.max_seq_len - bucket)
 
         state = init_lm_state(self.config.llm, 1,
                               _dtype_of(self.config.llm.dtype))
@@ -324,48 +344,52 @@ class FireRedTTS2Engine:
         kw = dict(temperature=temperature, topk=topk,
                   depth_topk=self.config.depth_topk,
                   depth_temperature=self.config.depth_temperature)
-        state, frame = self._frame_fn(
+        utt_key = self._next_key()
+        state, frame, eos_d = self._prefill_fn(
             self.lm_params, state=state, tokens=jnp.asarray(tokens),
             tokens_mask=jnp.asarray(tmask), valid=jnp.asarray(valid),
-            key=self._next_key(), **kw)
+            key=jax.random.fold_in(utt_key, 0), **kw)
 
-        step_tokens = np.zeros((1, 1, self._ncols), np.int32)
-        step_mask = np.zeros((1, 1, self._ncols), bool)
-        step_mask[:, :, :-1] = True
-        ones_valid = jnp.ones((1, 1), bool)
-
-        pending: Optional[np.ndarray] = None  # sampled, not yet vocoded
+        # Fused block decoding: each dispatch scans K frames of (LM step +
+        # vocoder chunk) and the host makes ONE packed fetch per block —
+        # the round trip no longer scales with frame count. The schedule
+        # starts at K=1 (first packet) and grows to K=8 (640 ms of audio
+        # per sync); a client-side jitter buffer absorbs the block cadence.
+        # Audio equals the reference's streaming exactly: middles for live
+        # frames + the closing tail captured at the last live frame.
+        del eos_d
         n_emitted = 0
-        for t in range(max_len):
-            f = np.asarray(frame)
-            if (f == 0).all():
-                break
-            # Kick off the next LM step, then vocode the previous token while
-            # the device... (single chip: sequential, but the dispatch order
-            # still overlaps host work with device compute).
-            step_tokens[0, 0, :-1] = f[0]
-            state, frame = self._frame_fn(
-                self.lm_params, state=state, tokens=jnp.asarray(step_tokens),
-                tokens_mask=jnp.asarray(step_mask), valid=ones_valid,
-                key=self._next_key(), **kw)
-            if pending is not None:
-                audio, vstate = self._stream_step_fn(
-                    self.codec_params, token=jnp.asarray(pending[:, :, None]),
-                    state=vstate, first=(n_emitted == 0), last=False)
-                chunk = np.asarray(audio)[0]
-                if self._first_packet_s is None:
-                    self._first_packet_s = time.perf_counter() - t_start
+        g = 0                   # global index of the pending frame
+        block = 1
+        cs, ts = self._chunk_samples, self._tail_samples
+        emitted = jnp.zeros((1,), jnp.int32)
+        last_tail: Optional[np.ndarray] = None
+        while g < max_len:
+            K = min(block, max_len - g)
+            state, vstate, frame, emitted, packed = self._block_fn(
+                self.lm_params, self.codec_params, state=state, vstate=vstate,
+                frame=frame, emitted=emitted, key=utt_key,
+                t_base=jnp.int32(g + 1), block=K, **kw)
+            pk = np.asarray(packed)          # one fetch per block
+            stop = False
+            for j in range(K):
+                if pk[j, 0, -1] > 0.5:       # frame g+j was EOS
+                    stop = True
+                    break
+                chunk = pk[j, 0, :cs]
+                if n_emitted == 0:
+                    chunk = chunk[self._lead_samples:]
+                    if self._first_packet_s is None:
+                        self._first_packet_s = time.perf_counter() - t_start
+                last_tail = pk[j, 0, cs:cs + ts]
                 n_emitted += 1
-                yield chunk
-            pending = f
-        if pending is not None:
-            audio, _ = self._stream_step_fn(
-                self.codec_params, token=jnp.asarray(pending[:, :, None]),
-                state=vstate, first=(n_emitted == 0), last=True)
-            chunk = np.asarray(audio)[0]
-            if self._first_packet_s is None:
-                self._first_packet_s = time.perf_counter() - t_start
-            yield chunk
+                yield chunk.astype(np.float32)
+            if stop:
+                break
+            g += K
+            block = min(block * 2, 8)
+        if n_emitted > 0 and last_tail is not None:
+            yield last_tail.astype(np.float32)
 
     def generate_dialogue(self, text_list: List[str],
                           prompt_wav_list: Optional[List[str]] = None,

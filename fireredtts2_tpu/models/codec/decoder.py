@@ -235,7 +235,7 @@ class VocoderStreamState(NamedTuple):
     kv_k: Array           # (L, B, T_max, H, Dh) attention slab
     kv_v: Array
     istft_cache: Array    # (B, n_fft, 3) trailing windowed ifft frames
-    pos: Array            # () int32 latents written so far (100 Hz)
+    pos: Array            # (B,) int32 latents written so far (100 Hz)
 
 
 def stream_state_init(cfg: AcousticDecoderConfig, batch: int,
@@ -250,7 +250,7 @@ def stream_state_init(cfg: AcousticDecoderConfig, batch: int,
         rb_caches=jnp.zeros((4, 2, batch, d, 2), dtype),
         kv_k=slab["k"], kv_v=slab["v"],
         istft_cache=jnp.zeros((batch, cfg.n_fft, 3), dtype),
-        pos=jnp.zeros((), jnp.int32),
+        pos=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -299,7 +299,8 @@ def stream_decode_chunk(params: Params, cfg: AcousticDecoderConfig,
     # Attention: this chunk's 8 latents see every written slot plus themselves.
     T_max = state.kv_k.shape[2]
     B = hc.shape[0]
-    key_ok = jnp.arange(T_max, dtype=jnp.int32)[None, None, :] < (state.pos + S)
+    key_ok = (jnp.arange(T_max, dtype=jnp.int32)[None, None, :]
+              < (state.pos[:, None, None] + S))
     mask = jnp.broadcast_to(key_ok, (B, S, T_max))
     cache = {"k": state.kv_k, "v": state.kv_v}
     hc, cache = whisper_layers_forward(params["layers"], cfg.num_heads, hc,
@@ -323,6 +324,115 @@ def stream_decode_chunk(params: Params, cfg: AcousticDecoderConfig,
         pos=state.pos + S,
     )
     return audio, new_state
+
+
+def _vocoder_backbone_chunk(params: Params, cfg: AcousticDecoderConfig,
+                            x: Array, state: VocoderStreamState
+                            ) -> tuple[Array, VocoderStreamState]:
+    """Shared streaming front (upsample + convs + attention + head) for one
+    token chunk. Returns (windowed ifft frames (B, n_fft, 8), new state with
+    istft_cache set to the trailing frames)."""
+    h, up1, up2 = _upsample_chunk(params, x, state.up1_cache, state.up2_cache)
+    S = h.shape[1]
+    hc = h.transpose(0, 2, 1)
+    hc, in_cache = causal_conv1d_chunk(hc, params["in_proj"], state.in_proj_cache)
+    hc = hc.transpose(0, 2, 1)
+    rb = state.rb_caches
+    hc, c0a, c0b = causal_resnet_chunk(params["prior0"], hc, rb[0, 0], rb[0, 1])
+    hc, c1a, c1b = causal_resnet_chunk(params["prior1"], hc, rb[1, 0], rb[1, 1])
+    T_max = state.kv_k.shape[2]
+    B = hc.shape[0]
+    key_ok = (jnp.arange(T_max, dtype=jnp.int32)[None, None, :]
+              < (state.pos[:, None, None] + S))
+    mask = jnp.broadcast_to(key_ok, (B, S, T_max))
+    cache = {"k": state.kv_k, "v": state.kv_v}
+    hc, cache = whisper_layers_forward(params["layers"], cfg.num_heads, hc,
+                                       mask, cache, state.pos)
+    hc, c2a, c2b = causal_resnet_chunk(params["post0"], hc, rb[2, 0], rb[2, 1])
+    hc, c3a, c3b = causal_resnet_chunk(params["post1"], hc, rb[3, 0], rb[3, 1])
+    hc = layer_norm(hc, params["final_ln_w"], params["final_ln_b"], eps=1e-6)
+    re, im = _head_spectrum(params, hc)
+    w = jnp.asarray(hann_window_cached(cfg.n_fft), dtype=jnp.float32)
+    frames = irfft_frames(re, im, cfg.n_fft) * w[None, :, None]
+    r_1 = cfg.n_fft // cfg.hop_length - 1
+    new_state = VocoderStreamState(
+        up1_cache=up1, up2_cache=up2, in_proj_cache=in_cache,
+        rb_caches=jnp.stack([jnp.stack([c0a, c0b]), jnp.stack([c1a, c1b]),
+                             jnp.stack([c2a, c2b]), jnp.stack([c3a, c3b])]),
+        kv_k=cache["k"], kv_v=cache["v"],
+        istft_cache=frames[..., -r_1:].astype(state.istft_cache.dtype),
+        pos=state.pos + S,
+    )
+    return frames, new_state
+
+
+def _norm_ola(frames: Array, hop: int, n_fft: int) -> Array:
+    y = overlap_add(frames, hop)
+    env = window_envelope(n_fft, hop, frames.shape[-1], dtype=y.dtype)
+    return y / jnp.maximum(env[None, :], 1e-11)
+
+
+def stream_decode_step_batched(params: Params, cfg: AcousticDecoderConfig,
+                               x: Array, state: VocoderStreamState,
+                               is_first: Array
+                               ) -> tuple[Array, Array, VocoderStreamState]:
+    """Continuous-batching vocoder step: per-slot `is_first` is TRACED
+    (slots join the batch at different times), so both emission variants are
+    computed and selected per slot.
+
+    Args:
+        x: (B, 4, D) one token's 50 Hz latents per slot.
+        is_first: (B,) bool — True for a slot's first chunk.
+    Returns:
+        (middle (B, chunk*hop) — for first chunks only the trailing
+         chunk*hop - lead samples are valid (left zero-padded, lead =
+         (n_fft-hop) - pad);
+         tail (B, (n_fft-hop) - pad) — the closing emission if this chunk
+         were the slot's last;
+         new state).
+    """
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    pad = (n_fft - hop) // 2
+    prev_cache = state.istft_cache
+    frames, new_state = _vocoder_backbone_chunk(params, cfg, x, state)
+
+    # rest-style: use the 3-frame cache
+    frames_cat = jnp.concatenate([prev_cache.astype(frames.dtype), frames],
+                                 axis=-1)
+    y_rest = _norm_ola(frames_cat, hop, n_fft)
+    mid_rest = y_rest[:, (n_fft - hop):-(n_fft - hop)]          # chunk*hop
+    tail_rest = y_rest[:, -(n_fft - hop):-pad]
+
+    # first-style: no cache
+    y_first = _norm_ola(frames, hop, n_fft)
+    mid_first = y_first[:, pad:-(n_fft - hop)]                   # chunk*hop - lead
+    lead = mid_rest.shape[1] - mid_first.shape[1]
+    mid_first = jnp.pad(mid_first, ((0, 0), (lead, 0)))
+    tail_first = y_first[:, -(n_fft - hop):-pad]
+
+    f = is_first[:, None]
+    middle = jnp.where(f, mid_first, mid_rest)
+    tail = jnp.where(f, tail_first, tail_rest)
+    return middle, tail, new_state
+
+
+def reset_vocoder_slot(state: VocoderStreamState, b: Array) -> VocoderStreamState:
+    """Zero one slot's caches (a new stream claims the slot)."""
+    def zero_at(arr: Array, axis: int) -> Array:
+        upd = jnp.zeros_like(
+            jax.lax.dynamic_index_in_dim(arr, b, axis, keepdims=False))
+        return jax.lax.dynamic_update_index_in_dim(arr, upd, b, axis)
+
+    return VocoderStreamState(
+        up1_cache=zero_at(state.up1_cache, 0),
+        up2_cache=zero_at(state.up2_cache, 0),
+        in_proj_cache=zero_at(state.in_proj_cache, 0),
+        rb_caches=zero_at(state.rb_caches, 2),
+        kv_k=zero_at(state.kv_k, 1),
+        kv_v=zero_at(state.kv_v, 1),
+        istft_cache=zero_at(state.istft_cache, 0),
+        pos=state.pos.at[b].set(0),
+    )
 
 
 def stream_decode_tail(cfg: AcousticDecoderConfig,
@@ -390,7 +500,8 @@ def stream_decode_scan(params: Params, cfg: AcousticDecoderConfig,
         hc, c0a, c0b = causal_resnet_chunk(params["prior0"], hc, rb[0, 0], rb[0, 1])
         hc, c1a, c1b = causal_resnet_chunk(params["prior1"], hc, rb[1, 0], rb[1, 1])
         T_max = st.kv_k.shape[2]
-        key_ok = jnp.arange(T_max, dtype=jnp.int32)[None, None, :] < (st.pos + S)
+        key_ok = (jnp.arange(T_max, dtype=jnp.int32)[None, None, :]
+                  < (st.pos[:, None, None] + S))
         mask = jnp.broadcast_to(key_ok, (B, S, T_max))
         cache = {"k": st.kv_k, "v": st.kv_v}
         hc, cache = whisper_layers_forward(params["layers"], cfg.num_heads, hc,

@@ -75,10 +75,18 @@ def _whisper_layer(h: Array, lp: Params, num_heads: int, mask: Optional[Array],
     v = (x @ lp["wv"] + lp["bv"]).reshape(B, S, num_heads, Dh)
 
     if k_slab is not None:
-        k_slab = jax.lax.dynamic_update_slice(k_slab, k.astype(k_slab.dtype),
-                                              (0, cache_pos, 0, 0))
-        v_slab = jax.lax.dynamic_update_slice(v_slab, v.astype(v_slab.dtype),
-                                              (0, cache_pos, 0, 0))
+        # scalar cache_pos = shared slot; (B,) = per-stream slots
+        if getattr(cache_pos, "ndim", 0) == 1:
+            upd = jax.vmap(
+                lambda slab_b, x_b, p: jax.lax.dynamic_update_slice(
+                    slab_b, x_b, (p, 0, 0)))
+            k_slab = upd(k_slab, k.astype(k_slab.dtype), cache_pos)
+            v_slab = upd(v_slab, v.astype(v_slab.dtype), cache_pos)
+        else:
+            k_slab = jax.lax.dynamic_update_slice(
+                k_slab, k.astype(k_slab.dtype), (0, cache_pos, 0, 0))
+            v_slab = jax.lax.dynamic_update_slice(
+                v_slab, v.astype(v_slab.dtype), (0, cache_pos, 0, 0))
         attn = mha_attention(q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
     else:
         attn = mha_attention(q, k, v, mask)

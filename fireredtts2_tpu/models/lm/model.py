@@ -45,7 +45,7 @@ class LMState(NamedTuple):
     cache_k: Array        # (L, B, T_max, Hkv, Dh)
     cache_v: Array
     slot_valid: Array     # (B, T_max) bool — which KV slots hold real tokens
-    pos: Array            # () int32 — next slab slot to write
+    pos: Array            # (B,) int32 — next slab slot to write, per stream
 
 
 def init_lm_params(key: Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
@@ -81,7 +81,7 @@ def init_lm_state(cfg: LLMConfig, batch_size: int, dtype=jnp.float32) -> LMState
     return LMState(
         cache_k=cache["k"], cache_v=cache["v"],
         slot_valid=jnp.zeros((batch_size, cfg.max_seq_len), jnp.bool_),
-        pos=jnp.zeros((), jnp.int32),
+        pos=jnp.zeros((batch_size,), jnp.int32),
     )
 
 
@@ -183,13 +183,15 @@ def lm_generate_frame(
 
     h = frame_hidden(params, cfg, tokens, tokens_mask, dtype)
 
-    positions = state.pos + jnp.arange(S, dtype=jnp.int32)
-    positions_b = jnp.broadcast_to(positions[None, :], (B, S))
+    # Per-stream positions (continuous batching: streams may sit at
+    # different depths of their KV slabs).
+    positions_b = state.pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
 
     # Mark this window's real slots, then build slab attention rows:
     # query at absolute position p attends slot j iff j <= p and slot is real.
-    slot_valid = jax.lax.dynamic_update_slice(
-        state.slot_valid, valid, (0, state.pos))
+    slot_valid = jax.vmap(
+        lambda sv, v, p: jax.lax.dynamic_update_slice(sv, v, (p,))
+    )(state.slot_valid, valid, state.pos)
     attn = mask_ops.decode_step_mask(positions_b, cfg.max_seq_len)
     attn = attn & slot_valid[:, None, :]
 
@@ -211,6 +213,43 @@ def lm_generate_frame(
         slot_valid=slot_valid, pos=state.pos + S,
     )
     return new_state, samples
+
+
+def reset_lm_slot(state: LMState, b: Array) -> LMState:
+    """Free one stream slot (cache contents stay; masking hides them)."""
+    return LMState(
+        cache_k=state.cache_k, cache_v=state.cache_v,
+        slot_valid=state.slot_valid.at[b].set(False),
+        pos=state.pos.at[b].set(0),
+    )
+
+
+def prefill_into_slot(params: Params, cfg: LLMConfig, state: LMState,
+                      b: Array, tokens: Array, tokens_mask: Array,
+                      valid: Array, key: Array,
+                      temperature=0.9, topk: int = 20,
+                      depth_topk: int = 10, depth_temperature: float = 0.75,
+                      ) -> tuple[LMState, Array]:
+    """Prefill ONE stream's prompt into slot `b` of a batched decode state
+    (continuous batching: admit a request while other slots keep decoding).
+
+    tokens/tokens_mask/valid are (1, S, C+1)/(1, S) right-aligned buckets.
+    Returns (updated batched state, first sampled frame (1, ncb)).
+    """
+    small = init_lm_state(cfg, 1, state.cache_k.dtype)
+    small, frame = lm_generate_frame(
+        params, cfg, small, tokens, tokens_mask, valid, key,
+        temperature, topk, depth_topk, depth_temperature)
+    new_state = LMState(
+        cache_k=jax.lax.dynamic_update_slice(
+            state.cache_k, small.cache_k, (0, b, 0, 0, 0)),
+        cache_v=jax.lax.dynamic_update_slice(
+            state.cache_v, small.cache_v, (0, b, 0, 0, 0)),
+        slot_valid=jax.lax.dynamic_update_slice(
+            state.slot_valid, small.slot_valid, (b, 0)),
+        pos=jax.lax.dynamic_update_slice(state.pos, small.pos, (b,)),
+    )
+    return new_state, frame
 
 
 def build_step_frame(cfg: LLMConfig, frame: Array) -> tuple[Array, Array]:

@@ -93,11 +93,19 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
     k = apply_rope(k, cos, sin)
 
     if k_slab is not None:
-        # In-place slab update at cache_pos (same pos across batch).
-        k_slab = jax.lax.dynamic_update_slice(k_slab, k.astype(k_slab.dtype),
-                                              (0, cache_pos, 0, 0))
-        v_slab = jax.lax.dynamic_update_slice(v_slab, v.astype(v_slab.dtype),
-                                              (0, cache_pos, 0, 0))
+        # In-place slab update at cache_pos: scalar = same slot across the
+        # batch; (B,) = per-stream slots (continuous batching).
+        if getattr(cache_pos, "ndim", 0) == 1:
+            upd = jax.vmap(
+                lambda slab_b, x_b, p: jax.lax.dynamic_update_slice(
+                    slab_b, x_b, (p, 0, 0)))
+            k_slab = upd(k_slab, k.astype(k_slab.dtype), cache_pos)
+            v_slab = upd(v_slab, v.astype(v_slab.dtype), cache_pos)
+        else:
+            k_slab = jax.lax.dynamic_update_slice(
+                k_slab, k.astype(k_slab.dtype), (0, cache_pos, 0, 0))
+            v_slab = jax.lax.dynamic_update_slice(
+                v_slab, v.astype(v_slab.dtype), (0, cache_pos, 0, 0))
         attn = gqa_attention(q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
     else:
         attn = gqa_attention(q, k, v, mask)

@@ -93,7 +93,7 @@ def lm_state_pspecs(state) -> Any:
         cache_k=P(None, "dp", None, None, None),
         cache_v=P(None, "dp", None, None, None),
         slot_valid=P("dp", None),
-        pos=P(),
+        pos=P("dp"),
     )
 
 

@@ -1,0 +1,74 @@
+"""Continuous-batching tests: correctness of batched multi-stream decode
+against the single-stream engine (greedy), slot reuse, staggered admission."""
+
+import numpy as np
+import pytest
+
+from fireredtts2_tpu.config import tiny_engine_config
+from fireredtts2_tpu.engine import FireRedTTS2Engine
+from fireredtts2_tpu.runtime.batcher import ContinuousBatcher
+
+
+@pytest.fixture(scope="module")
+def greedy_engine():
+    # depth_topk=1 + topk=1 makes generation deterministic: batcher output
+    # must match the single-stream engine bit-for-bit.
+    cfg = tiny_engine_config(depth_topk=1)
+    return FireRedTTS2Engine(config=cfg, seed=0)
+
+
+@pytest.fixture(scope="module")
+def batcher(greedy_engine):
+    b = ContinuousBatcher(greedy_engine, max_streams=4, topk=1)
+    b.start()
+    yield b
+    b.stop()
+
+
+def _collect(handle, timeout=300):
+    import queue
+    chunks = []
+    while True:
+        c = handle.chunks.get(timeout=timeout)  # raises Empty on hang
+        if c is None:
+            if handle.error is not None:
+                raise handle.error
+            break
+        chunks.append(c)
+    return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+
+def test_batched_stream_matches_single_engine(greedy_engine, batcher):
+    text, speaker = "hello batch", "[S1]"
+    want = greedy_engine.generate(text, speaker, [], max_audio_length_ms=640, topk=1)
+
+    h = batcher.submit(text, speaker, max_audio_length_ms=640)
+    got = _collect(h)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+    assert h.first_packet_s is not None and h.first_packet_s > 0
+
+
+def test_concurrent_streams_are_independent(greedy_engine, batcher):
+    texts = ["first stream", "second one", "third here"]
+    want = [greedy_engine.generate(t, "[S1]", [], max_audio_length_ms=480, topk=1)
+            for t in texts]
+    handles = [batcher.submit(t, "[S1]", max_audio_length_ms=480)
+               for t in texts]
+    got = [_collect(h) for h in handles]
+    for g, w, t in zip(got, want, texts):
+        assert g.shape == w.shape, t
+        np.testing.assert_allclose(g, w, rtol=2e-3, atol=5e-4, err_msg=t)
+
+
+def test_slot_reuse_beyond_capacity(batcher):
+    """More sequential requests than slots: slots must recycle cleanly."""
+    for round_ in range(2):
+        handles = [batcher.submit(f"req {round_} {i}", "[S1]",
+                                  max_audio_length_ms=320)
+                   for i in range(6)]  # > max_streams=4
+        outs = [_collect(h) for h in handles]
+        for o in outs:
+            assert o.shape[0] % 1920 == 0 and o.shape[0] > 0
+            assert np.isfinite(o).all()

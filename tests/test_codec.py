@@ -10,8 +10,10 @@ from fireredtts2_tpu.config import tiny_engine_config
 from fireredtts2_tpu.models.codec.rvq import init_rvq_params, rvq_encode, rvq_decode
 from fireredtts2_tpu.models.codec.model import (
     init_codec_params, encode_window, codec_encode, codec_decode,
+    codec_decode_chunks, assemble_chunks,
     stream_decode_init, stream_decode_step,
 )
+from fireredtts2_tpu.models.codec.decoder import stream_decode_tail
 
 CFG = tiny_engine_config().codec
 
@@ -138,3 +140,41 @@ def test_stream_decode_equals_batch(codec_params, rng):
     # atol: the iSTFT head emits magnitudes up to 1e2 and the first samples
     # sit on a small window envelope, amplifying fp32 noise slightly.
     np.testing.assert_allclose(streamed, full, rtol=2e-3, atol=5e-4)
+
+
+def test_speculative_stream_plus_tail_equals_batch(codec_params, rng):
+    """The pipelined engine path: vocode every frame with last=False, then
+    emit the held-back closing samples from the carry (stream_decode_tail).
+    Must equal batch decode exactly."""
+    L = 5
+    tokens = rng.integers(0, CFG.rvq.codebook_size,
+                          (1, CFG.rvq.num_quantizers, L)).astype(np.int32)
+    full = np.asarray(codec_decode(codec_params, CFG, jnp.asarray(tokens)))
+
+    state = stream_decode_init(CFG, batch=1)
+    pieces = []
+    for t in range(L):
+        tok = jnp.asarray(tokens[:, :, t:t + 1])
+        audio, state = stream_decode_step(codec_params, CFG, tok, state,
+                                          first=(t == 0), last=False)
+        pieces.append(np.asarray(audio))
+    pieces.append(np.asarray(stream_decode_tail(CFG.acoustic_decoder, state)))
+    streamed = np.concatenate(pieces, axis=1)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, rtol=2e-3, atol=5e-4)
+
+
+def test_scan_decode_equals_batch(codec_params, rng):
+    """codec_decode_chunks + assemble_chunks over a PADDED bucket must equal
+    batch decode of exactly T tokens (no tail pollution)."""
+    T, Lpad = 5, 8
+    tokens = rng.integers(0, CFG.rvq.codebook_size,
+                          (1, CFG.rvq.num_quantizers, Lpad)).astype(np.int32)
+    full = np.asarray(codec_decode(codec_params, CFG,
+                                   jnp.asarray(tokens[:, :, :T])))
+    middles, tails = codec_decode_chunks(codec_params, CFG, jnp.asarray(tokens))
+    acfg = CFG.acoustic_decoder
+    got = assemble_chunks(np.asarray(middles), np.asarray(tails), T,
+                          acfg.hop_length, acfg.n_fft)
+    assert got.shape == full.shape
+    np.testing.assert_allclose(got, full, rtol=2e-3, atol=5e-4)

@@ -92,7 +92,7 @@ def test_generate_frame_shapes_and_determinism(rng, lm_params):
                                jnp.asarray(tmask), valid, key, topk=1)
     assert f1.shape == (B, CFG.audio_num_codebooks)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
-    assert int(s1.pos) == L
+    assert int(s1.pos[0]) == L
     assert (np.asarray(f1) >= 0).all() and (np.asarray(f1) < CFG.audio_vocab_size).all()
 
 
@@ -147,7 +147,7 @@ def test_decode_chain_consistency(rng, lm_params):
         state, frame = lm_decode_frame(lm_params, CFG, state, ft, fm,
                                        jax.random.fold_in(key, i), topk=1)
         frames.append(np.asarray(frame))
-    assert int(state.pos) == L + 4
+    assert int(state.pos[0]) == L + 4
     stacked = np.stack(frames)
     assert stacked.shape == (5, B, CFG.audio_num_codebooks)
 
