@@ -37,6 +37,11 @@ def _cmd_generate(args):
     from fireredtts2_tpu.utils.audio_io import save_wav
 
     engine = _build_engine(args)
+    max_utt = args.max_utterance_ms
+    if max_utt is None:
+        # dev tiny config has small prompt buckets; long utterances would
+        # overflow the rolling dialogue context
+        max_utt = 30_000 if args.pretrained_dir else 1_600
     # Split "[S1]... [S2]..." inline dialogue text into utterances
     parts = re.split(r"(?=\[S\d\])", args.text)
     text_list = [p.strip() for p in parts if p.strip()]
@@ -46,7 +51,8 @@ def _cmd_generate(args):
         text_list,
         prompt_wav_list=args.prompt_wav or None,
         prompt_text_list=args.prompt_text or None,
-        temperature=args.temperature, topk=args.topk)
+        temperature=args.temperature, topk=args.topk,
+        max_utterance_ms=max_utt)
     save_wav(args.out, audio, engine.output_sample_rate)
     print(f"wrote {args.out}: {len(audio)/engine.output_sample_rate:.2f}s")
 
@@ -104,6 +110,7 @@ def main(argv=None):
     g.add_argument("--temperature", type=float, default=0.9)
     g.add_argument("--topk", type=int, default=20)
     g.add_argument("--out", default="out.wav")
+    g.add_argument("--max-utterance-ms", type=float, default=None)
     g.set_defaults(fn=_cmd_generate)
 
     m = sub.add_parser("monologue", help="monologue synthesis (optional clone)")

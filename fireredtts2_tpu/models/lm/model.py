@@ -125,7 +125,7 @@ def _depth_decode(params: Params, cfg: LLMConfig, last_h: Array, c0: Array,
     pos01 = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32), (B, 2))
     m01 = mask_ops.decode_step_mask(pos01, ncb)
     hh, cache = transformer_forward(params["decoder"], dec_cfg, h01, pos01,
-                                    m01, cache, jnp.int32(0))
+                                    m01, cache, jnp.int32(0), unroll=True)
     logits1 = (hh[:, -1].astype(jnp.float32)
                @ params["audio_head"][0].astype(jnp.float32))
     c1 = sample_topk(logits1, depth_topk, depth_temperature,
@@ -134,25 +134,24 @@ def _depth_decode(params: Params, cfg: LLMConfig, last_h: Array, c0: Array,
     samples = jnp.zeros((B, ncb), jnp.int32)
     samples = samples.at[:, 0].set(c0).at[:, 1].set(c1)
 
-    def body(i, carry):
-        cache_k, cache_v, prev, samples = carry
+    # Fully unrolled depth loop (15 static iterations): each step is a
+    # handful of tiny matvecs — sequential-dependency latency dominates, and
+    # unrolling lets XLA fuse/schedule them back-to-back (~2x vs fori_loop
+    # on real chips).
+    cache_k, cache_v, prev = cache["k"], cache["v"], c1
+    for i in range(2, ncb):
         emb = embed_audio(params, cfg, i - 1, prev).astype(dtype)  # (B, D_b)
         h = (emb @ proj)[:, None, :]                               # (B, 1, D_dec)
-        pos = jnp.broadcast_to(i.astype(jnp.int32), (B, 1))
+        pos = jnp.broadcast_to(jnp.int32(i), (B, 1))
         m = mask_ops.decode_step_mask(pos, ncb)
         hh, new_cache = transformer_forward(
             params["decoder"], dec_cfg, h, pos, m,
-            {"k": cache_k, "v": cache_v}, i.astype(jnp.int32))
-        head_i = jax.lax.dynamic_index_in_dim(
-            params["audio_head"], i - 1, axis=0, keepdims=False)
-        logits = hh[:, -1].astype(jnp.float32) @ head_i.astype(jnp.float32)
-        ci = sample_topk(logits, depth_topk, depth_temperature,
-                         jax.random.fold_in(key, i))
-        samples = samples.at[:, i].set(ci)
-        return new_cache["k"], new_cache["v"], ci, samples
-
-    _, _, _, samples = jax.lax.fori_loop(
-        2, ncb, body, (cache["k"], cache["v"], c1, samples))
+            {"k": cache_k, "v": cache_v}, jnp.int32(i), unroll=True)
+        cache_k, cache_v = new_cache["k"], new_cache["v"]
+        logits = hh[:, -1].astype(jnp.float32) @ params["audio_head"][i - 1].astype(jnp.float32)
+        prev = sample_topk(logits, depth_topk, depth_temperature,
+                           jax.random.fold_in(key, i))
+        samples = samples.at[:, i].set(prev)
     return samples
 
 

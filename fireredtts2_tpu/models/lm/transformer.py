@@ -127,6 +127,7 @@ def transformer_forward(
     mask: Optional[Array] = None,
     cache: Optional[KVCache] = None,
     cache_pos: Optional[Array] = None,
+    unroll: int | bool = 1,
 ) -> tuple[Array, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -158,7 +159,7 @@ def transformer_forward(
 
         layer_params = {k: v for k, v in params.items() if k != "final_norm"}
         h, (new_k, new_v) = jax.lax.scan(
-            body, h, (layer_params, cache["k"], cache["v"]))
+            body, h, (layer_params, cache["k"], cache["v"]), unroll=unroll)
         new_cache: Optional[KVCache] = {"k": new_k, "v": new_v}
     else:
         def body(carry, lp):
@@ -167,7 +168,7 @@ def transformer_forward(
             return hh, None
 
         layer_params = {k: v for k, v in params.items() if k != "final_norm"}
-        h, _ = jax.lax.scan(body, h, layer_params)
+        h, _ = jax.lax.scan(body, h, layer_params, unroll=unroll)
         new_cache = None
 
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)

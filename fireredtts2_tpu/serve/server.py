@@ -249,30 +249,74 @@ class WebSocketTTSServer:
 
 
 class HealthHTTPServer:
-    """stdlib /health + /stats endpoints (no fastapi in this image;
-    mirrors reference runpod_deployment.py:183-271)."""
+    """stdlib REST endpoints (no fastapi in this image): /health, /stats
+    (mirrors reference runpod_deployment.py:183-271) plus the reference's
+    REST TTS surface (api_interfaces.py:201-541): POST /api/v1/tts/generate
+    returning base64 PCM16."""
 
     def __init__(self, ws_server: WebSocketTTSServer, host: str = "0.0.0.0",
                  port: int = 8080):
-        outer = self
+        from fireredtts2_tpu.serve.security import validate_text_input
 
         class Handler(BaseHTTPRequestHandler):
-            def do_GET(self):
-                if self.path == "/health":
-                    body = json.dumps({"status": "healthy",
-                                       "uptime_s": time.time() - ws_server.started})
-                elif self.path == "/stats":
-                    body = json.dumps(ws_server.stats())
-                else:
-                    self.send_response(404)
-                    self.end_headers()
-                    return
-                data = body.encode()
-                self.send_response(200)
+            def _json(self, code: int, obj: dict):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._json(200, {"status": "healthy",
+                                     "uptime_s": time.time() - ws_server.started})
+                elif self.path == "/stats":
+                    self._json(200, ws_server.stats())
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/api/v1/tts/generate":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self._json(400, {"error": "invalid json"})
+                    return
+                text = req.get("text", "")
+                v = validate_text_input(text)
+                if not v.ok:
+                    self._json(400, {"error": v.reason})
+                    return
+                done = threading.Event()
+                result: dict = {}
+
+                def on_done(audio, err):
+                    result["audio"], result["err"] = audio, err
+                    done.set()
+
+                ws_server.service.submit(TTSRequest(
+                    request_id=uuid.uuid4().hex, text=text,
+                    speaker=req.get("speaker", "[S1]"),
+                    temperature=float(req.get("temperature", 0.9)),
+                    topk=int(req.get("top_k", 20)), streaming=False,
+                    on_chunk=lambda c: None, on_done=on_done))
+                if not done.wait(timeout=600):
+                    self._json(504, {"error": "generation timed out"})
+                    return
+                if result["err"] is not None:
+                    self._json(500, {"error": str(result["err"])})
+                    return
+                audio = result["audio"]
+                self._json(200, {
+                    "sample_rate": ws_server.service.engine.output_sample_rate,
+                    "format": "pcm16",
+                    "duration_s": len(audio) / ws_server.service.engine.output_sample_rate,
+                    "data": pcm16_hex(audio),
+                })
 
             def log_message(self, *a):  # quiet
                 pass
