@@ -33,14 +33,9 @@ import jax.numpy as jnp
 
 from fireredtts2_tpu.config import EngineConfig
 from fireredtts2_tpu.models.lm.model import (
-    init_lm_state, lm_generate_frame, prefill_into_slot, reset_lm_slot,
-    build_step_frame,
+    init_lm_state, prefill_into_slot, reset_lm_slot,
 )
-from fireredtts2_tpu.models.codec.rvq import rvq_decode
-from fireredtts2_tpu.models.codec.decoder import (
-    upconv_forward, stream_decode_step_batched, reset_vocoder_slot,
-    stream_decode_tail,
-)
+from fireredtts2_tpu.models.codec.decoder import reset_vocoder_slot
 from fireredtts2_tpu.models.codec.model import stream_decode_init
 
 
@@ -110,16 +105,17 @@ class ContinuousBatcher:
         self._lock = threading.Lock()
 
         # ---- jitted programs ----
-        def _batched_step(params, state, frames, key, temps):
-            tokens, mask = build_step_frame(llm_cfg, frames)
-            valid = jnp.ones((self.B, 1), jnp.bool_)
-            state, new_frames = lm_generate_frame(
-                params, llm_cfg, state, tokens, mask, valid, key,
-                temps[:, None], topk,
-                cfg.depth_topk, cfg.depth_temperature)
-            return state, new_frames, jnp.all(new_frames == 0, axis=-1)
+        # Fused K-frame blocks (models/pipeline.py): one dispatch + one
+        # packed fetch per K frames across ALL slots — the host round trip
+        # amortizes over streams AND frames.
+        from fireredtts2_tpu.models.pipeline import stream_block
 
-        self._lm_step = jax.jit(_batched_step, donate_argnames=("state",))
+        self._block = jax.jit(
+            partial(stream_block, llm_cfg=llm_cfg, codec_cfg=codec_cfg,
+                    topk=topk, depth_topk=cfg.depth_topk,
+                    depth_temperature=cfg.depth_temperature),
+            static_argnames=("block",),
+            donate_argnames=("state", "vstate"))
         self._prefill_slot = jax.jit(
             partial(prefill_into_slot, cfg=llm_cfg,
                     topk=topk, depth_topk=cfg.depth_topk,
@@ -127,19 +123,11 @@ class ContinuousBatcher:
             donate_argnames=("state",))
         self._reset_lm = jax.jit(reset_lm_slot, donate_argnames=("state",))
         self._reset_vo = jax.jit(reset_vocoder_slot, donate_argnames=("state",))
-
-        def _vocode(params, state, frames, is_first):
-            codes = frames[:, :, None].transpose(1, 0, 2)      # (nq, B, 1)
-            feats = rvq_decode(params["rvq"], codec_cfg.rvq, codes)
-            up = upconv_forward(params["upsample"], codec_cfg.upsample_stride,
-                                feats.astype(vo_dtype))
-            return stream_decode_step_batched(
-                params["acoustic_decoder"], codec_cfg.acoustic_decoder,
-                up, state, is_first)
-
-        self._vocode_step = jax.jit(_vocode, donate_argnames=("state",))
-        self._tail = jax.jit(partial(stream_decode_tail,
-                                     codec_cfg.acoustic_decoder))
+        self.emitted = jnp.zeros((self.B,), jnp.int32)
+        self._cs = 8 * codec_cfg.acoustic_decoder.hop_length
+        self._ts = (codec_cfg.acoustic_decoder.n_fft
+                    - codec_cfg.acoustic_decoder.hop_length) // 2
+        self.block_frames = 4  # 320 ms of audio per device round trip
 
         self._key = jax.random.PRNGKey(int(time.time()) & 0xFFFF)
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -197,6 +185,7 @@ class ContinuousBatcher:
                 valid=jnp.asarray(req.valid), key=self._next_key(),
                 temperature=req.temperature)
             self.frames = self.frames.at[b].set(frame[0])
+            self.emitted = self.emitted.at[b].set(0)
             self.temps[b] = req.temperature
             slot = self.slots[b]
             slot.active = True
@@ -239,6 +228,8 @@ class ContinuousBatcher:
                     break
 
     def _loop_inner(self) -> None:
+        cs, ts = self._cs, self._ts
+        step_counter = 0
         while not self._stop.is_set():
             self._admit()
             active = [i for i, s in enumerate(self.slots) if s.active]
@@ -246,44 +237,40 @@ class ContinuousBatcher:
                 time.sleep(0.002)
                 continue
 
-            # Current frames for active slots were sampled last round (or at
-            # prefill). EOS check + vocode + next LM step, batched.
-            frames_host = np.asarray(self.frames)
-            is_first = np.array([s.active and s.frames_done == 0
-                                 for s in self.slots])
-            eos = (frames_host == 0).all(axis=1)
+            # Admission happens at block boundaries: short blocks while
+            # requests are waiting (fast admission), long blocks otherwise
+            # (fewer round trips).
+            K = 1 if not self.pending.empty() else self.block_frames
 
-            # retire slots whose current frame is EOS or that hit their cap
-            for b in active:
-                if eos[b] or self.slots[b].frames_done >= self.slots[b].max_frames:
-                    self._finish(b)
-            active = [i for i, s in enumerate(self.slots) if s.active]
-            if not active:
-                continue
-
-            # batched vocode of current frames (speculative, never EOS here)
-            middles, tails, self.vo_state = self._vocode_step(
-                self.engine.codec_params, state=self.vo_state,
-                frames=self.frames, is_first=jnp.asarray(is_first))
-            # batched LM step -> next frames
-            self.lm_state, self.frames, _ = self._lm_step(
-                self.engine.lm_params, self.lm_state, self.frames,
-                self._next_key(), jnp.asarray(self.temps))
-
-            middles_h = np.asarray(middles)
-            tails_h = np.asarray(tails)
+            (self.lm_state, self.vo_state, self.frames, self.emitted,
+             packed) = self._block(
+                self.engine.lm_params, self.engine.codec_params,
+                state=self.lm_state, vstate=self.vo_state,
+                frame=self.frames, emitted=self.emitted,
+                key=self._next_key(), t_base=jnp.int32(step_counter),
+                block=K, temperature=jnp.asarray(self.temps)[:, None])
+            step_counter += K
+            pk = np.asarray(packed)        # ONE fetch: (K, B, cs+ts+1)
             now = time.perf_counter()
-            for b in active:
-                slot = self.slots[b]
-                chunk = middles_h[b]
-                if slot.frames_done == 0:
-                    chunk = chunk[self._lead:]
-                    if slot.handle.first_packet_s is None:
-                        slot.handle.first_packet_s = now - slot.handle._t0
-                slot.last_tail = tails_h[b]
-                slot.frames_done += 1
-                try:
-                    slot.handle.chunks.put_nowait(chunk.copy())
-                except queue.Full:
-                    slot.handle.error = RuntimeError("client too slow; dropped")
-                    self._finish(b)
+
+            for j in range(K):
+                for b in [i for i, s in enumerate(self.slots) if s.active]:
+                    slot = self.slots[b]
+                    if pk[j, b, -1] > 0.5:            # frame was EOS
+                        self._finish(b)
+                        continue
+                    if slot.frames_done >= slot.max_frames:
+                        self._finish(b)
+                        continue
+                    chunk = pk[j, b, :cs]
+                    if slot.frames_done == 0:
+                        chunk = chunk[self._lead:]
+                        if slot.handle.first_packet_s is None:
+                            slot.handle.first_packet_s = now - slot.handle._t0
+                    slot.last_tail = pk[j, b, cs:cs + ts]
+                    slot.frames_done += 1
+                    try:
+                        slot.handle.chunks.put_nowait(chunk.copy())
+                    except queue.Full:
+                        slot.handle.error = RuntimeError("client too slow; dropped")
+                        self._finish(b)

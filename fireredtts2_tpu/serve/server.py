@@ -273,6 +273,15 @@ class HealthHTTPServer:
                                      "uptime_s": time.time() - ws_server.started})
                 elif self.path == "/stats":
                     self._json(200, ws_server.stats())
+                elif self.path in ("/", "/demo"):
+                    from fireredtts2_tpu.serve.webui import demo_page
+
+                    data = demo_page(ws_server.port).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._json(404, {"error": "not found"})
 
