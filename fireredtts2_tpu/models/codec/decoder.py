@@ -148,10 +148,59 @@ def causal_resnet_chunk(p: Params, x: Array, cache1: Array, cache2: Array
 # ---------------------------------------------------------------------------
 
 
+def group_norm(x: Array, w: Array, b: Array, groups: int = 32,
+               eps: float = 1e-6) -> Array:
+    """GroupNorm over channels of (B, C, T) (reference ResnetBlock uses
+    nn.GroupNorm(32), decoder.py:22-36)."""
+    B, C, T = x.shape
+    xf = x.astype(jnp.float32).reshape(B, groups, C // groups, T)
+    mu = jnp.mean(xf, axis=(2, 3), keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=(2, 3), keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(B, C, T)
+    return (y * w.astype(jnp.float32)[None, :, None]
+            + b.astype(jnp.float32)[None, :, None]).astype(x.dtype)
+
+
+def init_resnet(key: Array, dim: int, dtype=jnp.float32) -> Params:
+    """Non-causal ResnetBlock params: GroupNorm -> SiLU -> Conv(k3,p1), x2."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "gn1_w": jnp.ones((dim,), dtype), "gn1_b": jnp.zeros((dim,), dtype),
+        "conv1": init_conv1d(k1, dim, dim, 3, dtype),
+        "gn2_w": jnp.ones((dim,), dtype), "gn2_b": jnp.zeros((dim,), dtype),
+        "conv2": init_conv1d(k2, dim, dim, 3, dtype),
+    }
+
+
+def resnet_forward(p: Params, x: Array) -> Array:
+    """Non-causal resnet (reference decoder.py:8-63). x: (B, T, C)."""
+    h = x.transpose(0, 2, 1)
+    h = conv1d(jax.nn.silu(group_norm(h, p["gn1_w"], p["gn1_b"])), p["conv1"], 1, 1)
+    h = conv1d(jax.nn.silu(group_norm(h, p["gn2_w"], p["gn2_b"])), p["conv2"], 1, 1)
+    return x + h.transpose(0, 2, 1)
+
+
 def init_acoustic_decoder(key: Array, cfg: AcousticDecoderConfig,
                           dtype=jnp.float32) -> Params:
-    assert cfg.causal, "non-causal vocoder variant not needed for streaming TTS"
     d = cfg.embed_dim
+    if not cfg.causal:
+        ks = jax.random.split(key, 10)
+        return {
+            "up1_w": (jax.random.normal(ks[0], (d, d, 3), jnp.float32) * 0.02).astype(dtype),
+            "up1_b": jnp.zeros((d,), dtype),
+            "up2_w": (jax.random.normal(ks[1], (d, d, 3), jnp.float32) * 0.02).astype(dtype),
+            "up2_b": jnp.zeros((d,), dtype),
+            "in_proj": init_conv1d(ks[2], d, d, 7, dtype),
+            "prior0": init_resnet(ks[3], d, dtype),
+            "prior1": init_resnet(ks[4], d, dtype),
+            "layers": init_whisper_layers(ks[5], cfg.num_layers, d, 4 * d, dtype),
+            "post0": init_resnet(ks[6], d, dtype),
+            "post1": init_resnet(ks[7], d, dtype),
+            "final_ln_w": jnp.ones((d,), dtype),
+            "final_ln_b": jnp.zeros((d,), dtype),
+            "head_w": (jax.random.normal(ks[8], (d, cfg.n_fft + 2), jnp.float32) * 0.02).astype(dtype),
+            "head_b": jnp.zeros((cfg.n_fft + 2,), dtype),
+        }
     ks = jax.random.split(key, 10)
     return {
         # upsample_conv: ConvT(d,d,k3,s2) + ConvT(d,d,k3,s1), torch layout (in,out,k)
@@ -207,13 +256,26 @@ def acoustic_decoder_forward(params: Params, cfg: AcousticDecoderConfig,
     lengths = lengths * 2
     # backbone
     hc = h.transpose(0, 2, 1)
-    hc = causal_conv1d(hc, params["in_proj"]).transpose(0, 2, 1)
-    hc = causal_resnet_forward(params["prior0"], hc)
-    hc = causal_resnet_forward(params["prior1"], hc)
-    mask = mask_ops.block_causal_mask(lengths, T, VOCODER_CHUNK)
+    if cfg.causal:
+        hc = causal_conv1d(hc, params["in_proj"]).transpose(0, 2, 1)
+        hc = causal_resnet_forward(params["prior0"], hc)
+        hc = causal_resnet_forward(params["prior1"], hc)
+        mask = mask_ops.block_causal_mask(lengths, T, VOCODER_CHUNK)
+    else:
+        # Non-causal VocosBackbone (reference decoder.py:175-221): same-pad
+        # conv front, GroupNorm resnets, full (non-pad-only) attention.
+        hc = conv1d(hc, params["in_proj"], 1, 3).transpose(0, 2, 1)
+        hc = resnet_forward(params["prior0"], hc)
+        hc = resnet_forward(params["prior1"], hc)
+        valid = jnp.arange(T)[None, :] < lengths[:, None]
+        mask = valid[:, None, :] & jnp.ones((1, T, 1), bool)
     hc, _ = whisper_layers_forward(params["layers"], cfg.num_heads, hc, mask)
-    hc = causal_resnet_forward(params["post0"], hc)
-    hc = causal_resnet_forward(params["post1"], hc)
+    if cfg.causal:
+        hc = causal_resnet_forward(params["post0"], hc)
+        hc = causal_resnet_forward(params["post1"], hc)
+    else:
+        hc = resnet_forward(params["post0"], hc)
+        hc = resnet_forward(params["post1"], hc)
     hc = layer_norm(hc, params["final_ln_w"], params["final_ln_b"], eps=1e-6)
     re, im = _head_spectrum(params, hc)
     audio = istft(re, im, cfg.n_fft, cfg.hop_length)

@@ -231,6 +231,19 @@ def _convert_rvq(sd: Mapping, cfg, dtype) -> Params:
     return p
 
 
+def _convert_resnet(sd: Mapping, prefix: str, dtype) -> Params:
+    # Non-causal ResnetBlock (decoder.py:8-47): block1 = [GroupNorm, SiLU,
+    # Conv]; block2 = [GroupNorm, SiLU, Dropout, Conv].
+    return {
+        "gn1_w": jnp.asarray(_t(sd[f"{prefix}.block1.0.weight"])).astype(dtype),
+        "gn1_b": jnp.asarray(_t(sd[f"{prefix}.block1.0.bias"])).astype(dtype),
+        "conv1": _conv1d_params(sd, f"{prefix}.block1.2", dtype),
+        "gn2_w": jnp.asarray(_t(sd[f"{prefix}.block2.0.weight"])).astype(dtype),
+        "gn2_b": jnp.asarray(_t(sd[f"{prefix}.block2.0.bias"])).astype(dtype),
+        "conv2": _conv1d_params(sd, f"{prefix}.block2.3", dtype),
+    }
+
+
 def _convert_causal_resnet(sd: Mapping, prefix: str, dtype) -> Params:
     # CausalResnetBlock (decoder.py:105-137): block1 = [Transpose, LN,
     # Transpose, SiLU, CausalConv]; block2 = [..., Dropout, CausalConv].
@@ -276,15 +289,15 @@ def convert_codec_state_dict(sd: Mapping, cfg: CodecConfig,
             "up2_w": jnp.asarray(_t(sd["acoustic_decoder.upsample_conv.2.weight"])).astype(dtype),
             "up2_b": jnp.asarray(_t(sd["acoustic_decoder.upsample_conv.2.bias"])).astype(dtype),
             "in_proj": _conv1d_params(sd, "acoustic_decoder.backbone.in_proj", dtype),
-            "prior0": _convert_causal_resnet(
+            "prior0": (_convert_causal_resnet if ad.causal else _convert_resnet)(
                 sd, "acoustic_decoder.backbone.prior_net.0", dtype),
-            "prior1": _convert_causal_resnet(
+            "prior1": (_convert_causal_resnet if ad.causal else _convert_resnet)(
                 sd, "acoustic_decoder.backbone.prior_net.1", dtype),
             "layers": _convert_whisper_layers(
                 sd, "acoustic_decoder.backbone.transformers", ad.num_layers, dtype),
-            "post0": _convert_causal_resnet(
+            "post0": (_convert_causal_resnet if ad.causal else _convert_resnet)(
                 sd, "acoustic_decoder.backbone.post_net.0", dtype),
-            "post1": _convert_causal_resnet(
+            "post1": (_convert_causal_resnet if ad.causal else _convert_resnet)(
                 sd, "acoustic_decoder.backbone.post_net.1", dtype),
             "final_ln_w": jnp.asarray(
                 _t(sd["acoustic_decoder.backbone.final_norm.weight"])).astype(dtype),

@@ -138,6 +138,52 @@ def test_decode_waveform_parity(pair, rng):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_noncausal_decoder_parity(rng):
+    """Non-causal AcousticDecoder (GroupNorm resnets, full attention) vs
+    the reference torch implementation."""
+    import dataclasses
+    from fireredtts2.codec.decoder import AcousticDecoder
+
+    from fireredtts2_tpu.models.codec.decoder import acoustic_decoder_forward
+    from fireredtts2_tpu.runtime.checkpoint import (
+        _convert_resnet, _convert_whisper_layers, _conv1d_params, _t, _lin,
+    )
+
+    acfg = dataclasses.replace(CFG.acoustic_decoder, causal=False)
+    torch.manual_seed(3)
+    ref = AcousticDecoder(embed_dim=acfg.embed_dim, num_layers=acfg.num_layers,
+                          num_heads=acfg.num_heads, hop_length=acfg.hop_length,
+                          causal=False).eval()
+    sd = {f"acoustic_decoder.{k}": v for k, v in ref.state_dict().items()}
+
+    params = {
+        "up1_w": jnp.asarray(_t(sd["acoustic_decoder.upsample_conv.0.weight"])),
+        "up1_b": jnp.asarray(_t(sd["acoustic_decoder.upsample_conv.0.bias"])),
+        "up2_w": jnp.asarray(_t(sd["acoustic_decoder.upsample_conv.2.weight"])),
+        "up2_b": jnp.asarray(_t(sd["acoustic_decoder.upsample_conv.2.bias"])),
+        "in_proj": _conv1d_params(sd, "acoustic_decoder.backbone.in_proj", jnp.float32),
+        "prior0": _convert_resnet(sd, "acoustic_decoder.backbone.prior_net.0", jnp.float32),
+        "prior1": _convert_resnet(sd, "acoustic_decoder.backbone.prior_net.1", jnp.float32),
+        "layers": _convert_whisper_layers(
+            sd, "acoustic_decoder.backbone.transformers", acfg.num_layers, jnp.float32),
+        "post0": _convert_resnet(sd, "acoustic_decoder.backbone.post_net.0", jnp.float32),
+        "post1": _convert_resnet(sd, "acoustic_decoder.backbone.post_net.1", jnp.float32),
+        "final_ln_w": jnp.asarray(_t(sd["acoustic_decoder.backbone.final_norm.weight"])),
+        "final_ln_b": jnp.asarray(_t(sd["acoustic_decoder.backbone.final_norm.bias"])),
+        "head_w": jnp.asarray(_lin(sd, "acoustic_decoder.isift.out")),
+        "head_b": jnp.asarray(_t(sd["acoustic_decoder.isift.out.bias"])),
+    }
+
+    T = 8
+    x = rng.standard_normal((1, T, acfg.embed_dim)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x), torch.tensor([T]))
+    got, _ = acoustic_decoder_forward(params, acfg, jnp.asarray(x),
+                                      jnp.array([T]))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_streaming_decode_parity(pair, rng):
     """Our streaming step chain must match the reference's decode_one_token
     chain chunk for chunk."""
