@@ -49,8 +49,8 @@ def main() -> None:
         wall = time.perf_counter() - t0
         return engine._first_packet_s, samples, wall, chunks
 
-    # Warmup: compiles prefill bucket + decode step + vocoder variants.
-    run(4)
+    # Warmup: compiles prefill bucket + all block sizes (1,2,4,8).
+    run(30)
     # Measure.
     fp_s, samples, wall, chunks = run(25)
     fp2_s, samples2, wall2, _ = run(25)

@@ -364,16 +364,19 @@ class FireRedTTS2Engine:
         cs, ts = self._chunk_samples, self._tail_samples
         emitted = jnp.zeros((1,), jnp.int32)
         last_tail: Optional[np.ndarray] = None
-        while g < max_len:
-            K = min(block, max_len - g)
+        stop = False
+        while g < max_len and not stop:
+            # Always dispatch power-of-2 blocks (a handful of compiled
+            # programs); the host just stops emitting at the frame cap —
+            # over-computed trailing frames are discarded.
+            K = block
             state, vstate, frame, emitted, packed = self._block_fn(
                 self.lm_params, self.codec_params, state=state, vstate=vstate,
                 frame=frame, emitted=emitted, key=utt_key,
                 t_base=jnp.int32(g + 1), block=K, **kw)
             pk = np.asarray(packed)          # one fetch per block
-            stop = False
             for j in range(K):
-                if pk[j, 0, -1] > 0.5:       # frame g+j was EOS
+                if g + j >= max_len or pk[j, 0, -1] > 0.5:  # cap or EOS
                     stop = True
                     break
                 chunk = pk[j, 0, :cs]
@@ -384,8 +387,6 @@ class FireRedTTS2Engine:
                 last_tail = pk[j, 0, cs:cs + ts]
                 n_emitted += 1
                 yield chunk.astype(np.float32)
-            if stop:
-                break
             g += K
             block = min(block * 2, 8)
         if n_emitted > 0 and last_tail is not None:
