@@ -75,7 +75,7 @@ def _cmd_serve(args):
     engine = _build_engine(args)
     print(f"serving: ws://0.0.0.0:{args.ws_port}  http://0.0.0.0:{args.http_port}/health")
     serve(engine, ws_port=args.ws_port, http_port=args.http_port,
-          session_dir=args.session_dir)
+          session_dir=args.session_dir, max_streams=args.max_streams)
 
 
 def _cmd_qa(args):
@@ -126,6 +126,8 @@ def main(argv=None):
     s.add_argument("--ws-port", type=int, default=8765)
     s.add_argument("--http-port", type=int, default=8080)
     s.add_argument("--session-dir", default=None)
+    s.add_argument("--max-streams", type=int, default=8,
+                   help="concurrent batched streams per chip (1 = serial)")
     s.set_defaults(fn=_cmd_serve)
 
     q = sub.add_parser("qa", help="run QA scenarios against the engine")

@@ -69,8 +69,54 @@ class TTSRequest:
     on_done: any            # callable(np.ndarray | None, Exception | None)
 
 
+class BatchedTTSService:
+    """Continuous-batching front: concurrent requests decode together in
+    one batched device program (runtime.batcher) — requests no longer
+    queue behind each other like the reference's single worker
+    (enhanced_fireredtts2.py:408-447)."""
+
+    def __init__(self, engine, max_streams: int = 8):
+        from fireredtts2_tpu.runtime.batcher import ContinuousBatcher
+
+        self.engine = engine
+        self.monitor = get_performance_monitor()
+        self.batcher = ContinuousBatcher(engine, max_streams=max_streams)
+        self.batcher.start()
+
+    def submit(self, req: TTSRequest) -> None:
+        def consume():
+            self.monitor.start_inference(req.request_id)
+            try:
+                handle = self.batcher.submit(
+                    req.text, req.speaker, temperature=req.temperature,
+                    max_audio_length_ms=30_000)
+                total = []
+                for chunk in handle:
+                    self.monitor.record_first_packet(req.request_id)
+                    self.monitor.record_frame(req.request_id)
+                    total.append(chunk)
+                    if req.streaming:
+                        req.on_chunk(chunk)
+                audio = (np.concatenate(total) if total
+                         else np.zeros(0, np.float32))
+                self.monitor.end_inference(
+                    req.request_id,
+                    audio_seconds=len(audio) / self.engine.output_sample_rate)
+                req.on_done(audio, None)
+            except Exception as e:
+                self.monitor.end_inference(req.request_id, error=True)
+                req.on_done(None, e)
+
+        threading.Thread(target=consume, daemon=True).start()
+
+    def shutdown(self) -> None:
+        self.batcher.stop()
+
+
 class TTSService:
-    """Single-worker queue in front of the engine (one chip = one stream)."""
+    """Single-worker queue in front of the engine (one chip = one stream).
+    The default for single-tenant use; BatchedTTSService multiplexes many
+    concurrent streams through the continuous batcher."""
 
     def __init__(self, engine):
         self.engine = engine
@@ -120,9 +166,10 @@ class WebSocketTTSServer:
     """asyncio WebSocket server speaking the reference's message protocol."""
 
     def __init__(self, engine, host: str = "0.0.0.0", port: int = 8765,
-                 session_dir: Optional[str] = None):
+                 session_dir: Optional[str] = None, max_streams: int = 1):
         self.host, self.port = host, port
-        self.service = TTSService(engine)
+        self.service = (BatchedTTSService(engine, max_streams)
+                        if max_streams > 1 else TTSService(engine))
         self.sessions = SessionManager(persist_dir=session_dir)
         self.monitor = get_performance_monitor()
         self.clients: dict[str, any] = {}
@@ -342,9 +389,11 @@ class HealthHTTPServer:
 
 
 def serve(engine, ws_port: int = 8765, http_port: int = 8080,
-          session_dir: Optional[str] = None) -> None:
-    """Blocking entry point: WebSocket TTS + HTTP health."""
-    server = WebSocketTTSServer(engine, port=ws_port, session_dir=session_dir)
+          session_dir: Optional[str] = None, max_streams: int = 1) -> None:
+    """Blocking entry point: WebSocket TTS + HTTP health. max_streams > 1
+    serves concurrent requests through the continuous batcher."""
+    server = WebSocketTTSServer(engine, port=ws_port, session_dir=session_dir,
+                                max_streams=max_streams)
     health = HealthHTTPServer(server, port=http_port)
 
     async def main():

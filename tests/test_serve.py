@@ -177,3 +177,43 @@ def test_websocket_server_end_to_end():
     assert results["chunks"] >= 1
     assert results["complete"]["chunks"] == results["chunks"]
     assert results["stats"]["stats"]["requests"] == 1
+
+
+def test_websocket_server_batched_concurrent():
+    """max_streams > 1: two concurrent websocket requests decode together
+    through the continuous batcher."""
+    import websockets
+
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.server import WebSocketTTSServer
+
+    engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18766,
+                                max_streams=4)
+
+    async def one_client(text):
+        async with websockets.connect("ws://127.0.0.1:18766") as ws:
+            await ws.send(json.dumps({"type": "generate_speech",
+                                      "text": text, "streaming": True}))
+            chunks = 0
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(), 300))
+                if msg["type"] == "audio_chunk":
+                    chunks += 1
+                elif msg["type"] == "generation_complete":
+                    return chunks, msg["duration_s"]
+                elif msg["type"] == "error":
+                    raise AssertionError(msg)
+
+    async def scenario():
+        await server.start()
+        try:
+            return await asyncio.gather(one_client("first client words"),
+                                        one_client("second client says"))
+        finally:
+            await server.stop()
+
+    results = asyncio.run(scenario())
+    for chunks, dur in results:
+        assert chunks >= 1 and dur > 0
