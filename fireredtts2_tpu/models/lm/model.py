@@ -361,7 +361,8 @@ def _masked_ce(logits: Array, targets: Array, weights: Array) -> Array:
 
 
 def lm_loss(params: Params, cfg: LLMConfig, tokens: Array, tokens_mask: Array,
-            key: Array, depth_subset: Optional[int] = None) -> dict[str, Array]:
+            key: Array, depth_subset: Optional[int] = None,
+            depth_indices: Optional[Array] = None) -> dict[str, Array]:
     """Training loss, mirroring reference Model.forward (llm.py:145-272).
 
     Args:
@@ -410,10 +411,16 @@ def lm_loss(params: Params, cfg: LLMConfig, tokens: Array, tokens_mask: Array,
     text_loss = _masked_ce(text_logits, text_targets, text_w)
 
     # Depth decoder on a random subset of audio positions (llm.py:225-252).
-    n_sub = depth_subset if depth_subset is not None else max((B * S) // 8, 1)
+    # depth_indices (flat B*S positions) overrides the random draw — used by
+    # parity tests to align the subset with a reference implementation.
     flat_w = c0_pred_mask.reshape(-1).astype(jnp.float32)
-    probs = flat_w / jnp.maximum(flat_w.sum(), 1.0)
-    idx = jax.random.choice(key, B * S, shape=(n_sub,), replace=True, p=probs)
+    if depth_indices is not None:
+        idx = depth_indices
+    else:
+        n_sub = depth_subset if depth_subset is not None else max((B * S) // 8, 1)
+        probs = flat_w / jnp.maximum(flat_w.sum(), 1.0)
+        idx = jax.random.choice(key, B * S, shape=(n_sub,), replace=True, p=probs)
+    n_sub = idx.shape[0]
     sub_w = flat_w[idx]  # 0 for any degenerate picks
 
     h_flat = h_out.reshape(B * S, -1)

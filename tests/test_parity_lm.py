@@ -77,7 +77,11 @@ class TorchQwen2(torch.nn.Module):
         cfg = self.cfg
         B, S, D = h.shape
         Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-        mask = torch.tril(torch.ones(S, S, dtype=torch.bool)) if causal else None
+        if isinstance(causal, torch.Tensor):
+            mask = causal.unsqueeze(1)  # (B, 1, S, S) for SDPA broadcast
+        else:
+            mask = (torch.tril(torch.ones(S, S, dtype=torch.bool))
+                    if causal else None)
         for layer in self.layers:
             x = self._rms(h, layer.sa_norm.scale, cfg.norm_eps)
             q = layer.attn.q_proj(x).view(B, S, Hq, Dh)
