@@ -172,6 +172,8 @@ class WebSocketTTSServer:
                         if max_streams > 1 else TTSService(engine))
         self.sessions = SessionManager(persist_dir=session_dir)
         self.monitor = get_performance_monitor()
+        from fireredtts2_tpu.serve.security import create_security_system
+        self.security = create_security_system()
         self.clients: dict[str, any] = {}
         self._server = None
         self.started = time.time()
@@ -222,6 +224,11 @@ class WebSocketTTSServer:
         if not text or not isinstance(text, str):
             await self._send(ws, {"type": MSG_ERROR,
                                   "error": "text is required"})
+            return
+        check = self.security.check_request(client_id, text,
+                                            token=msg.get("token"))
+        if not check.ok:
+            await self._send(ws, {"type": MSG_ERROR, "error": check.reason})
             return
         request_id = msg.get("request_id") or uuid.uuid4().hex
         session_id = msg.get("session_id")

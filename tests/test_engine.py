@@ -69,3 +69,20 @@ def test_generate_stream_matches_batch_decode(engine):
 def test_prompt_too_long_raises(engine):
     with pytest.raises(ValueError):
         engine.generate("x" * 4000, "[S1]", [], max_audio_length_ms=800)
+
+
+def test_generate_monologue_with_clone_prompt(engine, rng, tmp_path):
+    """Clone path: prompt wav + text, chunked text, retry-until->18-frames,
+    leading-silence trim (reference fireredtts2.py:405-446)."""
+    from fireredtts2_tpu.utils.audio_io import save_wav
+
+    wav = (0.1 * np.sin(2 * np.pi * 180 * np.arange(24000) / 16000)).astype(np.float32)
+    p = tmp_path / "clone.wav"
+    save_wav(str(p), wav, 16000)
+
+    audio = engine.generate_monologue("A cloned sentence to speak.",
+                                      prompt_wav=str(p),
+                                      prompt_text="reference words spoken here.")
+    assert audio.ndim == 1
+    assert audio.shape[0] % 1920 == 0
+    assert np.isfinite(audio).all()

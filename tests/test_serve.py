@@ -217,3 +217,28 @@ def test_websocket_server_batched_concurrent():
     results = asyncio.run(scenario())
     for chunks, dur in results:
         assert chunks >= 1 and dur > 0
+
+
+def test_websocket_rejects_hostile_text():
+    import websockets
+
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.server import WebSocketTTSServer
+
+    engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18767)
+
+    async def scenario():
+        await server.start()
+        try:
+            async with websockets.connect("ws://127.0.0.1:18767") as ws:
+                await ws.send(json.dumps({"type": "generate_speech",
+                                          "text": "<script>alert(1)</script>"}))
+                return json.loads(await asyncio.wait_for(ws.recv(), 60))
+        finally:
+            await server.stop()
+
+    msg = asyncio.run(scenario())
+    assert msg["type"] == "error"
+    assert "security" in msg["error"] or "screening" in msg["error"]
