@@ -299,6 +299,79 @@ class FireRedTTS2Engine:
         return Segment(speaker=speaker, text=text,
                        audio=load_prompt_audio_16k(audio_path))
 
+    def warmup(self, buckets: Optional[tuple[int, ...]] = None,
+               stream_blocks: bool = True) -> float:
+        """Pre-compile the serving-critical programs (prefill per bucket,
+        decode loop, stream blocks, vocoder) so the first real request
+        doesn't pay cold-compile latency. Returns seconds spent."""
+        t0 = time.perf_counter()
+        buckets = buckets or self.config.prefill_buckets
+        ncols = self._ncols
+        for bucket in buckets:
+            max_frames = self.max_seq_len - bucket
+            tokens = np.zeros((1, bucket, ncols), np.int32)
+            mask = np.zeros((1, bucket, ncols), bool)
+            mask[:, :, -1] = True
+            valid = np.ones((1, bucket), bool)
+            state = init_lm_state(self.config.llm, 1,
+                                  _dtype_of(self.config.llm.dtype))
+            # compile the whole-utterance loop with a tiny cap
+            self._gen_loop_fn(
+                self.lm_params, state=state, tokens=jnp.asarray(tokens),
+                tokens_mask=jnp.asarray(mask), valid=jnp.asarray(valid),
+                key=jax.random.PRNGKey(0), max_frames=max_frames,
+                frame_cap=jnp.int32(1), temperature=0.9, topk=20,
+                depth_topk=self.config.depth_topk,
+                depth_temperature=self.config.depth_temperature)
+        if stream_blocks:
+            # one short stream compiles prefill(+smallest bucket), the block
+            # sizes up to the cap, and the vocoder variants
+            list(self.generate_stream("warm up", "[S1]", [],
+                                      max_audio_length_ms=30 * 80))
+        return time.perf_counter() - t0
+
+    def generate_batch(self, texts: List[str], speakers: List[str],
+                       contexts: Optional[List[List[Segment]]] = None,
+                       max_audio_length_ms: float = 30_000,
+                       temperature: float = 0.9, topk: int = 20
+                       ) -> list[np.ndarray]:
+        """Batched offline synthesis: N independent utterances decode
+        TOGETHER in one device program (shared bucket, per-stream EOS).
+        A capability the reference lacks entirely (batch_size is hardcoded
+        to 1 there, fireredtts2.py:43).
+
+        Returns a list of (n_i,) float32 waveforms @24 kHz.
+        """
+        assert len(texts) == len(speakers)
+        contexts = contexts or [[] for _ in texts]
+        prompts = [self._build_prompt(c, t, s)
+                   for c, t, s in zip(contexts, texts, speakers)]
+        bucket = self._bucket(max(p.shape[0] for p, _ in prompts))
+        B = len(texts)
+        tokens = np.zeros((B, bucket, self._ncols), np.int32)
+        mask = np.zeros((B, bucket, self._ncols), bool)
+        valid = np.zeros((B, bucket), bool)
+        for i, (p, m) in enumerate(prompts):
+            pad = bucket - p.shape[0]
+            tokens[i, pad:] = p
+            mask[i, pad:] = m
+            valid[i, pad:] = True
+
+        max_frames = self.max_seq_len - bucket
+        cap = min(int(max_audio_length_ms / 80), max_frames)
+        state = init_lm_state(self.config.llm, B,
+                              _dtype_of(self.config.llm.dtype))
+        state, buf, n_frames = self._gen_loop_fn(
+            self.lm_params, state=state, tokens=jnp.asarray(tokens),
+            tokens_mask=jnp.asarray(mask), valid=jnp.asarray(valid),
+            key=self._next_key(), max_frames=max_frames,
+            frame_cap=jnp.int32(cap), temperature=temperature, topk=topk,
+            depth_topk=self.config.depth_topk,
+            depth_temperature=self.config.depth_temperature)
+        buf = np.asarray(buf)
+        n_frames = np.asarray(n_frames)
+        return [self._decode_tokens(buf[i, :n_frames[i]]) for i in range(B)]
+
     def generate(self, text: str, speaker: str, context: List[Segment],
                  max_audio_length_ms: float = 90_000,
                  temperature: float = 0.9, topk: int = 20) -> np.ndarray:

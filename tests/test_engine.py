@@ -86,3 +86,19 @@ def test_generate_monologue_with_clone_prompt(engine, rng, tmp_path):
     assert audio.ndim == 1
     assert audio.shape[0] % 1920 == 0
     assert np.isfinite(audio).all()
+
+
+def test_generate_batch_offline(engine):
+    """Batched offline synthesis: per-stream lengths/EOS, outputs finite."""
+    outs = engine.generate_batch(
+        ["first utterance", "the second one here"],
+        ["[S1]", "[S2]"], max_audio_length_ms=640)
+    assert len(outs) == 2
+    for o in outs:
+        assert o.ndim == 1 and o.shape[0] % 1920 == 0
+        assert np.isfinite(o).all()
+
+
+def test_warmup_compiles(engine):
+    dt = engine.warmup(buckets=(32,), stream_blocks=False)
+    assert dt >= 0
