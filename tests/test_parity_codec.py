@@ -24,7 +24,8 @@ import jax.numpy as jnp  # noqa: E402
 from fireredtts2_tpu.config import tiny_engine_config  # noqa: E402
 from fireredtts2_tpu.runtime.checkpoint import convert_codec_state_dict  # noqa: E402
 from fireredtts2_tpu.models.codec.model import (  # noqa: E402
-    encode_window, codec_decode, stream_decode_init, stream_decode_step, _mel,
+    encode_window, codec_encode, codec_decode, stream_decode_init,
+    stream_decode_step, _mel,
 )
 
 CFG = tiny_engine_config().codec
@@ -123,6 +124,23 @@ def test_encode_token_parity(pair, rng):
     mismatch = (got != want.numpy()).mean()
     # fp32 argmin ties at codebook boundaries can flip isolated tokens;
     # anything beyond a fraction of a percent is a real bug.
+    assert mismatch < 0.005, f"token mismatch rate {mismatch:.4f}"
+
+
+def test_full_encode_multiwindow_parity(pair, rng):
+    """End-to-end encode() parity including the 6 s window chunking and
+    reassembly (reference model.py:244-305): 8.3 s of audio = 2 windows."""
+    ref, ours = pair
+    n = int(8.3 * CFG.input_sample_rate)
+    audio = (rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        want, want_len = ref.encode(
+            torch.from_numpy(audio),
+            torch.tensor([n], dtype=torch.long), batch_size=48)
+    got, got_len = codec_encode(ours, CFG, audio)
+    assert got_len[0] == int(want_len[0])
+    assert got.shape == tuple(want.shape)
+    mismatch = (got != want.numpy()).mean()
     assert mismatch < 0.005, f"token mismatch rate {mismatch:.4f}"
 
 
