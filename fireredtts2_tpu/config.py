@@ -102,6 +102,9 @@ class LLMConfig:
     max_seq_len: int = 3100        # backbone positions (fireredtts2.py:58)
     max_batch_size: int = 1        # decode streams per compiled step
     dtype: str = "bfloat16"        # activations/weights compute dtype
+    # Weight-only int8 for the depth decoder: its weights are re-read 15x
+    # per frame (the dominant device cost, PERF.md); int8 halves that.
+    quantize_depth: bool = False
 
     @property
     def backbone(self) -> TransformerConfig:

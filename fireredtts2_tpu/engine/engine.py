@@ -108,6 +108,14 @@ class FireRedTTS2Engine:
                                                   _dtype_of(config.codec.dtype))
             self.tokenizer = load_tokenizer(None)
 
+        if self.config.llm.quantize_depth:
+            from fireredtts2_tpu.models.lm.transformer import (
+                quantize_transformer_int8,
+            )
+            self.lm_params = dict(self.lm_params)
+            self.lm_params["decoder"] = quantize_transformer_int8(
+                self.lm_params["decoder"])
+
         self.sample_rate = self.config.codec.input_sample_rate      # 16 kHz in
         self.output_sample_rate = self.config.codec.output_sample_rate  # 24 kHz out
         self.max_seq_len = self.config.max_seq_len
@@ -370,7 +378,27 @@ class FireRedTTS2Engine:
             depth_temperature=self.config.depth_temperature)
         buf = np.asarray(buf)
         n_frames = np.asarray(n_frames)
-        return [self._decode_tokens(buf[i, :n_frames[i]]) for i in range(B)]
+        # Batched vocoder decode: one scan over the shared padded length,
+        # per-stream assembly for each true length.
+        Lmax = max(1, int(n_frames.max()))
+        Lpad = ((Lmax + 31) // 32) * 32
+        toks = np.zeros((B, self._ncb, Lpad), np.int32)
+        for i in range(B):
+            toks[i, :, :n_frames[i]] = buf[i, :n_frames[i]].T
+        middles, tails = self._decode_fn(self.codec_params,
+                                         tokens=jnp.asarray(toks))
+        middles, tails = np.asarray(middles), np.asarray(tails)
+        acfg = self.config.codec.acoustic_decoder
+        outs = []
+        for i in range(B):
+            T = int(n_frames[i])
+            if T == 0:
+                outs.append(np.zeros(0, np.float32))
+                continue
+            outs.append(assemble_chunks(
+                middles[:, i:i + 1], tails[:, i:i + 1], T,
+                acfg.hop_length, acfg.n_fft)[0].astype(np.float32))
+        return outs
 
     def generate(self, text: str, speaker: str, context: List[Segment],
                  max_audio_length_ms: float = 90_000,

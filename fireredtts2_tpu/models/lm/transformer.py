@@ -77,6 +77,37 @@ def init_kv_cache(cfg: TransformerConfig, batch_size: int, max_seq_len: int,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def quantize_transformer_int8(params: Params) -> Params:
+    """Weight-only int8 (per-output-channel symmetric) for a stacked
+    transformer tree. Halves HBM weight traffic on decode — the depth
+    decoder re-reads all its weights 15x per 80 ms frame, which is its
+    bf16 HBM floor (PERF.md). Norms/biases stay in the original dtype."""
+    out: Params = {}
+    for k, v in params.items():
+        if k in _MATMUL_KEYS:
+            w = v.astype(jnp.float32)
+            scale = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0
+            scale = jnp.maximum(scale, 1e-8)
+            out[k] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+            out[k + "_scale"] = scale  # (L, 1, out) fp32
+        else:
+            out[k] = v
+    return out
+
+
+_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _mm(x: Array, lp: Params, name: str) -> Array:
+    """x @ W with transparent weight-only int8 (dequant fused into the
+    matmul read by XLA)."""
+    w = lp[name]
+    if w.dtype == jnp.int8:
+        y = jnp.dot(x, w.astype(x.dtype), precision=None)
+        return y * lp[name + "_scale"][0].astype(y.dtype)
+    return x @ w
+
+
 def _layer(h: Array, lp: Params, cfg: TransformerConfig,
            cos: Array, sin: Array, mask: Optional[Array],
            k_slab: Optional[Array], v_slab: Optional[Array],
@@ -86,9 +117,9 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)
-    q = (x @ lp["wq"] + lp["bq"]).reshape(B, S, Hq, Dh)
-    k = (x @ lp["wk"] + lp["bk"]).reshape(B, S, Hkv, Dh)
-    v = (x @ lp["wv"] + lp["bv"]).reshape(B, S, Hkv, Dh)
+    q = (_mm(x, lp, "wq") + lp["bq"]).reshape(B, S, Hq, Dh)
+    k = (_mm(x, lp, "wk") + lp["bk"]).reshape(B, S, Hkv, Dh)
+    v = (_mm(x, lp, "wv") + lp["bv"]).reshape(B, S, Hkv, Dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -110,12 +141,12 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
     else:
         attn = gqa_attention(q, k, v, mask)
 
-    h = h + (attn.reshape(B, S, Hq * Dh) @ lp["wo"]).astype(h.dtype)
+    h = h + _mm(attn.reshape(B, S, Hq * Dh), lp, "wo").astype(h.dtype)
 
     x = rms_norm(h, lp["mlp_norm"], cfg.norm_eps)
-    gate = jax.nn.silu((x @ lp["w_gate"]).astype(jnp.float32)).astype(h.dtype)
-    up = x @ lp["w_up"]
-    h = h + ((gate * up) @ lp["w_down"]).astype(h.dtype)
+    gate = jax.nn.silu(_mm(x, lp, "w_gate").astype(jnp.float32)).astype(h.dtype)
+    up = _mm(x, lp, "w_up")
+    h = h + _mm(gate * up, lp, "w_down").astype(h.dtype)
     return h, k_slab, v_slab
 
 

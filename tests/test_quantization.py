@@ -1,0 +1,55 @@
+"""Weight-only int8 quantization tests (depth decoder)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fireredtts2_tpu.config import FLAVORS, LLMConfig, tiny_engine_config
+from fireredtts2_tpu.ops import masks as mask_ops
+from fireredtts2_tpu.models.lm.transformer import (
+    init_transformer_params, transformer_forward, quantize_transformer_int8,
+)
+
+
+def test_quantized_weights_roundtrip(rng):
+    tcfg = FLAVORS["tiny"]
+    params = init_transformer_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    q = quantize_transformer_int8(params)
+    assert q["wq"].dtype == jnp.int8
+    deq = np.asarray(q["wq"], np.float32) * np.asarray(q["wq_scale"])
+    w = np.asarray(params["wq"])
+    # per-channel symmetric int8: relative error bounded by scale/2
+    denom = np.abs(w).max(axis=1, keepdims=True) + 1e-9
+    assert (np.abs(deq - w) / denom).max() < 1.0 / 127.0
+
+
+def test_quantized_forward_close(rng):
+    tcfg = FLAVORS["tiny"]
+    params = init_transformer_params(jax.random.PRNGKey(1), tcfg, jnp.float32)
+    qparams = quantize_transformer_int8(params)
+    B, S = 1, 6
+    h = jnp.asarray(rng.standard_normal((B, S, tcfg.embed_dim)).astype(np.float32))
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    mask = jnp.broadcast_to(mask_ops.causal_mask(S)[None], (B, S, S))
+
+    full, _ = transformer_forward(params, tcfg, h, pos, mask)
+    quant, _ = transformer_forward(qparams, tcfg, h, pos, mask)
+    f, qn = np.asarray(full), np.asarray(quant)
+    cos = (f * qn).sum() / (np.linalg.norm(f) * np.linalg.norm(qn))
+    assert cos > 0.999, cos
+
+
+def test_engine_with_quantized_depth_runs():
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    import dataclasses
+
+    cfg = tiny_engine_config()
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, quantize_depth=True))
+    e = FireRedTTS2Engine(config=cfg, seed=0)
+    assert e.lm_params["decoder"]["wq"].dtype == jnp.int8
+    audio = e.generate("quantized depth", "[S1]", [], max_audio_length_ms=480)
+    assert audio.shape[0] % 1920 == 0 and np.isfinite(audio).all()
+    chunks = list(e.generate_stream("stream it", "[S1]", [],
+                                    max_audio_length_ms=480))
+    assert chunks and all(np.isfinite(c).all() for c in chunks)
