@@ -79,10 +79,16 @@ def _cmd_serve(args):
 
 
 def _cmd_qa(args):
-    from fireredtts2_tpu.serve.qa import QAPipeline
+    from fireredtts2_tpu.serve.qa import QAPipeline, QAThresholds
 
     engine = _build_engine(args)
-    results = QAPipeline(engine).run_all()
+    thresholds = None
+    if not args.pretrained_dir:
+        # random-weight dev audio has no SNR/silence structure — keep the
+        # structural gates, drop the perceptual ones
+        thresholds = QAThresholds(min_snr_db=-100.0, max_silence_ratio=1.0,
+                                  min_rms=0.0)
+    results = QAPipeline(engine, thresholds).run_all()
     ok = all(r.passed for r in results)
     for r in results:
         mark = "PASS" if r.passed else "FAIL"

@@ -13,10 +13,12 @@ API parity with reference fireredtts2/fireredtts2.py:15-459:
 TPU-first engineering:
 - prompts are LEFT-padded into static buckets, so every prompt length hits
   one of a handful of compiled prefill graphs (no recompile storms);
-- one jitted call per 80 ms frame (backbone step + 15 depth steps + sampling
-  fused into a single dispatch);
-- the EOS check (all-zero frame, fireredtts2.py:178) is the only per-frame
-  host sync.
+- batch paths (generate/generate_dialogue/generate_monologue/generate_batch)
+  run the WHOLE utterance as one device program (lax.while_loop with
+  on-device EOS) plus one bucketed vocoder scan;
+- the streaming path decodes K frames (LM + vocoder, fused) per dispatch
+  with ONE packed fetch per block (models/pipeline.py) — the EOS flags ride
+  inside the packed array, so host round trips never scale per frame.
 """
 
 from __future__ import annotations

@@ -11,9 +11,10 @@ Capability parity with the reference serving overlay:
 - stdlib HTTP /health + /stats endpoints (reference runpod_deployment.py:183-271
   runs a stdlib health server; fastapi isn't available in this image).
 
-Device work is serialized through one worker thread — a single TPU chip is
-a single compute stream; concurrency is managed by the request queue
-(continuous batching across streams is the runtime.batcher roadmap).
+Two service modes: TTSService (one worker, requests serialized) and
+BatchedTTSService (continuous batching — concurrent requests decode
+together in one batched device program, runtime/batcher.py); pick with
+WebSocketTTSServer(max_streams=...).
 """
 
 from __future__ import annotations
