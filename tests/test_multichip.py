@@ -90,3 +90,16 @@ def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_lm_state_sharding_over_dp():
+    """Decode-state shardings: stream slots ride the dp axis."""
+    from fireredtts2_tpu.models.lm.model import init_lm_state
+    from fireredtts2_tpu.parallel.mesh import lm_state_pspecs, to_named
+
+    mesh = make_mesh(tp=4)  # dp=2
+    state = init_lm_state(CFG, batch_size=4)
+    sharded = jax.device_put(state, to_named(mesh, lm_state_pspecs(state)))
+    # batch dim split over dp=2
+    assert sharded.cache_k.sharding.shard_shape(sharded.cache_k.shape)[1] == 2
+    assert sharded.slot_valid.sharding.shard_shape(sharded.slot_valid.shape)[0] == 2
