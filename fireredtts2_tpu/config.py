@@ -260,6 +260,11 @@ class CodecConfig:
     output_sample_rate: int = 24_000
     samples_per_token_16k: int = 1280  # 12.5 Hz tokens at 16 kHz
     encode_chunk_seconds: int = 6      # encoder processes 6 s windows
+    # Cap on 6 s windows per encoder dispatch (reference caps encode
+    # batches at 48, fireredtts2/codec/model.py:244); long prompt audio
+    # would otherwise become one unbounded batch through the 32-layer SSL
+    # encoder and risk OOM.
+    encode_max_batch: int = 48
 
 
 def codec_config_from_json(path: str, **overrides) -> CodecConfig:

@@ -41,6 +41,10 @@ from fireredtts2_tpu.models.codec.decoder import (
 Params = dict[str, Any]
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
 def init_codec_params(key: Array, cfg: CodecConfig, dtype=jnp.float32) -> Params:
     ks = jax.random.split(key, 8)
     return {
@@ -120,7 +124,7 @@ def codec_encode(params: Params, cfg: CodecConfig, audio16k: np.ndarray,
         def encode_fn(a, l):  # noqa: E743
             return encode_window(params, cfg, a, l)
 
-    # Chunk every stream into 6 s windows, batch them all together.
+    # Chunk every stream into 6 s windows.
     chunks, owners = [], []
     for b in range(B):
         n = int(lengths[b])
@@ -130,9 +134,23 @@ def codec_encode(params: Params, cfg: CodecConfig, audio16k: np.ndarray,
         for c in range(n_win):
             chunks.append(padded[c * win:(c + 1) * win])
             owners.append(b)
-    batch = jnp.asarray(np.stack(chunks))
-    wlen = jnp.full((batch.shape[0],), win, jnp.int32)
-    codes = np.asarray(encode_fn(batch, wlen))          # (nq, n_chunks, L_win)
+
+    # Dispatch windows in capped sub-batches (reference caps at 48,
+    # codec/model.py:244) padded up to power-of-two buckets so arbitrary
+    # prompt lengths reuse a handful of compiled encoder graphs.
+    max_b = max(1, cfg.encode_max_batch)
+    parts = []
+    for i in range(0, len(chunks), max_b):
+        sub = np.stack(chunks[i:i + max_b])
+        n_sub = sub.shape[0]
+        bs = min(max_b, _next_pow2(n_sub))
+        if bs > n_sub:
+            sub = np.concatenate(
+                [sub, np.zeros((bs - n_sub, win), np.float32)])
+        out = np.asarray(encode_fn(
+            jnp.asarray(sub), jnp.full((bs,), win, jnp.int32)))
+        parts.append(out[:, :n_sub])
+    codes = np.concatenate(parts, axis=1)               # (nq, n_chunks, L_win)
 
     nq = codes.shape[0]
     token_lengths = np.ceil(lengths / cfg.samples_per_token_16k).astype(np.int64)

@@ -164,7 +164,7 @@ def lm_generate_frame(
     valid: Array,           # (B, S) bool — which sequence slots are real
     key: Array,
     temperature: float | Array = 0.9,
-    topk: int = 20,
+    topk: int | Array = 20,
     depth_topk: int = 10,
     depth_temperature: float = 0.75,
 ) -> tuple[LMState, Array]:
@@ -226,7 +226,7 @@ def reset_lm_slot(state: LMState, b: Array) -> LMState:
 def prefill_into_slot(params: Params, cfg: LLMConfig, state: LMState,
                       b: Array, tokens: Array, tokens_mask: Array,
                       valid: Array, key: Array,
-                      temperature=0.9, topk: int = 20,
+                      temperature=0.9, topk: int | Array = 20,
                       depth_topk: int = 10, depth_temperature: float = 0.75,
                       ) -> tuple[LMState, Array]:
     """Prefill ONE stream's prompt into slot `b` of a batched decode state
@@ -274,7 +274,7 @@ def lm_generate_loop(
     max_frames: int,        # STATIC buffer capacity
     frame_cap: Array,       # () traced: stop after this many frames
     temperature: float | Array = 0.9,
-    topk: int = 20,
+    topk: int | Array = 20,
     depth_topk: int = 10,
     depth_temperature: float = 0.75,
 ) -> tuple[LMState, Array, Array]:

@@ -47,7 +47,7 @@ def stream_block(
     t_base: Array,           # () int32 global frame index of `frame`
     block: int,              # STATIC frames per dispatch
     temperature: float | Array = 0.9,
-    topk: int = 20,
+    topk: int | Array = 20,
     depth_topk: int = 10,
     depth_temperature: float = 0.75,
 ):

@@ -6,19 +6,28 @@ cache that is ~1.6 MB of K + 1.6 MB of V per layer per stream read from
 HBM every step, even when only 200 positions are live. This kernel:
 
 - streams K/V from HBM in CHUNK-sized tiles with an async-DMA double
-  buffer, stopping at the live length (per-stream `n_valid`), so HBM
-  traffic scales with the actual context instead of the slab capacity;
+  buffer, touching ONLY the live window [start, end) of each stream's
+  slab (prompts are left-padded into buckets, so the live region starts
+  at the pad offset, not 0), so HBM traffic scales with the actual
+  context instead of the slab capacity;
 - runs flash-style running-softmax accumulation in VMEM (fp32);
 - handles GQA by blocking queries as (Hkv, G, D) against per-kv-head tiles.
 
-Numerics match ops.attention.gqa_attention with the causal/valid mask
-(tested in tests/test_pallas_attention.py, interpret mode on CPU and
-compiled on TPU).
+This is the production decode path on TPU (models/lm/transformer.py picks
+it for S=1 steps whenever the slab length is CHUNK-aligned); the XLA mask
+path remains for prefill, CPU, and unaligned slabs. Numerics match
+ops.attention.gqa_attention with the causal/valid mask (tested in
+tests/test_pallas_attention.py in interpret mode on CPU, and end-to-end
+against the mask path in tests/test_lm.py).
+
+Replaces: torchtune SDPA over a static mask in the reference
+(fireredtts2/llm/llm.py:123-143).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +38,20 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK = 512  # KV positions per tile (DMA granularity)
 
 
-def _decode_attn_kernel(n_valid_ref,      # SMEM (1,) int32 — live kv length
+def pallas_enabled() -> bool:
+    """Should the jitted decode step trace the Pallas attention kernel?
+
+    Default: only on TPU (the CPU interpreter is for tests). Override with
+    FRTTS2_PALLAS=1/0.
+    """
+    env = os.environ.get("FRTTS2_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
+
+
+def _decode_attn_kernel(start_ref,        # SMEM (1,) int32 — first live slot
+                        end_ref,          # SMEM (1,) int32 — one past last
                         q_ref,            # VMEM (Hq, D)
                         k_hbm,            # HBM  (T, Hkv, D)
                         v_hbm,            # HBM  (T, Hkv, D)
@@ -42,8 +64,10 @@ def _decode_attn_kernel(n_valid_ref,      # SMEM (1,) int32 — live kv length
     T, Hkv, _ = k_hbm.shape
     G = Hq // Hkv
 
-    n_valid = n_valid_ref[0]
-    n_chunks = pl.cdiv(n_valid, CHUNK)
+    start = start_ref[0]
+    end = end_ref[0]
+    c0 = start // CHUNK
+    c_end = pl.cdiv(end, CHUNK)
 
     def k_dma(slot, c):
         return pltpu.make_async_copy(
@@ -53,8 +77,8 @@ def _decode_attn_kernel(n_valid_ref,      # SMEM (1,) int32 — live kv length
         return pltpu.make_async_copy(
             v_hbm.at[pl.ds(c * CHUNK, CHUNK)], v_buf.at[slot], sems.at[1, slot])
 
-    k_dma(0, 0).start()
-    v_dma(0, 0).start()
+    k_dma(c0 % 2, c0).start()
+    v_dma(c0 % 2, c0).start()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, -1e30)
@@ -66,7 +90,7 @@ def _decode_attn_kernel(n_valid_ref,      # SMEM (1,) int32 — live kv length
         slot = c % 2
         nxt = (c + 1) % 2
 
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(c + 1 < c_end)
         def _():
             k_dma(nxt, c + 1).start()
             v_dma(nxt, c + 1).start()
@@ -81,7 +105,7 @@ def _decode_attn_kernel(n_valid_ref,      # SMEM (1,) int32 — live kv length
         # q rows ordered [kv0g0..kv0g{G-1}, kv1g0..]; build via per-kv dots.
         base = c * CHUNK
         pos_ids = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + base
-        valid = pos_ids < n_valid                      # (1, CHUNK)
+        valid = (pos_ids >= start) & (pos_ids < end)   # (1, CHUNK)
 
         scores = jnp.concatenate([
             jax.lax.dot_general(
@@ -109,30 +133,36 @@ def _decode_attn_kernel(n_valid_ref,      # SMEM (1,) int32 — live kv length
         m_ref[:, :1] = m_new
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    jax.lax.fori_loop(c0, c_end, body, 0)
     o_ref[:] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_decode_attention(q: Array, k_slab: Array, v_slab: Array,
-                            n_valid: Array, interpret: bool = False) -> Array:
-    """Single-token GQA decode attention.
+                            start: Array, end: Array,
+                            interpret: bool | None = None) -> Array:
+    """Single-token GQA decode attention over the live window [start, end).
 
     Args:
         q: (B, Hq, D) current-step queries.
         k_slab/v_slab: (B, T_max, Hkv, D) KV slabs (any dtype).
-        n_valid: (B,) int32 — live positions (query's slot included).
+        start: (B,) int32 — first live slot (left-pad offset; 0 if none).
+        end: (B,) int32 — one past the newest live slot (>= 1).
+        interpret: force Pallas interpret mode; default = auto (interpret
+            everywhere except on real TPU).
     Returns:
         (B, Hq, D) in q.dtype.
     """
     B, Hq, D = q.shape
     _, T, Hkv, _ = k_slab.shape
     assert T % CHUNK == 0, (T, CHUNK)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     kernel = pl.pallas_call(
         _decode_attn_kernel,
         out_shape=jax.ShapeDtypeStruct((Hq, D), q.dtype),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -150,7 +180,8 @@ def pallas_decode_attention(q: Array, k_slab: Array, v_slab: Array,
         interpret=interpret,
     )
 
-    def per_b(qb, kb, vb, nb):
-        return kernel(nb[None], qb, kb, vb)
+    def per_b(qb, kb, vb, sb, eb):
+        return kernel(sb[None], eb[None], qb, kb, vb)
 
-    return jax.vmap(per_b)(q, k_slab, v_slab, n_valid)
+    return jax.vmap(per_b)(q, k_slab, v_slab,
+                           start.astype(jnp.int32), end.astype(jnp.int32))

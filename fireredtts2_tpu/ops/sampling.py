@@ -26,6 +26,20 @@ def topk_filter(logits: Array, k: int) -> Array:
     return jnp.where(logits < kth, _NEG_INF, logits)
 
 
+def topk_filter_dynamic(logits: Array, k: Array, k_cap: int = 64) -> Array:
+    """Mask logits below the k-th largest with TRACED k (scalar or one k per
+    leading row), clamped to [1, k_cap]. Serving needs per-request top-k
+    inside ONE compiled batched step (the reference honors caller topk per
+    request, fireredtts2/fireredtts2.py:131-143); a static `k` would force
+    one compiled program per distinct k."""
+    k_cap = min(k_cap, logits.shape[-1])
+    vals = jax.lax.top_k(logits, k_cap)[0]  # (..., k_cap) sorted desc
+    k = jnp.clip(jnp.asarray(k, jnp.int32), 1, k_cap)
+    idx = jnp.broadcast_to(k - 1, logits.shape[:-1])[..., None]
+    kth = jnp.take_along_axis(vals, idx, axis=-1)
+    return jnp.where(logits < kth, _NEG_INF, logits)
+
+
 def top_nsigma_filter(logits: Array, n: float) -> Array:
     """Keep logits within n standard deviations of the max."""
     mx = jnp.max(logits, axis=-1, keepdims=True)
@@ -46,13 +60,20 @@ def exponential_race_sample(probs: Array, key: Array) -> Array:
     return jnp.argmax(probs.astype(jnp.float32) / q, axis=-1).astype(jnp.int32)
 
 
-def sample_topk(logits: Array, k: int, temperature: float | Array, key: Array) -> Array:
+def sample_topk(logits: Array, k: int | Array, temperature: float | Array,
+                key: Array) -> Array:
     """Temperature + top-k sampling; returns int32 (...,) token ids.
 
-    Greedy shortcut: temperature must be > 0; use :func:`greedy` for argmax.
+    `k` may be a static int (one compiled filter) or a traced array
+    (per-row k inside one compiled program — the continuous batcher's
+    per-request top-k). Temperature must be > 0; use :func:`greedy` for
+    argmax.
     """
     logits = logits.astype(jnp.float32) / temperature
-    filtered = topk_filter(logits, k)
+    if isinstance(k, int):
+        filtered = topk_filter(logits, k)
+    else:
+        filtered = topk_filter_dynamic(logits, k)
     probs = jax.nn.softmax(filtered, axis=-1)
     return exponential_race_sample(probs, key)
 

@@ -11,7 +11,10 @@ aspirational — SURVEY.md §3.6). Here decode really is batched:
 - per-slot EOS (all-zero frame) frees the slot; per-slot `is_first` handles
   each stream's vocoder warmup inside the shared step
   (models/codec/decoder.py:stream_decode_step_batched);
-- per-slot temperatures ride a traced (B,) vector; top-k is shared/static.
+- per-slot temperatures AND top-k ride traced (B,) vectors (dynamic top-k
+  filter, ops/sampling.py:topk_filter_dynamic), so every request keeps its
+  own sampling config inside ONE compiled step — parity with the reference
+  honoring caller topk per request (fireredtts2/fireredtts2.py:131-143).
 
 The host loop runs in one worker thread (a single chip is one compute
 stream); clients consume per-stream chunk queues.
@@ -76,6 +79,7 @@ class _Pending:
     mask: np.ndarray
     valid: np.ndarray
     temperature: float
+    topk: int
     max_frames: int
 
 
@@ -85,7 +89,7 @@ class ContinuousBatcher:
     def __init__(self, engine, max_streams: int = 16, topk: int = 20):
         self.engine = engine
         self.B = max_streams
-        self.topk = topk
+        self.default_topk = topk
         cfg: EngineConfig = engine.config
         self.cfg = cfg
         llm_cfg, codec_cfg = cfg.llm, cfg.codec
@@ -97,6 +101,7 @@ class ContinuousBatcher:
         self.vo_state = stream_decode_init(codec_cfg, self.B, vo_dtype)
         self.frames = jnp.zeros((self.B, llm_cfg.audio_num_codebooks), jnp.int32)
         self.temps = np.full((self.B,), cfg.default_temperature, np.float32)
+        self.topks = np.full((self.B,), topk, np.int32)
 
         self.slots = [_Slot() for _ in range(self.B)]
         self.pending: "queue.Queue[_Pending]" = queue.Queue()
@@ -112,13 +117,13 @@ class ContinuousBatcher:
 
         self._block = jax.jit(
             partial(stream_block, llm_cfg=llm_cfg, codec_cfg=codec_cfg,
-                    topk=topk, depth_topk=cfg.depth_topk,
+                    depth_topk=cfg.depth_topk,
                     depth_temperature=cfg.depth_temperature),
             static_argnames=("block",),
             donate_argnames=("state", "vstate"))
         self._prefill_slot = jax.jit(
             partial(prefill_into_slot, cfg=llm_cfg,
-                    topk=topk, depth_topk=cfg.depth_topk,
+                    depth_topk=cfg.depth_topk,
                     depth_temperature=cfg.depth_temperature),
             donate_argnames=("state",))
         self._reset_lm = jax.jit(reset_lm_slot, donate_argnames=("state",))
@@ -147,8 +152,11 @@ class ContinuousBatcher:
 
     def submit(self, text: str, speaker: str = "[S1]",
                context=(), temperature: Optional[float] = None,
+               topk: Optional[int] = None,
                max_audio_length_ms: float = 30_000) -> StreamHandle:
-        """Enqueue a stream; returns a handle yielding audio chunks."""
+        """Enqueue a stream; returns a handle yielding audio chunks.
+        temperature/topk/max_audio_length_ms are honored PER REQUEST even
+        though all live requests share one compiled batched step."""
         prompt, mask = self.engine._build_prompt(list(context), text, speaker)
         bucket, tokens, tmask, valid = self.engine._bucketize(prompt, mask)
         max_frames = min(int(max_audio_length_ms / 80),
@@ -159,6 +167,7 @@ class ContinuousBatcher:
             handle=handle, tokens=tokens, mask=tmask, valid=valid,
             temperature=(temperature if temperature is not None
                          else self.cfg.default_temperature),
+            topk=(topk if topk is not None else self.default_topk),
             max_frames=max_frames))
         return handle
 
@@ -183,10 +192,11 @@ class ContinuousBatcher:
                 self.engine.lm_params, state=self.lm_state, b=jnp.int32(b),
                 tokens=jnp.asarray(req.tokens), tokens_mask=jnp.asarray(req.mask),
                 valid=jnp.asarray(req.valid), key=self._next_key(),
-                temperature=req.temperature)
+                temperature=req.temperature, topk=jnp.int32(req.topk))
             self.frames = self.frames.at[b].set(frame[0])
             self.emitted = self.emitted.at[b].set(0)
             self.temps[b] = req.temperature
+            self.topks[b] = req.topk
             slot = self.slots[b]
             slot.active = True
             slot.handle = req.handle
@@ -248,7 +258,8 @@ class ContinuousBatcher:
                 state=self.lm_state, vstate=self.vo_state,
                 frame=self.frames, emitted=self.emitted,
                 key=self._next_key(), t_base=jnp.int32(step_counter),
-                block=K, temperature=jnp.asarray(self.temps)[:, None])
+                block=K, temperature=jnp.asarray(self.temps)[:, None],
+                topk=jnp.asarray(self.topks))
             step_counter += K
             pk = np.asarray(packed)        # ONE fetch: (K, B, cs+ts+1)
             now = time.perf_counter()

@@ -68,6 +68,8 @@ class TTSRequest:
     streaming: bool
     on_chunk: any           # callable(np.ndarray) -> None (threadsafe)
     on_done: any            # callable(np.ndarray | None, Exception | None)
+    max_audio_length_ms: float = 30_000.0  # per-request cap (reference
+    # honors the caller's max length per request, fireredtts2.py:131-143)
 
 
 class BatchedTTSService:
@@ -90,7 +92,8 @@ class BatchedTTSService:
             try:
                 handle = self.batcher.submit(
                     req.text, req.speaker, temperature=req.temperature,
-                    max_audio_length_ms=30_000)
+                    topk=req.topk,
+                    max_audio_length_ms=req.max_audio_length_ms)
                 total = []
                 for chunk in handle:
                     self.monitor.record_first_packet(req.request_id)
@@ -144,7 +147,7 @@ class TTSService:
                     for chunk in self.engine.generate_stream(
                             req.text, req.speaker, [],
                             temperature=req.temperature, topk=req.topk,
-                            max_audio_length_ms=30_000):
+                            max_audio_length_ms=req.max_audio_length_ms):
                         self.monitor.record_first_packet(req.request_id)
                         self.monitor.record_frame(req.request_id)
                         total.append(chunk)
@@ -152,7 +155,8 @@ class TTSService:
                     audio = np.concatenate(total) if total else np.zeros(0, np.float32)
                 else:
                     audio = self.engine.generate(
-                        req.text, req.speaker, [], max_audio_length_ms=30_000,
+                        req.text, req.speaker, [],
+                        max_audio_length_ms=req.max_audio_length_ms,
                         temperature=req.temperature, topk=req.topk)
                 self.monitor.end_inference(
                     req.request_id,
@@ -247,6 +251,7 @@ class WebSocketTTSServer:
             request_id=request_id, text=text, speaker=speaker,
             temperature=float(msg.get("temperature", 0.9)),
             topk=int(msg.get("top_k", 20)), streaming=streaming,
+            max_audio_length_ms=float(msg.get("max_audio_length_ms", 30_000)),
             on_chunk=on_chunk, on_done=on_done)
         self.service.submit(req)
         await self._send(ws, {"type": MSG_TTS_STARTED,
@@ -367,6 +372,8 @@ class HealthHTTPServer:
                     speaker=req.get("speaker", "[S1]"),
                     temperature=float(req.get("temperature", 0.9)),
                     topk=int(req.get("top_k", 20)), streaming=False,
+                    max_audio_length_ms=float(
+                        req.get("max_audio_length_ms", 30_000)),
                     on_chunk=lambda c: None, on_done=on_done))
                 if not done.wait(timeout=600):
                     self._json(504, {"error": "generation timed out"})

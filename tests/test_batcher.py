@@ -85,3 +85,27 @@ def test_slot_reuse_beyond_capacity(batcher):
         for o in outs:
             assert o.shape[0] % 1920 == 0 and o.shape[0] > 0
             assert np.isfinite(o).all()
+
+
+def test_per_request_sampling_config(batcher, greedy_engine):
+    """Per-request topk and max_audio_length_ms are honored inside the
+    shared batched step (reference honors caller topk per request,
+    fireredtts2/fireredtts2.py:131-143)."""
+    # a tight frame cap must bound the audio length: <=3 frames of audio
+    h = batcher.submit("cap me", "[S1]", max_audio_length_ms=3 * 80)
+    got = _collect(h)
+    acfg = greedy_engine.config.codec.acoustic_decoder
+    assert got.shape[0] <= 3 * 8 * acfg.hop_length
+
+    # an explicit per-request topk rides through; topk=1 in another slot of
+    # the same batch stays deterministic == the engine's greedy output
+    text = "hello batch"
+    want = greedy_engine.generate(text, "[S1]", [], max_audio_length_ms=640,
+                                  topk=1)
+    h_wide = batcher.submit("some other words", "[S1]", topk=4,
+                            max_audio_length_ms=640)
+    h_greedy = batcher.submit(text, "[S1]", topk=1, max_audio_length_ms=640)
+    _collect(h_wide)
+    got = _collect(h_greedy)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)

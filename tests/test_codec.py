@@ -178,3 +178,20 @@ def test_scan_decode_equals_batch(codec_params, rng):
                           acfg.hop_length, acfg.n_fft)
     assert got.shape == full.shape
     np.testing.assert_allclose(got, full, rtol=2e-3, atol=5e-4)
+
+
+def test_codec_encode_batch_cap_equivalence(codec_params, rng):
+    """Capped sub-batch dispatch (reference caps encode batches at 48,
+    codec/model.py:244) must produce the same codes as one big batch."""
+    import dataclasses
+    from fireredtts2_tpu.models.codec.model import codec_encode
+
+    cfg = CFG
+    win = cfg.encode_chunk_seconds * cfg.input_sample_rate
+    audio = rng.normal(size=(1, 5 * win - 123)).astype(np.float32) * 0.1
+    capped = dataclasses.replace(cfg, encode_max_batch=2)
+
+    codes_big, len_big = codec_encode(codec_params, cfg, audio)
+    codes_cap, len_cap = codec_encode(codec_params, capped, audio)
+    np.testing.assert_array_equal(len_big, len_cap)
+    np.testing.assert_array_equal(codes_big, codes_cap)

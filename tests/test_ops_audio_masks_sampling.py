@@ -159,3 +159,31 @@ def test_gqa_attention_equals_naive(rng):
             p /= p.sum(-1, keepdims=True)
             want[b, :, h, :] = p @ v[b, :, kv_h, :]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_topk_filter_dynamic_matches_static():
+    from fireredtts2_tpu.ops.sampling import topk_filter, topk_filter_dynamic
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(5, 40)).astype(np.float32))
+    for k in (1, 3, 10, 40):
+        want = topk_filter(logits, k)
+        got = topk_filter_dynamic(logits, jnp.int32(k), k_cap=40)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    # per-row k
+    ks = jnp.asarray([1, 2, 5, 10, 40], jnp.int32)
+    got = topk_filter_dynamic(logits, ks, k_cap=40)
+    for i, k in enumerate([1, 2, 5, 10, 40]):
+        np.testing.assert_array_equal(
+            np.asarray(topk_filter(logits[i:i + 1], k))[0], np.asarray(got[i]))
+
+
+def test_sample_topk_traced_k_equals_static_k():
+    """Same key + same effective filter => identical samples, whether k is
+    a static int or a traced per-row array (the batcher's path)."""
+    from fireredtts2_tpu.ops.sampling import sample_topk
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.normal(size=(4, 33)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    a = sample_topk(logits, 5, 0.8, key)
+    b = sample_topk(logits, jnp.full((4,), 5, jnp.int32), 0.8, key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
