@@ -25,9 +25,19 @@ import jax as _jax
 # everywhere, so set it once at import.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+import os as _os
+
+# Honor JAX_PLATFORMS even when a sitecustomize imported jax at interpreter
+# start (which freezes the env-var platform default before any user code
+# runs) — same fix as tests/conftest.py and __graft_entry__.py.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backends already initialized — too late to switch
+        pass
+
 # Persistent compilation cache: flagship-model compiles are minutes; cache
 # them across processes (serving restarts, benches, tools).
-import os as _os
 
 _cache_dir = _os.environ.get("FIREREDTTS2_JAX_CACHE", "/tmp/frtts2_jax_cache")
 try:

@@ -105,6 +105,9 @@ class LLMConfig:
     # Weight-only int8 for the depth decoder: its weights are re-read 15x
     # per frame (the dominant device cost, PERF.md); int8 halves that.
     quantize_depth: bool = False
+    # Weight-only int8 for the backbone too (halves its per-step reads;
+    # decode is weight-read-bound at small batch).
+    quantize_backbone: bool = False
 
     @property
     def backbone(self) -> TransformerConfig:

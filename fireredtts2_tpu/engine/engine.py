@@ -41,11 +41,10 @@ from fireredtts2_tpu.models.lm.model import (
     init_lm_params, init_lm_state, lm_generate_frame, lm_generate_loop,
     build_step_frame,
 )
-from fireredtts2_tpu.models.codec.decoder import stream_decode_tail
 from fireredtts2_tpu.models.pipeline import stream_block
 from fireredtts2_tpu.models.codec.model import (
     init_codec_params, encode_window, codec_encode, codec_decode_chunks,
-    assemble_chunks, stream_decode_init, stream_decode_step,
+    assemble_chunks, stream_decode_init,
 )
 from fireredtts2_tpu.utils.text import (
     clean_text, split_text, process_text_list, SPEAKER_TAGS,
@@ -110,13 +109,17 @@ class FireRedTTS2Engine:
                                                   _dtype_of(config.codec.dtype))
             self.tokenizer = load_tokenizer(None)
 
-        if self.config.llm.quantize_depth:
+        if self.config.llm.quantize_depth or self.config.llm.quantize_backbone:
             from fireredtts2_tpu.models.lm.transformer import (
                 quantize_transformer_int8,
             )
             self.lm_params = dict(self.lm_params)
-            self.lm_params["decoder"] = quantize_transformer_int8(
-                self.lm_params["decoder"])
+            if self.config.llm.quantize_depth:
+                self.lm_params["decoder"] = quantize_transformer_int8(
+                    self.lm_params["decoder"])
+            if self.config.llm.quantize_backbone:
+                self.lm_params["backbone"] = quantize_transformer_int8(
+                    self.lm_params["backbone"])
 
         self.sample_rate = self.config.codec.input_sample_rate      # 16 kHz in
         self.output_sample_rate = self.config.codec.output_sample_rate  # 24 kHz out
@@ -130,33 +133,32 @@ class FireRedTTS2Engine:
         llm_cfg, codec_cfg = self.config.llm, self.config.codec
         acfg = codec_cfg.acoustic_decoder
 
-        def _prefill(params, state, tokens, tokens_mask, valid, key,
-                     temperature, topk, depth_topk, depth_temperature):
+        def _prefill_block(lm_params, codec_params, state, vstate, tokens,
+                           tokens_mask, valid, key, block,
+                           temperature, topk, depth_topk, depth_temperature):
+            """Prefill + the first `block` stream frames fused into ONE
+            device program: the first-packet path pays a single dispatch
+            instead of prefill-then-block (each host<->device round trip
+            costs ~30 ms through a tunneled TPU). Key folding matches the
+            unfused path exactly: prefill samples frame 0 with
+            fold_in(key, 0), the block samples frame t with fold_in(key, t).
+            """
             state, frame = lm_generate_frame(
-                params, llm_cfg, state, tokens, tokens_mask, valid, key,
-                temperature, topk, depth_topk, depth_temperature)
-            return state, frame, jnp.all(frame == 0, axis=-1)
+                params=lm_params, cfg=llm_cfg, state=state, tokens=tokens,
+                tokens_mask=tokens_mask, valid=valid,
+                key=jax.random.fold_in(key, 0), temperature=temperature,
+                topk=topk, depth_topk=depth_topk,
+                depth_temperature=depth_temperature)
+            emitted = jnp.zeros((tokens.shape[0],), jnp.int32)
+            return stream_block(
+                lm_params, codec_params, llm_cfg, codec_cfg, state, vstate,
+                frame, emitted, key, t_base=jnp.int32(1), block=block,
+                temperature=temperature, topk=topk, depth_topk=depth_topk,
+                depth_temperature=depth_temperature)
 
-        def _decode_step(params, state, prev_frame, key,
-                         temperature, topk, depth_topk, depth_temperature):
-            """One AR step fed directly by the previous frame ON DEVICE —
-            no host round trip between frames."""
-            tokens, mask = build_step_frame(llm_cfg, prev_frame)
-            valid = jnp.ones((prev_frame.shape[0], 1), jnp.bool_)
-            state, frame = lm_generate_frame(
-                params, llm_cfg, state, tokens, mask, valid, key,
-                temperature, topk, depth_topk, depth_temperature)
-            return state, frame, jnp.all(frame == 0, axis=-1)
-
-        # donate the KV slabs so decode updates are in place, not copies
-        self._prefill_fn = jax.jit(
-            _prefill, static_argnames=("topk", "depth_topk"),
-            donate_argnames=("state",))
-        self._decode_step_fn = jax.jit(
-            _decode_step, static_argnames=("topk", "depth_topk"),
-            donate_argnames=("state",))
         # whole-utterance generation: ONE device program (prefill +
-        # while_loop over frames with on-device EOS)
+        # while_loop over frames with on-device EOS); KV slabs are donated
+        # so decode updates are in place, not copies
         self._gen_loop_fn = jax.jit(
             partial(lm_generate_loop, cfg=llm_cfg),
             static_argnames=("max_frames", "topk", "depth_topk"),
@@ -166,17 +168,16 @@ class FireRedTTS2Engine:
         self._encode_fn = jax.jit(
             lambda a, l: encode_window(self.codec_params, codec_cfg, a, l))
         self._decode_fn = jax.jit(partial(codec_decode_chunks, cfg=codec_cfg))
-        self._stream_step_fn = jax.jit(
-            partial(stream_decode_step, cfg=codec_cfg),
-            static_argnames=("first", "last"), donate_argnames=("state",))
-        self._stream_tail_fn = jax.jit(
-            lambda state: stream_decode_tail(acfg, state))
         # Fused K-frame stream blocks: one dispatch + one packed fetch per K
         # frames (the host<->device round trip dominates per-frame loops on
         # tunneled TPUs; see models/pipeline.py).
         self._block_fn = jax.jit(
             partial(stream_block, llm_cfg=llm_cfg, codec_cfg=codec_cfg),
             static_argnames=("block", "topk", "depth_topk"),
+            donate_argnames=("state", "vstate"))
+        # Fused prefill + first block: one dispatch on the FPL path.
+        self._prefill_block_fn = jax.jit(
+            _prefill_block, static_argnames=("block", "topk", "depth_topk"),
             donate_argnames=("state", "vstate"))
         self._chunk_samples = 8 * acfg.hop_length
         self._tail_samples = (acfg.n_fft - acfg.hop_length) \
@@ -448,36 +449,29 @@ class FireRedTTS2Engine:
                   depth_topk=self.config.depth_topk,
                   depth_temperature=self.config.depth_temperature)
         utt_key = self._next_key()
-        state, frame, eos_d = self._prefill_fn(
-            self.lm_params, state=state, tokens=jnp.asarray(tokens),
-            tokens_mask=jnp.asarray(tmask), valid=jnp.asarray(valid),
-            key=jax.random.fold_in(utt_key, 0), **kw)
 
         # Fused block decoding: each dispatch scans K frames of (LM step +
         # vocoder chunk) and the host makes ONE packed fetch per block —
-        # the round trip no longer scales with frame count. The schedule
-        # starts at K=1 (first packet) and grows to K=8 (640 ms of audio
-        # per sync); a client-side jitter buffer absorbs the block cadence.
-        # Audio equals the reference's streaming exactly: middles for live
-        # frames + the closing tail captured at the last live frame.
-        del eos_d
+        # the round trip no longer scales with frame count. The FIRST
+        # dispatch additionally fuses the prompt prefill (saving a whole
+        # round trip on the first-packet path); the schedule then grows
+        # K to 8 (640 ms of audio per sync); a client-side jitter buffer
+        # absorbs the block cadence. Audio equals the reference's streaming
+        # exactly: middles for live frames + the closing tail captured at
+        # the last live frame.
         n_emitted = 0
         g = 0                   # global index of the pending frame
         block = 1
         cs, ts = self._chunk_samples, self._tail_samples
-        emitted = jnp.zeros((1,), jnp.int32)
         last_tail: Optional[np.ndarray] = None
         stop = False
-        while g < max_len and not stop:
-            # Always dispatch power-of-2 blocks (a handful of compiled
-            # programs); the host just stops emitting at the frame cap —
-            # over-computed trailing frames are discarded.
-            K = block
-            state, vstate, frame, emitted, packed = self._block_fn(
-                self.lm_params, self.codec_params, state=state, vstate=vstate,
-                frame=frame, emitted=emitted, key=utt_key,
-                t_base=jnp.int32(g + 1), block=K, **kw)
+        state, vstate, frame, emitted, packed = self._prefill_block_fn(
+            self.lm_params, self.codec_params, state=state, vstate=vstate,
+            tokens=jnp.asarray(tokens), tokens_mask=jnp.asarray(tmask),
+            valid=jnp.asarray(valid), key=utt_key, block=block, **kw)
+        while True:
             pk = np.asarray(packed)          # one fetch per block
+            K = block
             for j in range(K):
                 if g + j >= max_len or pk[j, 0, -1] > 0.5:  # cap or EOS
                     stop = True
@@ -492,6 +486,15 @@ class FireRedTTS2Engine:
                 yield chunk.astype(np.float32)
             g += K
             block = min(block * 2, 8)
+            if g >= max_len or stop:
+                break
+            # Power-of-2 block sizes only (a handful of compiled programs);
+            # the host stops emitting at the frame cap — over-computed
+            # trailing frames are discarded.
+            state, vstate, frame, emitted, packed = self._block_fn(
+                self.lm_params, self.codec_params, state=state, vstate=vstate,
+                frame=frame, emitted=emitted, key=utt_key,
+                t_base=jnp.int32(g + 1), block=block, **kw)
         if n_emitted > 0 and last_tail is not None:
             yield last_tail.astype(np.float32)
 

@@ -76,11 +76,23 @@ def init_lm_params(key: Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
     }
 
 
+KV_ALIGN = 512  # slab capacity alignment (= Pallas decode-kernel DMA tile)
+
+
+def kv_capacity(max_seq_len: int) -> int:
+    """Physical KV slab length: the logical cap rounded up to KV_ALIGN so
+    the Pallas decode kernel gets whole DMA tiles (3100 -> 3584). The
+    logical position cap (reference max_seq_len=3100, fireredtts2.py:58)
+    is still enforced by the engine's frame budget."""
+    return -(-max_seq_len // KV_ALIGN) * KV_ALIGN
+
+
 def init_lm_state(cfg: LLMConfig, batch_size: int, dtype=jnp.float32) -> LMState:
-    cache = init_kv_cache(cfg.backbone, batch_size, cfg.max_seq_len, dtype)
+    cap = kv_capacity(cfg.max_seq_len)
+    cache = init_kv_cache(cfg.backbone, batch_size, cap, dtype)
     return LMState(
         cache_k=cache["k"], cache_v=cache["v"],
-        slot_valid=jnp.zeros((batch_size, cfg.max_seq_len), jnp.bool_),
+        slot_valid=jnp.zeros((batch_size, cap), jnp.bool_),
         pos=jnp.zeros((batch_size,), jnp.int32),
     )
 
@@ -191,12 +203,21 @@ def lm_generate_frame(
     slot_valid = jax.vmap(
         lambda sv, v, p: jax.lax.dynamic_update_slice(sv, v, (p,))
     )(state.slot_valid, valid, state.pos)
-    attn = mask_ops.decode_step_mask(positions_b, cfg.max_seq_len)
+    slab_len = state.cache_k.shape[2]
+    attn = mask_ops.decode_step_mask(positions_b, slab_len)
     attn = attn & slot_valid[:, None, :]
+
+    # Live window per stream: valid slots are contiguous (prefill content is
+    # right-aligned in its bucket; every decode write is valid), so the live
+    # region is [first-valid, pos+S). Feeds the Pallas decode kernel, which
+    # streams only that window instead of the full slab.
+    live_start = jnp.argmax(slot_valid, axis=1).astype(jnp.int32)
+    live_end = state.pos + S
 
     cache = {"k": state.cache_k, "v": state.cache_v}
     h_out, cache = transformer_forward(
-        params["backbone"], bb_cfg, h, positions_b, attn, cache, state.pos)
+        params["backbone"], bb_cfg, h, positions_b, attn, cache, state.pos,
+        live_window=(live_start, live_end))
 
     last_h = h_out[:, -1, :]  # right-aligned content ⇒ newest real token
     c0_logits = (last_h.astype(jnp.float32)

@@ -30,6 +30,9 @@ from jax import Array
 
 from fireredtts2_tpu.config import TransformerConfig
 from fireredtts2_tpu.ops.attention import gqa_attention
+from fireredtts2_tpu.ops.pallas_attention import (
+    pallas_decode_attention, use_pallas_decode,
+)
 from fireredtts2_tpu.ops.rope import rope_angles, apply_rope
 
 Params = dict[str, Any]
@@ -111,7 +114,8 @@ def _mm(x: Array, lp: Params, name: str) -> Array:
 def _layer(h: Array, lp: Params, cfg: TransformerConfig,
            cos: Array, sin: Array, mask: Optional[Array],
            k_slab: Optional[Array], v_slab: Optional[Array],
-           cache_pos: Optional[Array]):
+           cache_pos: Optional[Array],
+           live_window: Optional[tuple[Array, Array]] = None):
     """One transformer layer. Returns (h, new_k_slab, new_v_slab)."""
     B, S, D = h.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -137,7 +141,17 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
                 k_slab, k.astype(k_slab.dtype), (0, cache_pos, 0, 0))
             v_slab = jax.lax.dynamic_update_slice(
                 v_slab, v.astype(v_slab.dtype), (0, cache_pos, 0, 0))
-        attn = gqa_attention(q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
+        if live_window is not None and S == 1:
+            # Pallas decode kernel (FRTTS2_PALLAS=1 opt-in; see
+            # ops/pallas_attention.py for why XLA is the measured default):
+            # streams only the live [start, end) KV window from HBM instead
+            # of attending over the whole slab behind a (B, 1, T_max) mask.
+            start, end = live_window
+            attn = pallas_decode_attention(
+                q[:, 0], k_slab, v_slab, start, end)[:, None]
+        else:
+            attn = gqa_attention(
+                q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
     else:
         attn = gqa_attention(q, k, v, mask)
 
@@ -159,6 +173,7 @@ def transformer_forward(
     cache: Optional[KVCache] = None,
     cache_pos: Optional[Array] = None,
     unroll: int | bool = 1,
+    live_window: Optional[tuple[Array, Array]] = None,
 ) -> tuple[Array, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -171,11 +186,20 @@ def transformer_forward(
         cache: KV slab from :func:`init_kv_cache`; None = stateless forward.
         cache_pos: scalar int — the slab slot where this call's first token
             is written (prefill writes [0, S), decode writes [pos, pos+S)).
+        live_window: optional ((B,) start, (B,) end) — the contiguous live
+            region of each stream's slab. When given (and S == 1, and Pallas
+            is enabled), attention runs in the Pallas decode kernel, which
+            reads only [start, end) from HBM. The mask path is the fallback
+            and the numerical reference.
 
     Returns:
         (h_out (B, S, D) after final norm, updated cache or None).
     """
     cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_base)
+
+    if live_window is not None and not (h.shape[1] == 1
+                                        and use_pallas_decode(cfg.head_dim)):
+        live_window = None
 
     use_cache = cache is not None
     if use_cache:
@@ -185,7 +209,8 @@ def transformer_forward(
             hh = carry
             lp, k_slab, v_slab = xs
             hh, k_slab, v_slab = _layer(hh, lp, cfg, cos, sin, mask,
-                                        k_slab, v_slab, cache_pos)
+                                        k_slab, v_slab, cache_pos,
+                                        live_window)
             return hh, (k_slab, v_slab)
 
         layer_params = {k: v for k, v in params.items() if k != "final_norm"}

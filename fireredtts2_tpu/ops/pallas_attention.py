@@ -13,12 +13,19 @@ HBM every step, even when only 200 positions are live. This kernel:
 - runs flash-style running-softmax accumulation in VMEM (fp32);
 - handles GQA by blocking queries as (Hkv, G, D) against per-kv-head tiles.
 
-This is the production decode path on TPU (models/lm/transformer.py picks
-it for S=1 steps whenever the slab length is CHUNK-aligned); the XLA mask
-path remains for prefill, CPU, and unaligned slabs. Numerics match
+models/lm/transformer.py routes cached S=1 decode steps here (single-stream
+and batched) when FRTTS2_PALLAS=1, with per-stream live windows computed
+from LMState.slot_valid/pos in models/lm/model.py. Numerics match
 ops.attention.gqa_attention with the causal/valid mask (tested in
 tests/test_pallas_attention.py in interpret mode on CPU, and end-to-end
 against the mask path in tests/test_lm.py).
+
+MEASURED OFF by default (PERF.md round 2): on v5e the XLA mask path is
+at-or-faster in every tested config (B=1/8/16, contexts 128-2048) — the
+slab KV re-read this kernel avoids is ~0.2 ms/frame of a 7-12 ms frame,
+while the kernel pays per-(layer, stream) program setup + serial DMA
+latency x28 layers. The decode floor is weight re-reads (int8 attacks
+that); revisit if slab lengths grow >> live windows.
 
 Replaces: torchtune SDPA over a static mask in the reference
 (fireredtts2/llm/llm.py:123-143).
@@ -35,47 +42,76 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 512  # KV positions per tile (DMA granularity)
+CHUNK = 512  # preferred KV positions per tile (DMA granularity)
+
+
+def pick_chunk(T: int) -> int:
+    """Largest power-of-two tile <= CHUNK that divides the slab length.
+    Slabs allocated by models.lm.model.init_lm_state are 512-aligned, so
+    production always gets CHUNK; tiny test slabs get smaller tiles."""
+    c = CHUNK
+    while c > 1 and T % c:
+        c //= 2
+    return c
 
 
 def pallas_enabled() -> bool:
     """Should the jitted decode step trace the Pallas attention kernel?
 
-    Default: only on TPU (the CPU interpreter is for tests). Override with
-    FRTTS2_PALLAS=1/0.
+    Default OFF: the XLA mask path measured at-or-faster on v5e at flagship
+    dims (see module docstring / PERF.md). FRTTS2_PALLAS=1 opts in.
     """
     env = os.environ.get("FRTTS2_PALLAS")
     if env is not None:
         return env not in ("0", "false", "")
-    return jax.default_backend() == "tpu"
+    return False
 
 
-def _decode_attn_kernel(start_ref,        # SMEM (1,) int32 — first live slot
-                        end_ref,          # SMEM (1,) int32 — one past last
-                        q_ref,            # VMEM (Hq, D)
-                        k_hbm,            # HBM  (T, Hkv, D)
-                        v_hbm,            # HBM  (T, Hkv, D)
+def use_pallas_decode(head_dim: int) -> bool:
+    """Route a decode step through the Pallas kernel?
+
+    On real TPU, Mosaic requires the KV tile's lane dimension (head_dim)
+    to be 128-aligned (flagship qwen flavors: 128 ✓; tiny test configs:
+    16 ✗ — those fall back to the XLA mask path). Interpret mode (CPU
+    tests) has no tiling constraint."""
+    if not pallas_enabled():
+        return False
+    if jax.default_backend() == "tpu" and head_dim % 128 != 0:
+        return False
+    return True
+
+
+def _decode_attn_kernel(start_ref,        # SMEM (B,) int32 — first live slot
+                        end_ref,          # SMEM (B,) int32 — one past last
+                        q_ref,            # VMEM (Hq, D) — this program's batch row
+                        k_hbm,            # HBM  (B, T, Hkv, D)
+                        v_hbm,            # HBM  (B, T, Hkv, D)
                         o_ref,            # VMEM (Hq, D)
-                        k_buf, v_buf,     # VMEM scratch (2, CHUNK, Hkv, D)
+                        k_buf, v_buf,     # VMEM scratch (2, chunk, Hkv, D)
                         acc_ref,          # VMEM scratch (Hq, D) fp32
                         m_ref, l_ref,     # VMEM scratch (Hq, 128) fp32
-                        sems):            # DMA semaphores (2, 2)
+                        sems,             # DMA semaphores (2, 2)
+                        *, chunk: int):
     Hq, D = q_ref.shape
-    T, Hkv, _ = k_hbm.shape
+    _, T, Hkv, _ = k_hbm.shape
     G = Hq // Hkv
+    CHUNK = chunk
 
-    start = start_ref[0]
-    end = end_ref[0]
+    b = pl.program_id(0)                  # grid = (B,): one program per stream
+    start = start_ref[b]
+    end = end_ref[b]
     c0 = start // CHUNK
     c_end = pl.cdiv(end, CHUNK)
 
     def k_dma(slot, c):
         return pltpu.make_async_copy(
-            k_hbm.at[pl.ds(c * CHUNK, CHUNK)], k_buf.at[slot], sems.at[0, slot])
+            k_hbm.at[b, pl.ds(c * CHUNK, CHUNK)], k_buf.at[slot],
+            sems.at[0, slot])
 
     def v_dma(slot, c):
         return pltpu.make_async_copy(
-            v_hbm.at[pl.ds(c * CHUNK, CHUNK)], v_buf.at[slot], sems.at[1, slot])
+            v_hbm.at[b, pl.ds(c * CHUNK, CHUNK)], v_buf.at[slot],
+            sems.at[1, slot])
 
     k_dma(c0 % 2, c0).start()
     v_dma(c0 % 2, c0).start()
@@ -154,24 +190,28 @@ def pallas_decode_attention(q: Array, k_slab: Array, v_slab: Array,
     """
     B, Hq, D = q.shape
     _, T, Hkv, _ = k_slab.shape
-    assert T % CHUNK == 0, (T, CHUNK)
+    chunk = pick_chunk(T)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     kernel = pl.pallas_call(
-        _decode_attn_kernel,
-        out_shape=jax.ShapeDtypeStruct((Hq, D), q.dtype),
+        functools.partial(_decode_attn_kernel, chunk=chunk),
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         in_specs=[
+            # start/end: FULL (B,) arrays in SMEM (no per-program blocking —
+            # Mosaic rejects sub-8x128 blocks); the kernel indexes by
+            # program_id. Same for the HBM slabs (ANY + manual DMA).
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Hq, D), lambda b: (b, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((None, Hq, D), lambda b: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, Hkv, D), k_slab.dtype),
-            pltpu.VMEM((2, CHUNK, Hkv, D), v_slab.dtype),
+            pltpu.VMEM((2, chunk, Hkv, D), k_slab.dtype),
+            pltpu.VMEM((2, chunk, Hkv, D), v_slab.dtype),
             pltpu.VMEM((Hq, D), jnp.float32),
             pltpu.VMEM((Hq, 128), jnp.float32),
             pltpu.VMEM((Hq, 128), jnp.float32),
@@ -179,9 +219,5 @@ def pallas_decode_attention(q: Array, k_slab: Array, v_slab: Array,
         ],
         interpret=interpret,
     )
-
-    def per_b(qb, kb, vb, sb, eb):
-        return kernel(sb[None], eb[None], qb, kb, vb)
-
-    return jax.vmap(per_b)(q, k_slab, v_slab,
-                           start.astype(jnp.int32), end.astype(jnp.int32))
+    return kernel(start.astype(jnp.int32), end.astype(jnp.int32),
+                  q, k_slab, v_slab)

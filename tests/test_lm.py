@@ -175,6 +175,46 @@ def test_batched_streams_decode_independently(rng, lm_params):
     np.testing.assert_array_equal(fb[1], f2[0])
 
 
+def test_pallas_decode_path_matches_mask_path(rng, lm_params, monkeypatch):
+    """The production Pallas decode-attention route (interpret mode on CPU)
+    must sample the SAME tokens as the XLA mask path, including left-padded
+    streams in a batch — it is wired per-layer in transformer_forward for
+    S=1 cached steps (live window from LMState.slot_valid/pos)."""
+    from fireredtts2_tpu.models.lm.model import build_step_frame
+
+    B, L, bucket = 2, 10, 16
+    t1, m1 = _random_prompt(rng, 1, L)
+    t2, m2 = _random_prompt(rng, 1, L)
+    pad = bucket - L
+    tokens = np.zeros((B, bucket, CFG.num_columns), np.int32)
+    tmask = np.zeros((B, bucket, CFG.num_columns), bool)
+    valid = np.zeros((B, bucket), bool)
+    tokens[0, pad:], tmask[0, pad:] = t1[0], m1[0]
+    tokens[1, pad:], tmask[1, pad:] = t2[0], m2[0]
+    valid[:, pad:] = True
+    key = jax.random.PRNGKey(5)
+
+    def run():
+        state = init_lm_state(CFG, B)
+        state, f = lm_generate_frame(
+            lm_params, CFG, state, jnp.asarray(tokens), jnp.asarray(tmask),
+            jnp.asarray(valid), key)
+        frames = [np.asarray(f)]
+        for t in range(3):
+            ft, fm = build_step_frame(CFG, f)
+            state, f = lm_generate_frame(
+                lm_params, CFG, state, ft, fm, jnp.ones((B, 1), bool),
+                jax.random.fold_in(key, t))
+            frames.append(np.asarray(f))
+        return np.stack(frames)
+
+    monkeypatch.setenv("FRTTS2_PALLAS", "0")
+    ref = run()
+    monkeypatch.setenv("FRTTS2_PALLAS", "1")
+    got = run()
+    np.testing.assert_array_equal(ref, got)
+
+
 # ------------------------------------------------------------- loss
 
 def test_lm_loss_finite_and_composed(rng, lm_params):

@@ -53,3 +53,21 @@ def test_engine_with_quantized_depth_runs():
     chunks = list(e.generate_stream("stream it", "[S1]", [],
                                     max_audio_length_ms=480))
     assert chunks and all(np.isfinite(c).all() for c in chunks)
+
+
+def test_engine_with_quantized_backbone_runs():
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    import dataclasses
+
+    cfg = tiny_engine_config()
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, quantize_depth=True,
+                                     quantize_backbone=True))
+    e = FireRedTTS2Engine(config=cfg, seed=0)
+    assert e.lm_params["backbone"]["wq"].dtype == jnp.int8
+    audio = e.generate("quantized backbone", "[S1]", [],
+                       max_audio_length_ms=480)
+    assert audio.shape[0] % 1920 == 0 and np.isfinite(audio).all()
+    chunks = list(e.generate_stream("stream it", "[S1]", [],
+                                    max_audio_length_ms=480))
+    assert chunks and all(np.isfinite(c).all() for c in chunks)
