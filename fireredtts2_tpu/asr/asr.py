@@ -1,0 +1,362 @@
+"""Whisper ASR service layer: transcribe / language-detect / streaming.
+
+Capability parity with the reference's `WhisperASR` + `StreamingWhisperASR`
+(reference whisper_asr.py:56-357, 360-511): preprocessing (mono, fp32,
+resample to 16 kHz, normalize, 30 s trim), warmup, greedy transcription
+with confidence from mean token logprob, no-speech gating, language
+detection, perf stats, and a background streaming loop with overlapping
+chunks + rolling context. The model underneath is the native JAX whisper
+(asr/model.py) instead of the `openai-whisper` torch package, so the whole
+ASR path runs on TPU inside single compiled programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fireredtts2_tpu.asr.model import (
+    WhisperASRModelConfig, init_asr_params, asr_greedy_decode,
+    asr_detect_language, TINY_ASR,
+)
+from fireredtts2_tpu.ops.audio import whisper_mel_filters, log_mel_spectrogram
+from fireredtts2_tpu.utils.audio_io import resample
+
+# Whisper's language inventory, in the model's language-token order
+# (<|en|> is first_language_id; public whisper tokenizer table).
+LANGUAGES: List[str] = [
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su", "yue",
+]
+
+
+@dataclass
+class TranscriptionResult:
+    """Mirror of reference TranscriptionResult (whisper_asr.py:24-35)."""
+    text: str
+    confidence: float
+    language: str
+    start_time: float
+    end_time: float
+    segments: List[Dict[str, Any]]
+    processing_time_ms: float
+    model_name: str
+    is_final: bool = True
+
+
+@dataclass
+class ASRConfig:
+    """Decoding knobs (reference ASRConfig, whisper_asr.py:37-54; beam/
+    best-of are torch-package search options — the TPU path is greedy,
+    the reference's own default temperature=0.0)."""
+    model_size: str = "large-v3"
+    language: Optional[str] = None       # None = auto-detect
+    task: str = "transcribe"
+    temperature: float = 0.0
+    no_speech_threshold: float = 0.6
+    logprob_threshold: float = -1.0
+    max_new_tokens: int = 224
+    condition_on_previous_text: bool = True
+
+
+Detokenizer = Callable[[List[int]], str]
+
+
+def _default_detokenizer(ids: List[int]) -> str:
+    """Fallback used when no tokenizer is wired (random-weight dev mode):
+    a readable token-id transcript, NOT natural text."""
+    return " ".join(str(i) for i in ids)
+
+
+def load_hf_detokenizer(tokenizer_dir: str) -> Detokenizer:
+    """Local-files-only HF tokenizer (no downloads in this environment)."""
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(tokenizer_dir, local_files_only=True)
+    return lambda ids: tok.decode(ids, skip_special_tokens=True)
+
+
+class WhisperASR:
+    """Greedy whisper transcription on TPU.
+
+    Parameters default to a RANDOM-weight tiny model (dev mode, same policy
+    as the TTS engine) — pass params/model_cfg converted via
+    asr/convert.py:load_hf_whisper for real checkpoints.
+    """
+
+    def __init__(self, config: Optional[ASRConfig] = None,
+                 params: Optional[dict] = None,
+                 model_cfg: Optional[WhisperASRModelConfig] = None,
+                 detokenizer: Optional[Detokenizer] = None,
+                 seed: int = 0, warmup: bool = True):
+        self.config = config or ASRConfig()
+        self.model_cfg = model_cfg or TINY_ASR
+        self.params = params if params is not None else init_asr_params(
+            jax.random.PRNGKey(seed), self.model_cfg)
+        self.detokenize = detokenizer or _default_detokenizer
+        self.model_name = f"whisper-jax-{self.config.model_size}"
+
+        cfg = self.model_cfg
+        self._mel_filters = jnp.asarray(
+            whisper_mel_filters(cfg.n_mels))              # (n_freq, n_mels)
+        # 30 s of audio -> max_source_positions encoder frames (conv halves
+        # the 100 Hz mel rate). Everything is padded/trimmed to this STATIC
+        # shape so transcribe is one compiled program.
+        self._n_samples = cfg.max_source_positions * 2 * 160
+
+        self._decode = jax.jit(
+            lambda p, mel, mel_len, prompt: asr_greedy_decode(
+                p, cfg, mel, mel_len, prompt,
+                max_new=self.config.max_new_tokens))
+        self._lang = jax.jit(
+            lambda p, mel, mel_len: asr_detect_language(p, cfg, mel, mel_len))
+
+        self.total_transcriptions = 0
+        self.total_processing_time = 0.0
+        self.average_processing_time = 0.0
+
+        if warmup:
+            self._warmup()
+
+    # ------------------------------------------------------------- internals
+
+    def _warmup(self) -> None:
+        """Compile + run once on silence (reference _warmup_model,
+        whisper_asr.py:99-122)."""
+        silent = np.zeros(16_000, np.float32)
+        self.transcribe(silent, 16_000)
+
+    def _preprocess_audio(self, audio: np.ndarray, sample_rate: int
+                          ) -> np.ndarray:
+        """Mono fp32 16 kHz, normalized, trimmed to the 30 s window
+        (reference whisper_asr.py:228-262)."""
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        elif audio.dtype == np.int32:
+            audio = audio.astype(np.float32) / 2147483648.0
+        else:
+            audio = audio.astype(np.float32)
+        if sample_rate != 16_000:
+            audio = resample(audio, sample_rate, 16_000)
+        peak = np.abs(audio).max() if audio.size else 0.0
+        if peak > 1.0:
+            audio = audio / peak
+        return audio[: self._n_samples]
+
+    def _mel(self, audio16k: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """-> ((1, T_mel, n_mels) padded mel, (1,) real length)."""
+        n_real = len(audio16k)
+        padded = np.zeros(self._n_samples, np.float32)
+        padded[:n_real] = audio16k
+        mel = log_mel_spectrogram(jnp.asarray(padded)[None],
+                                  self._mel_filters)       # (1, n_mels, T)
+        mel_len = jnp.asarray([max(n_real // 160, 2)], jnp.int32)
+        return mel.transpose(0, 2, 1), mel_len
+
+    def _prompt_ids(self, language: Optional[str]) -> np.ndarray:
+        cfg = self.model_cfg
+        ids = [cfg.sot_id]
+        if language is not None and language in LANGUAGES[:cfg.num_languages]:
+            ids.append(cfg.first_language_id + LANGUAGES.index(language))
+        task_id = (cfg.translate_id if self.config.task == "translate"
+                   else cfg.transcribe_id)
+        ids += [task_id, cfg.no_timestamps_id]
+        return np.asarray([ids], np.int32)
+
+    # ------------------------------------------------------------------ API
+
+    def transcribe(self, audio_data: np.ndarray, sample_rate: int = 16_000,
+                   language: Optional[str] = None) -> TranscriptionResult:
+        """Greedy transcription (reference whisper_asr.py:124-226)."""
+        t0 = time.time()
+        lang = language or self.config.language
+        try:
+            audio = self._preprocess_audio(audio_data, sample_rate)
+            mel, mel_len = self._mel(audio)
+            prompt = jnp.asarray(self._prompt_ids(lang))
+            res = self._decode(self.params, mel, mel_len, prompt)
+
+            n = int(res.n_tokens[0])
+            ids = [int(t) for t in np.asarray(res.tokens[0][:n])]
+            avg_lp = float(res.sum_logprob[0]) / max(n + 1, 1)
+            no_speech = float(res.no_speech_prob[0])
+
+            text = self.detokenize(ids) if ids else ""
+            # no-speech gate (openai whisper decode semantics): silence if
+            # p(nospeech) is high AND the transcript logprob is weak.
+            if (no_speech > self.config.no_speech_threshold
+                    and avg_lp < self.config.logprob_threshold):
+                text, ids = "", []
+
+            dt = (time.time() - t0) * 1000.0
+            self.total_transcriptions += 1
+            self.total_processing_time += dt
+            self.average_processing_time = (
+                self.total_processing_time / self.total_transcriptions)
+
+            confidence = float(np.clip(np.exp(avg_lp), 0.0, 1.0)) if ids else 0.0
+            seg = {"id": 0, "start": 0.0, "end": len(audio) / 16_000,
+                   "text": text, "tokens": ids, "temperature": 0.0,
+                   "avg_logprob": avg_lp, "compression_ratio": 0.0,
+                   "no_speech_prob": no_speech}
+            return TranscriptionResult(
+                text=text.strip(), confidence=confidence,
+                language=lang or "unknown", start_time=0.0,
+                end_time=len(audio) / 16_000, segments=[seg] if ids else [],
+                processing_time_ms=dt, model_name=self.model_name)
+        except Exception:
+            # loud in logs, quiet to callers — reference returns an empty
+            # result on failure (whisper_asr.py:209-226)
+            import logging
+            logging.getLogger(__name__).exception("transcription failed")
+            return TranscriptionResult(
+                text="", confidence=0.0, language="unknown", start_time=0.0,
+                end_time=0.0, segments=[],
+                processing_time_ms=(time.time() - t0) * 1000.0,
+                model_name=self.model_name)
+
+    def detect_language(self, audio_data: np.ndarray,
+                        sample_rate: int = 16_000) -> Dict[str, Any]:
+        """-> {language, confidence, all_probabilities(top10)} (reference
+        whisper_asr.py:295-330)."""
+        audio = self._preprocess_audio(audio_data, sample_rate)
+        mel, mel_len = self._mel(audio)
+        probs = np.asarray(self._lang(self.params, mel, mel_len))[0]
+        n = min(len(LANGUAGES), len(probs))
+        order = np.argsort(probs[:n])[::-1]
+        return {
+            "language": LANGUAGES[int(order[0])],
+            "confidence": float(probs[order[0]]),
+            "all_probabilities": {
+                LANGUAGES[int(i)]: float(probs[i]) for i in order[:10]},
+        }
+
+    def get_supported_languages(self) -> List[str]:
+        return LANGUAGES[: self.model_cfg.num_languages]
+
+    def get_performance_stats(self) -> Dict[str, Any]:
+        return {
+            "total_transcriptions": self.total_transcriptions,
+            "average_processing_time_ms": self.average_processing_time,
+            "total_processing_time_ms": self.total_processing_time,
+            "model_name": self.model_name,
+            "backend": jax.default_backend(),
+        }
+
+    def as_transcriber(self) -> Callable[[np.ndarray], str]:
+        """Adapter to the serve/s2s.py Transcriber protocol."""
+        return lambda audio16k: self.transcribe(audio16k, 16_000).text
+
+
+class StreamingWhisperASR:
+    """Background streaming transcription: overlapping chunks + rolling
+    context (reference whisper_asr.py:360-511)."""
+
+    def __init__(self, asr: WhisperASR, chunk_duration: float = 2.0,
+                 overlap_duration: float = 0.5, sample_rate: int = 16_000):
+        self.asr = asr
+        self.sample_rate = sample_rate
+        self.chunk_size = int(chunk_duration * sample_rate)
+        self.overlap_size = int(overlap_duration * sample_rate)
+        self.audio_queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=64)
+        self.result_queue: "queue.Queue[TranscriptionResult]" = queue.Queue(maxsize=16)
+        self.audio_buffer: deque = deque()
+        self.context_history: deque = deque(maxlen=5)
+        self.is_streaming = False
+        self._thread: Optional[threading.Thread] = None
+
+    def start_streaming(self) -> None:
+        if self.is_streaming:
+            return
+        self.is_streaming = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop_streaming(self) -> None:
+        self.is_streaming = False
+        if self._thread:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def add_audio_chunk(self, audio_data: np.ndarray,
+                        sample_rate: int = 16_000) -> None:
+        if sample_rate != self.sample_rate:
+            audio_data = resample(audio_data.astype(np.float32),
+                                  sample_rate, self.sample_rate)
+        try:
+            self.audio_queue.put(audio_data.astype(np.float32), timeout=0.1)
+        except queue.Full:
+            pass  # drop under backpressure, same as the reference
+
+    def get_transcription_result(self, timeout: float = 0.1
+                                 ) -> Optional[TranscriptionResult]:
+        try:
+            return self.result_queue.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def _loop(self) -> None:
+        while self.is_streaming:
+            try:
+                chunk = self.audio_queue.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            self.audio_buffer.extend(chunk.tolist())
+            if len(self.audio_buffer) < self.chunk_size:
+                continue
+            data = np.asarray(list(self.audio_buffer)[: self.chunk_size],
+                              np.float32)
+            for _ in range(self.chunk_size - self.overlap_size):
+                if self.audio_buffer:
+                    self.audio_buffer.popleft()
+            res = self.asr.transcribe(data, self.sample_rate)
+            res.is_final = False
+            if res.text.strip():
+                self.context_history.append(res)
+                try:
+                    self.result_queue.put(res, timeout=0.1)
+                except queue.Full:
+                    try:
+                        self.result_queue.get_nowait()
+                        self.result_queue.put_nowait(res)
+                    except queue.Empty:
+                        pass
+
+
+def create_asr_interface(asr: Optional[WhisperASR] = None
+                         ) -> tuple[WhisperASR, StreamingWhisperASR, dict]:
+    """Reference create_asr_interface parity (whisper_asr.py:513-599):
+    returns (asr, streaming_asr, callable interface dict)."""
+    asr = asr or WhisperASR()
+    streaming = StreamingWhisperASR(asr)
+    interface = {
+        "transcribe": lambda audio, sr=16_000, language=None:
+            asr.transcribe(audio, sr, language),
+        "detect_language": lambda audio, sr=16_000:
+            asr.detect_language(audio, sr),
+        "start_streaming": streaming.start_streaming,
+        "stop_streaming": streaming.stop_streaming,
+        "add_audio_chunk": streaming.add_audio_chunk,
+        "get_result": streaming.get_transcription_result,
+        "get_performance_stats": asr.get_performance_stats,
+        "supported_languages": asr.get_supported_languages,
+    }
+    return asr, streaming, interface

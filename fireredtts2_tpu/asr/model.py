@@ -1,0 +1,345 @@
+"""Whisper encoder-decoder ASR model in JAX (TPU-first).
+
+The reference wraps the `openai-whisper` package (whisper_asr.py:73-97
+loads `whisper.load_model(...)`, :124 `transcribe`). Here the model itself
+is implemented natively: the encoder reuses the whisper blocks already
+shipped for the codec SSL stack (models/codec/whisper_nn.py — the codec's
+frozen SSL encoder IS a whisper encoder), and this module adds the text
+decoder (self-attention with a static KV slab + cross-attention over
+precomputed encoder K/V) and a greedy transcription loop compiled as ONE
+device program (`lax.while_loop` over tokens, on-device EOT).
+
+Weight layout matches HF `WhisperForConditionalGeneration` via
+asr/convert.py; numerics are parity-tested against the HF torch model at
+tiny dims in tests/test_asr.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from fireredtts2_tpu.models.codec.whisper_nn import (
+    init_whisper_encoder, whisper_encoder_forward, layer_norm,
+)
+from fireredtts2_tpu.ops.attention import mha_attention
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class WhisperASRModelConfig:
+    """Dims + special-token ids of a Whisper checkpoint.
+
+    Defaults are whisper-large-v3 (the reference's `model_size="large"`
+    tier; HF openai/whisper-large-v3 config.json).
+    """
+
+    n_mels: int = 128
+    vocab_size: int = 51_866
+    encoder_layers: int = 32
+    decoder_layers: int = 32
+    num_heads: int = 20
+    embed_dim: int = 1280
+    ffn_dim: int = 5120
+    max_source_positions: int = 1500   # 30 s of 50 Hz encoder frames
+    max_target_positions: int = 448
+    # Special tokens (large-v3 multilingual vocab):
+    sot_id: int = 50_258               # <|startoftranscript|>
+    eot_id: int = 50_257               # <|endoftext|>
+    transcribe_id: int = 50_360        # <|transcribe|>
+    translate_id: int = 50_359         # <|translate|>
+    no_timestamps_id: int = 50_364     # <|notimestamps|>
+    no_speech_id: int = 50_362         # <|nospeech|>
+    first_language_id: int = 50_259    # <|en|>; languages are contiguous
+    num_languages: int = 100
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+TINY_ASR = WhisperASRModelConfig(
+    n_mels=16, vocab_size=64, encoder_layers=2, decoder_layers=2,
+    num_heads=2, embed_dim=32, ffn_dim=64, max_source_positions=32,
+    max_target_positions=24, sot_id=60, eot_id=59, transcribe_id=58,
+    translate_id=57, no_timestamps_id=56, no_speech_id=55,
+    first_language_id=40, num_languages=8)
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def _init_decoder_layers(key: Array, L: int, D: int, F: int, dtype) -> Params:
+    ks = jax.random.split(key, 10)
+
+    def w(k, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    zeros = lambda *s: jnp.zeros(s, dtype)
+    ones = lambda *s: jnp.ones(s, dtype)
+    return {
+        # self-attention (k has no bias — whisper convention)
+        "self_wq": w(ks[0], L, D, D), "self_bq": zeros(L, D),
+        "self_wk": w(ks[1], L, D, D),
+        "self_wv": w(ks[2], L, D, D), "self_bv": zeros(L, D),
+        "self_wo": w(ks[3], L, D, D), "self_bo": zeros(L, D),
+        "self_ln_w": ones(L, D), "self_ln_b": zeros(L, D),
+        # cross-attention over encoder states
+        "cross_wq": w(ks[4], L, D, D), "cross_bq": zeros(L, D),
+        "cross_wk": w(ks[5], L, D, D),
+        "cross_wv": w(ks[6], L, D, D), "cross_bv": zeros(L, D),
+        "cross_wo": w(ks[7], L, D, D), "cross_bo": zeros(L, D),
+        "cross_ln_w": ones(L, D), "cross_ln_b": zeros(L, D),
+        # FFN
+        "fc1_w": w(ks[8], L, D, F), "fc1_b": zeros(L, F),
+        "fc2_w": w(ks[9], L, F, D), "fc2_b": zeros(L, D),
+        "ffn_ln_w": ones(L, D), "ffn_ln_b": zeros(L, D),
+    }
+
+
+def init_asr_params(key: Array, cfg: WhisperASRModelConfig,
+                    dtype=jnp.float32) -> Params:
+    ke, kd, kt, kp = jax.random.split(key, 4)
+    D = cfg.embed_dim
+    return {
+        "encoder": init_whisper_encoder(
+            ke, cfg.n_mels, D, cfg.encoder_layers, cfg.num_heads,
+            cfg.ffn_dim, cfg.max_source_positions, dtype),
+        "decoder": {
+            "layers": _init_decoder_layers(
+                kd, cfg.decoder_layers, D, cfg.ffn_dim, dtype),
+            "token_emb": (jax.random.normal(
+                kt, (cfg.vocab_size, D), jnp.float32) * 0.02).astype(dtype),
+            "pos_emb": (jax.random.normal(
+                kp, (cfg.max_target_positions, D), jnp.float32) * 0.02
+            ).astype(dtype),
+            "ln_w": jnp.ones((D,), dtype),
+            "ln_b": jnp.zeros((D,), dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Decoder forward
+# ---------------------------------------------------------------------------
+
+
+class ASRDecodeState(NamedTuple):
+    """Self-attn KV slabs + position for the AR text decode."""
+    cache_k: Array        # (L, B, T_ctx, H, Dh)
+    cache_v: Array
+    pos: Array            # () int32 — shared across the batch (no padding)
+
+
+def init_asr_decode_state(cfg: WhisperASRModelConfig, batch: int,
+                          dtype=jnp.float32) -> ASRDecodeState:
+    shape = (cfg.decoder_layers, batch, cfg.max_target_positions,
+             cfg.num_heads, cfg.head_dim)
+    return ASRDecodeState(cache_k=jnp.zeros(shape, dtype),
+                          cache_v=jnp.zeros(shape, dtype), pos=jnp.int32(0))
+
+
+def precompute_cross_kv(params: Params, cfg: WhisperASRModelConfig,
+                        enc: Array) -> dict[str, Array]:
+    """Encoder states -> per-layer cross-attention K/V, computed ONCE per
+    utterance (the reference's torch whisper re-projects encoder states
+    through the hooked kv_cache the first decode step; same idea).
+
+    enc: (B, T_enc, D) -> {"k","v"}: (L, B, T_enc, H, Dh)."""
+    lp = params["decoder"]["layers"]
+    B, T, D = enc.shape
+    H, Dh = cfg.num_heads, cfg.head_dim
+
+    def per_layer(wk, wv, bv):
+        k = (enc @ wk).reshape(B, T, H, Dh)
+        v = (enc @ wv + bv).reshape(B, T, H, Dh)
+        return k, v
+
+    k, v = jax.vmap(per_layer)(lp["cross_wk"], lp["cross_wv"], lp["cross_bv"])
+    return {"k": k, "v": v}
+
+
+def _decoder_layer(h: Array, lp: Params, cfg: WhisperASRModelConfig,
+                   self_mask: Array, cross_k: Array, cross_v: Array,
+                   cross_mask: Optional[Array],
+                   k_slab: Array, v_slab: Array, cache_pos: Array):
+    B, S, D = h.shape
+    H, Dh = cfg.num_heads, cfg.head_dim
+
+    # self-attention over the KV slab
+    x = layer_norm(h, lp["self_ln_w"], lp["self_ln_b"])
+    q = (x @ lp["self_wq"] + lp["self_bq"]).reshape(B, S, H, Dh)
+    k = (x @ lp["self_wk"]).reshape(B, S, H, Dh)
+    v = (x @ lp["self_wv"] + lp["self_bv"]).reshape(B, S, H, Dh)
+    k_slab = jax.lax.dynamic_update_slice(
+        k_slab, k.astype(k_slab.dtype), (0, cache_pos, 0, 0))
+    v_slab = jax.lax.dynamic_update_slice(
+        v_slab, v.astype(v_slab.dtype), (0, cache_pos, 0, 0))
+    attn = mha_attention(q, k_slab.astype(h.dtype), v_slab.astype(h.dtype),
+                         self_mask)
+    h = h + (attn.reshape(B, S, D) @ lp["self_wo"] + lp["self_bo"]).astype(h.dtype)
+
+    # cross-attention over precomputed encoder K/V
+    x = layer_norm(h, lp["cross_ln_w"], lp["cross_ln_b"])
+    q = (x @ lp["cross_wq"] + lp["cross_bq"]).reshape(B, S, H, Dh)
+    attn = mha_attention(q, cross_k.astype(h.dtype), cross_v.astype(h.dtype),
+                         cross_mask)
+    h = h + (attn.reshape(B, S, D) @ lp["cross_wo"] + lp["cross_bo"]).astype(h.dtype)
+
+    # FFN
+    x = layer_norm(h, lp["ffn_ln_w"], lp["ffn_ln_b"])
+    x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
+    h = h + (x @ lp["fc2_w"] + lp["fc2_b"]).astype(h.dtype)
+    return h, k_slab, v_slab
+
+
+def asr_decoder_forward(params: Params, cfg: WhisperASRModelConfig,
+                        tokens: Array, state: ASRDecodeState,
+                        cross_kv: dict[str, Array],
+                        enc_len: Optional[Array] = None,
+                        ) -> tuple[Array, ASRDecodeState]:
+    """Decode a window of tokens (B, S) at positions [pos, pos+S).
+
+    Returns (logits (B, S, V) fp32, new state). One call covers prompt
+    prefill (S>1) and AR steps (S=1) — same single-program design as the
+    TTS LM (models/lm/model.py).
+    """
+    dec = params["decoder"]
+    B, S = tokens.shape
+    dtype = dec["token_emb"].dtype
+    pos = state.pos
+
+    h = dec["token_emb"][tokens]
+    h = h + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, S, axis=0)[None]
+    h = h.astype(dtype)
+
+    # causal over the slab: query at absolute position p sees slots <= p
+    T_ctx = state.cache_k.shape[2]
+    qpos = pos + jnp.arange(S, dtype=jnp.int32)
+    self_mask = (jnp.arange(T_ctx, dtype=jnp.int32)[None, :]
+                 <= qpos[:, None])[None]            # (1, S, T_ctx)
+    self_mask = jnp.broadcast_to(self_mask, (B, S, T_ctx))
+
+    cross_mask = None
+    if enc_len is not None:
+        T_enc = cross_kv["k"].shape[2]
+        cross_mask = (jnp.arange(T_enc)[None, :] < enc_len[:, None])[:, None, :]
+        cross_mask = jnp.broadcast_to(cross_mask, (B, S, T_enc))
+
+    def body(hh, xs):
+        lp, ck, cv, ks, vs = xs
+        hh, ks, vs = _decoder_layer(hh, lp, cfg, self_mask, ck, cv,
+                                    cross_mask, ks, vs, pos)
+        return hh, (ks, vs)
+
+    h, (nk, nv) = jax.lax.scan(
+        body, h, (dec["layers"], cross_kv["k"], cross_kv["v"],
+                  state.cache_k, state.cache_v))
+    h = layer_norm(h, dec["ln_w"], dec["ln_b"])
+    logits = h.astype(jnp.float32) @ dec["token_emb"].T.astype(jnp.float32)
+    return logits, ASRDecodeState(cache_k=nk, cache_v=nv, pos=pos + S)
+
+
+# ---------------------------------------------------------------------------
+# Greedy transcription (one device program)
+# ---------------------------------------------------------------------------
+
+
+def asr_encode(params: Params, cfg: WhisperASRModelConfig, mel: Array,
+               mel_len: Array) -> tuple[Array, Array]:
+    """(B, T_mel, n_mels) log-mel -> (B, T_enc, D) encoder states + lengths."""
+    return whisper_encoder_forward(params["encoder"], cfg.num_heads,
+                                   mel, mel_len)
+
+
+class GreedyResult(NamedTuple):
+    tokens: Array          # (B, max_new) int32, eot-padded
+    n_tokens: Array        # (B,) int32 — tokens before EOT
+    sum_logprob: Array     # (B,) fp32 — sum of greedy token logprobs
+    no_speech_prob: Array  # (B,) fp32 — p(<|nospeech|>) at the SOT step
+
+
+def asr_greedy_decode(params: Params, cfg: WhisperASRModelConfig,
+                      mel: Array, mel_len: Array, prompt: Array,
+                      max_new: int, suppress_blank_id: int = -1) -> GreedyResult:
+    """Whole-utterance greedy transcription as ONE jitted program.
+
+    Args:
+        mel: (B, T_mel, n_mels); mel_len: (B,); prompt: (B, P) forced
+        tokens (e.g. [sot, lang, transcribe, notimestamps]); max_new:
+        STATIC output budget.
+
+    Mirrors reference whisper transcribe with temperature=0 (greedy);
+    beam/best-of are quality knobs of the torch package, not the model —
+    greedy is the production path here (whisper_asr.py:141 temperature=0.0).
+    """
+    B, P = prompt.shape
+    enc, enc_len = asr_encode(params, cfg, mel, mel_len)
+    cross = precompute_cross_kv(params, cfg, enc)
+    state = init_asr_decode_state(cfg, B, enc.dtype)
+
+    logits, state = asr_decoder_forward(params, cfg, prompt, state, cross,
+                                        enc_len)
+    # p(no-speech) at the SOT position (openai whisper decoding.py reads the
+    # same logit before sampling begins).
+    no_speech = jax.nn.softmax(logits[:, 0], axis=-1)[:, cfg.no_speech_id]
+
+    logp = jax.nn.log_softmax(logits[:, -1], axis=-1)     # (B, V)
+    tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+    slp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+
+    buf = jnp.full((B, max_new), cfg.eot_id, jnp.int32)
+    done = tok == cfg.eot_id
+    buf = buf.at[:, 0].set(jnp.where(done, cfg.eot_id, tok))
+    n = (~done).astype(jnp.int32)
+    sum_lp = slp
+
+    def cond(c):
+        _, _, _, _, done, _, t = c
+        return (t < max_new) & ~jnp.all(done)
+
+    def body(c):
+        state, buf, n, sum_lp, done, tok, t = c
+        logits, state = asr_decoder_forward(
+            params, cfg, tok[:, None], state, cross, enc_len)
+        logp = jax.nn.log_softmax(logits[:, -1], axis=-1)
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        lp_t = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
+        is_eot = nxt == cfg.eot_id
+        live = ~done & ~is_eot
+        buf = jax.lax.dynamic_update_index_in_dim(
+            buf, jnp.where(live, nxt, cfg.eot_id), t, axis=1)
+        n = n + live.astype(jnp.int32)
+        sum_lp = sum_lp + jnp.where(done, 0.0, lp_t)
+        # keep feeding EOT once done (a done stream's later outputs are
+        # discarded; its extra KV writes only affect itself)
+        return (state, buf, n, sum_lp, done | is_eot,
+                jnp.where(done, cfg.eot_id, nxt), t + 1)
+
+    carry = (state, buf, n, sum_lp, done, tok, jnp.int32(1))
+    _, buf, n, sum_lp, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    return GreedyResult(tokens=buf, n_tokens=n, sum_logprob=sum_lp,
+                        no_speech_prob=no_speech)
+
+
+def asr_detect_language(params: Params, cfg: WhisperASRModelConfig,
+                        mel: Array, mel_len: Array) -> Array:
+    """One decode step from [sot]: softmax restricted to the language-token
+    block -> (B, num_languages) probabilities (openai whisper
+    decoding.detect_language does exactly this)."""
+    B = mel.shape[0]
+    enc, enc_len = asr_encode(params, cfg, mel, mel_len)
+    cross = precompute_cross_kv(params, cfg, enc)
+    state = init_asr_decode_state(cfg, B, enc.dtype)
+    sot = jnp.full((B, 1), cfg.sot_id, jnp.int32)
+    logits, _ = asr_decoder_forward(params, cfg, sot, state, cross, enc_len)
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits[:, 0], cfg.first_language_id, cfg.num_languages, axis=1)
+    return jax.nn.softmax(lang_logits, axis=-1)

