@@ -75,7 +75,8 @@ def _cmd_serve(args):
     engine = _build_engine(args)
     print(f"serving: ws://0.0.0.0:{args.ws_port}  http://0.0.0.0:{args.http_port}/health")
     serve(engine, ws_port=args.ws_port, http_port=args.http_port,
-          session_dir=args.session_dir, max_streams=args.max_streams)
+          session_dir=args.session_dir, max_streams=args.max_streams,
+          voice_dir=args.voice_dir)
 
 
 def _cmd_qa(args):
@@ -134,6 +135,8 @@ def main(argv=None):
     s.add_argument("--session-dir", default=None)
     s.add_argument("--max-streams", type=int, default=8,
                    help="concurrent batched streams per chip (1 = serial)")
+    s.add_argument("--voice-dir", default=None,
+                   help="voice-profile store dir (enables /api/v1/voices)")
     s.set_defaults(fn=_cmd_serve)
 
     q = sub.add_parser("qa", help="run QA scenarios against the engine")

@@ -309,14 +309,88 @@ class WebSocketTTSServer:
 
 
 class HealthHTTPServer:
-    """stdlib REST endpoints (no fastapi in this image): /health, /stats
-    (mirrors reference runpod_deployment.py:183-271) plus the reference's
-    REST TTS surface (api_interfaces.py:201-541): POST /api/v1/tts/generate
-    returning base64 PCM16."""
+    """stdlib REST endpoints (no fastapi in this image). Mirrors the
+    reference REST surface (api_interfaces.py:201-541):
+
+    - GET  /health, /stats, /demo              (runpod_deployment.py:183-271)
+    - POST /api/v1/tts/generate                (api_interfaces.py:204)
+    - POST /api/v1/tts/generate-streaming      (:237 — chunked PCM16 bytes)
+    - GET  /api/v1/tts/status/<request_id>     (:259)
+    - GET/POST/DELETE /api/v1/voices[...]      (:285 create; CRUD over
+      serve/voices.py; uploads are hex-PCM16 JSON, the WS protocol's format,
+      instead of multipart)
+    - POST /api/v1/conversations/start         (:337)
+    - GET/DELETE /api/v1/conversations/<id> and POST .../turn — a text turn
+      answered by the Responder chain + spoken reply (speech path of
+      speech_to_speech_interface.py without the mic).
+    """
 
     def __init__(self, ws_server: WebSocketTTSServer, host: str = "0.0.0.0",
-                 port: int = 8080):
+                 port: int = 8080, voice_dir: Optional[str] = None):
+        import base64
+
         from fireredtts2_tpu.serve.security import validate_text_input
+        from fireredtts2_tpu.serve.voices import VoiceProfileManager
+        from fireredtts2_tpu.serve.s2s import ResponderChain, RuleBasedResponder
+        from fireredtts2_tpu.utils.native import pcm16_to_f32
+        from fireredtts2_tpu.utils.audio_io import resample
+
+        voices = VoiceProfileManager(voice_dir) if voice_dir else None
+        responder = ResponderChain([RuleBasedResponder()])
+        statuses: dict[str, dict] = {}
+        statuses_lock = threading.Lock()
+
+        def track(request_id: str, **kw) -> None:
+            with statuses_lock:
+                st = statuses.setdefault(request_id, {"request_id": request_id})
+                st.update(kw)
+                # bounded memory: keep the most recent 512 requests
+                if len(statuses) > 512:
+                    for k in list(statuses)[: len(statuses) - 512]:
+                        del statuses[k]
+
+        def run_tts(text: str, req: dict, on_chunk=None):
+            """Submit one request and block for completion. Returns
+            (audio, err). on_chunk (if given) streams chunks."""
+            request_id = req.get("request_id") or uuid.uuid4().hex
+            done = threading.Event()
+            result: dict = {}
+
+            def on_done(audio, err):
+                result["audio"], result["err"] = audio, err
+                track(request_id,
+                      status="error" if err is not None else "completed",
+                      duration_s=(0.0 if audio is None else
+                                  len(audio) / ws_server.service.engine.output_sample_rate))
+                done.set()
+
+            track(request_id, status="processing", created_at=time.time(),
+                  text_len=len(text))
+            ws_server.service.submit(TTSRequest(
+                request_id=request_id, text=text,
+                speaker=req.get("speaker", "[S1]"),
+                temperature=float(req.get("temperature", 0.9)),
+                topk=int(req.get("top_k", 20)),
+                streaming=on_chunk is not None,
+                max_audio_length_ms=float(
+                    req.get("max_audio_length_ms", 30_000)),
+                on_chunk=on_chunk or (lambda c: None), on_done=on_done))
+            if not done.wait(timeout=600):
+                track(request_id, status="timeout")
+                return None, TimeoutError("generation timed out")
+            return result["audio"], result["err"]
+
+        def decode_audio_payload(req: dict) -> np.ndarray:
+            """hex/base64 PCM16 (+sample_rate) -> float32 mono 16 kHz."""
+            if "data_b64" in req:
+                raw = base64.b64decode(req["data_b64"])
+            else:
+                raw = bytes.fromhex(req.get("data", ""))
+            audio = pcm16_to_f32(raw)
+            sr = int(req.get("sample_rate", 16_000))
+            if sr != 16_000:
+                audio = resample(audio, sr, 16_000)
+            return audio
 
         class Handler(BaseHTTPRequestHandler):
             def _json(self, code: int, obj: dict):
@@ -327,7 +401,18 @@ class HealthHTTPServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _body(self) -> Optional[dict]:
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    return json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self._json(400, {"error": "invalid json"})
+                    return None
+
+            # ------------------------------------------------------- GET
+
             def do_GET(self):
+                parts = [p for p in self.path.split("?")[0].split("/") if p]
                 if self.path == "/health":
                     self._json(200, {"status": "healthy",
                                      "uptime_s": time.time() - ws_server.started})
@@ -342,56 +427,195 @@ class HealthHTTPServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                elif parts[:4] == ["api", "v1", "tts", "status"] and len(parts) == 5:
+                    with statuses_lock:
+                        st = statuses.get(parts[4])
+                    self._json(200, st) if st else self._json(
+                        404, {"error": "request not found"})
+                elif parts[:3] == ["api", "v1", "voices"] and voices:
+                    if len(parts) == 3:
+                        self._json(200, {"voices": [
+                            {"profile_id": p.profile_id, "name": p.name,
+                             "reference_text": p.reference_text,
+                             "quality": p.quality, "created_at": p.created_at}
+                            for p in voices.list_profiles()]})
+                    else:
+                        p = voices.get(parts[3])
+                        self._json(200, {
+                            "profile_id": p.profile_id, "name": p.name,
+                            "reference_text": p.reference_text,
+                            "quality": p.quality, "metadata": p.metadata,
+                        }) if p else self._json(404, {"error": "voice not found"})
+                elif parts[:3] == ["api", "v1", "conversations"] and len(parts) == 4:
+                    s = ws_server.sessions.get(parts[3])
+                    if not s:
+                        self._json(404, {"error": "conversation not found"})
+                        return
+                    self._json(200, s.to_json())
                 else:
                     self._json(404, {"error": "not found"})
 
+            # ------------------------------------------------------ POST
+
             def do_POST(self):
-                if self.path != "/api/v1/tts/generate":
+                parts = [p for p in self.path.split("?")[0].split("/") if p]
+                if self.path == "/api/v1/tts/generate":
+                    self._tts(streaming=False)
+                elif self.path in ("/api/v1/tts/generate-streaming",
+                                   "/api/v1/tts/generate/stream"):
+                    self._tts(streaming=True)
+                elif self.path == "/api/v1/voices/create" and voices:
+                    self._voice_create()
+                elif self.path == "/api/v1/conversations/start":
+                    req = self._body()
+                    if req is None:
+                        return
+                    s = ws_server.sessions.create_session(metadata={
+                        "language": req.get("language", "English"),
+                        "response_style": req.get("response_style",
+                                                  "conversational"),
+                        "voice_profile_id": req.get("voice_profile_id"),
+                    })
+                    self._json(200, {"session_id": s.session_id,
+                                     "created_at": s.created_at})
+                elif (parts[:3] == ["api", "v1", "conversations"]
+                      and len(parts) == 5 and parts[4] == "turn"):
+                    self._conversation_turn(parts[3])
+                else:
                     self._json(404, {"error": "not found"})
-                    return
-                try:
-                    n = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(n) or b"{}")
-                except (ValueError, json.JSONDecodeError):
-                    self._json(400, {"error": "invalid json"})
+
+            def do_DELETE(self):
+                parts = [p for p in self.path.split("?")[0].split("/") if p]
+                if parts[:3] == ["api", "v1", "voices"] and len(parts) == 4 \
+                        and voices:
+                    ok = voices.delete(parts[3])
+                    self._json(200 if ok else 404,
+                               {"deleted": ok} if ok
+                               else {"error": "voice not found"})
+                elif parts[:3] == ["api", "v1", "conversations"] and len(parts) == 4:
+                    ws_server.sessions.end_session(parts[3])
+                    self._json(200, {"ended": True})
+                else:
+                    self._json(404, {"error": "not found"})
+
+            # -------------------------------------------------- handlers
+
+            def _tts(self, streaming: bool):
+                req = self._body()
+                if req is None:
                     return
                 text = req.get("text", "")
                 v = validate_text_input(text)
                 if not v.ok:
                     self._json(400, {"error": v.reason})
                     return
-                done = threading.Event()
-                result: dict = {}
-
-                def on_done(audio, err):
-                    result["audio"], result["err"] = audio, err
-                    done.set()
-
-                ws_server.service.submit(TTSRequest(
-                    request_id=uuid.uuid4().hex, text=text,
-                    speaker=req.get("speaker", "[S1]"),
-                    temperature=float(req.get("temperature", 0.9)),
-                    topk=int(req.get("top_k", 20)), streaming=False,
-                    max_audio_length_ms=float(
-                        req.get("max_audio_length_ms", 30_000)),
-                    on_chunk=lambda c: None, on_done=on_done))
-                if not done.wait(timeout=600):
-                    self._json(504, {"error": "generation timed out"})
+                if not streaming:
+                    audio, err = run_tts(text, req)
+                    if err is not None:
+                        self._json(500, {"error": str(err)})
+                        return
+                    self._json(200, {
+                        "sample_rate": ws_server.service.engine.output_sample_rate,
+                        "format": "pcm16",
+                        "duration_s": len(audio) / ws_server.service.engine.output_sample_rate,
+                        "data": pcm16_hex(audio),
+                    })
                     return
-                if result["err"] is not None:
-                    self._json(500, {"error": str(result["err"])})
+                # chunked-transfer streaming: raw PCM16 bytes as they are
+                # decoded (reference api_interfaces.py:237-257 streams an
+                # octet-stream the same way)
+                from fireredtts2_tpu.utils.native import f32_to_pcm16
+
+                chunk_q: "queue.Queue" = queue.Queue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("X-Sample-Rate", str(
+                    ws_server.service.engine.output_sample_rate))
+                self.send_header("X-Format", "pcm16")
+                self.end_headers()
+
+                def on_chunk(c):
+                    chunk_q.put(c)
+
+                done_box: dict = {}
+
+                def finish():
+                    audio, err = run_tts(text, req, on_chunk=on_chunk)
+                    done_box["err"] = err
+                    chunk_q.put(None)
+
+                t = threading.Thread(target=finish, daemon=True)
+                t.start()
+                try:
+                    while True:
+                        c = chunk_q.get()
+                        if c is None:
+                            break
+                        payload = f32_to_pcm16(c)
+                        self.wfile.write(f"{len(payload):X}\r\n".encode())
+                        self.wfile.write(payload + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client hung up mid-stream
+
+            def _voice_create(self):
+                req = self._body()
+                if req is None:
                     return
-                audio = result["audio"]
-                self._json(200, {
-                    "sample_rate": ws_server.service.engine.output_sample_rate,
-                    "format": "pcm16",
-                    "duration_s": len(audio) / ws_server.service.engine.output_sample_rate,
-                    "data": pcm16_hex(audio),
-                })
+                name = req.get("name", "")
+                ref_text = req.get("reference_text", "")
+                if not name or not ref_text:
+                    self._json(400, {"error": "name and reference_text required"})
+                    return
+                try:
+                    audio = decode_audio_payload(req)
+                except ValueError:
+                    self._json(400, {"error": "invalid audio payload"})
+                    return
+                if audio.size < 1600:           # >= 0.1 s of 16 kHz audio
+                    self._json(400, {"error": "reference audio too short"})
+                    return
+                p = voices.create_profile(
+                    name=name, reference_text=ref_text, audio16k=audio,
+                    metadata={k: req[k] for k in
+                              ("language", "gender", "age_range",
+                               "description") if k in req})
+                self._json(200, {"profile_id": p.profile_id, "name": p.name,
+                                 "quality": p.quality})
+
+            def _conversation_turn(self, session_id: str):
+                req = self._body()
+                if req is None:
+                    return
+                s = ws_server.sessions.get(session_id)
+                if not s:
+                    self._json(404, {"error": "conversation not found"})
+                    return
+                text = req.get("text", "")
+                v = validate_text_input(text)
+                if not v.ok:
+                    self._json(400, {"error": v.reason})
+                    return
+                history = [(t.role, t.text)
+                           for t in ws_server.sessions.context_window(session_id)]
+                reply = responder(text, history)
+                audio, err = run_tts(reply, req)
+                if err is not None:
+                    self._json(500, {"error": str(err)})
+                    return
+                sr = ws_server.service.engine.output_sample_rate
+                ws_server.sessions.add_turn(session_id, "user", text)
+                ws_server.sessions.add_turn(session_id, "assistant", reply,
+                                            audio_duration_s=len(audio) / sr)
+                self._json(200, {"response_text": reply, "format": "pcm16",
+                                 "sample_rate": sr, "data": pcm16_hex(audio),
+                                 "duration_s": len(audio) / sr})
 
             def log_message(self, *a):  # quiet
                 pass
 
+        self.voices = voices
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True)
@@ -404,12 +628,14 @@ class HealthHTTPServer:
 
 
 def serve(engine, ws_port: int = 8765, http_port: int = 8080,
-          session_dir: Optional[str] = None, max_streams: int = 1) -> None:
-    """Blocking entry point: WebSocket TTS + HTTP health. max_streams > 1
-    serves concurrent requests through the continuous batcher."""
+          session_dir: Optional[str] = None, max_streams: int = 1,
+          voice_dir: Optional[str] = None) -> None:
+    """Blocking entry point: WebSocket TTS + HTTP REST. max_streams > 1
+    serves concurrent requests through the continuous batcher; voice_dir
+    enables the /api/v1/voices CRUD."""
     server = WebSocketTTSServer(engine, port=ws_port, session_dir=session_dir,
                                 max_streams=max_streams)
-    health = HealthHTTPServer(server, port=http_port)
+    health = HealthHTTPServer(server, port=http_port, voice_dir=voice_dir)
 
     async def main():
         await server.start()

@@ -1,0 +1,160 @@
+"""Socket-level tests for the extended REST surface (VERDICT missing #3):
+streaming TTS (chunked transfer), request status, voices CRUD, and
+conversations — reference api_interfaces.py:201-541."""
+
+import http.client
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rest(tmp_path_factory):
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.server import WebSocketTTSServer, HealthHTTPServer
+
+    voice_dir = str(tmp_path_factory.mktemp("voices"))
+    engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=18783)
+    http_srv = HealthHTTPServer(ws, host="127.0.0.1", port=18793,
+                                voice_dir=voice_dir)
+    http_srv.start()
+    yield {"base": "http://127.0.0.1:18793", "hostport": ("127.0.0.1", 18793)}
+    http_srv.stop()
+    ws.service.shutdown()
+
+
+def _post(base, path, obj, timeout=600):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(base, path, timeout=30):
+    with urllib.request.urlopen(base + path, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _delete(base, path, timeout=30):
+    req = urllib.request.Request(base + path, method="DELETE")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+# ------------------------------------------------------------ streaming TTS
+
+
+def test_streaming_tts_chunked_transfer(rest):
+    """POST generate-streaming must deliver PCM16 bytes incrementally via
+    chunked transfer encoding (reference api_interfaces.py:237-257)."""
+    conn = http.client.HTTPConnection(*rest["hostport"], timeout=600)
+    conn.request("POST", "/api/v1/tts/generate-streaming",
+                 body=json.dumps({"text": "stream me please"}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("X-Format") == "pcm16"
+    assert resp.getheader("X-Sample-Rate") == "24000"
+    data = resp.read()          # http.client de-chunks
+    conn.close()
+    pcm = np.frombuffer(data, dtype="<i2")
+    assert pcm.size > 0
+    assert np.abs(pcm.astype(np.int32)).max() <= 32767
+
+
+def test_streaming_tts_bad_input(rest):
+    conn = http.client.HTTPConnection(*rest["hostport"], timeout=30)
+    conn.request("POST", "/api/v1/tts/generate-streaming",
+                 body=json.dumps({"text": ""}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+
+def test_tts_status_endpoint(rest):
+    rid = "status-test-req"
+    code, body = _post(rest["base"], "/api/v1/tts/generate",
+                       {"text": "track my status", "request_id": rid})
+    assert code == 200
+    code, st = _get(rest["base"], f"/api/v1/tts/status/{rid}")
+    assert code == 200
+    assert st["status"] == "completed" and st["duration_s"] > 0
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(rest["base"], "/api/v1/tts/status/nonexistent")
+    assert ei.value.code == 404
+
+
+# ------------------------------------------------------------- voices CRUD
+
+
+def _pcm16_hex(audio: np.ndarray) -> str:
+    return (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes().hex()
+
+
+def test_voices_crud_roundtrip(rest):
+    audio = (np.sin(np.linspace(0, 200 * 2 * np.pi, 32_000))
+             .astype(np.float32) * 0.4)
+    code, created = _post(rest["base"], "/api/v1/voices/create", {
+        "name": "alice", "reference_text": "hello I am alice",
+        "data": _pcm16_hex(audio), "sample_rate": 16_000,
+        "language": "English", "gender": "F"})
+    assert code == 200 and created["profile_id"]
+    assert "quality" in created
+
+    code, lst = _get(rest["base"], "/api/v1/voices")
+    assert code == 200
+    assert any(v["name"] == "alice" for v in lst["voices"])
+
+    pid = created["profile_id"]
+    code, got = _get(rest["base"], f"/api/v1/voices/{pid}")
+    assert code == 200 and got["reference_text"] == "hello I am alice"
+    assert got["metadata"]["gender"] == "F"
+
+    code, d = _delete(rest["base"], f"/api/v1/voices/{pid}")
+    assert code == 200 and d["deleted"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(rest["base"], f"/api/v1/voices/{pid}")
+    assert ei.value.code == 404
+
+
+def test_voices_create_validation(rest):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(rest["base"], "/api/v1/voices/create",
+              {"name": "x", "reference_text": "y", "data": "0001"})
+    assert ei.value.code == 400  # too short
+
+
+# ----------------------------------------------------------- conversations
+
+
+def test_conversation_lifecycle(rest):
+    code, conv = _post(rest["base"], "/api/v1/conversations/start",
+                       {"language": "English"})
+    assert code == 200
+    sid = conv["session_id"]
+
+    code, turn = _post(rest["base"], f"/api/v1/conversations/{sid}/turn",
+                       {"text": "hello there"})
+    assert code == 200
+    assert turn["response_text"]
+    assert len(bytes.fromhex(turn["data"])) > 0
+
+    code, got = _get(rest["base"], f"/api/v1/conversations/{sid}")
+    assert code == 200
+    assert len(got["turns"]) == 2  # user + assistant
+
+    code, d = _delete(rest["base"], f"/api/v1/conversations/{sid}")
+    assert code == 200 and d["ended"]
+
+
+def test_conversation_turn_unknown_session(rest):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(rest["base"], "/api/v1/conversations/zzz/turn", {"text": "hi"})
+    assert ei.value.code == 404
