@@ -70,13 +70,20 @@ def _cmd_monologue(args):
 
 
 def _cmd_serve(args):
+    import os
+
+    from fireredtts2_tpu.serve.llm import build_responder_chain
     from fireredtts2_tpu.serve.server import serve
 
     engine = _build_engine(args)
+    responder = build_responder_chain(
+        primary=args.llm_primary, hf_model_dir=args.llm_model_dir,
+        openai_base_url=args.openai_base_url, openai_model=args.openai_model,
+        openai_api_key=os.environ.get("OPENAI_API_KEY"))
     print(f"serving: ws://0.0.0.0:{args.ws_port}  http://0.0.0.0:{args.http_port}/health")
     serve(engine, ws_port=args.ws_port, http_port=args.http_port,
           session_dir=args.session_dir, max_streams=args.max_streams,
-          voice_dir=args.voice_dir)
+          voice_dir=args.voice_dir, responder=responder)
 
 
 def _cmd_qa(args):
@@ -137,6 +144,15 @@ def main(argv=None):
                    help="concurrent batched streams per chip (1 = serial)")
     s.add_argument("--voice-dir", default=None,
                    help="voice-profile store dir (enables /api/v1/voices)")
+    s.add_argument("--llm-primary", default="rule_based",
+                   choices=["rule_based", "local", "openai"],
+                   help="primary conversation-LLM backend")
+    s.add_argument("--llm-model-dir", default=None,
+                   help="local HF causal-LM dir for the 'local' backend")
+    s.add_argument("--openai-base-url", default=None,
+                   help="OpenAI-compatible endpoint for the 'openai' backend"
+                        " (API key via OPENAI_API_KEY)")
+    s.add_argument("--openai-model", default="gpt-3.5-turbo")
     s.set_defaults(fn=_cmd_serve)
 
     q = sub.add_parser("qa", help="run QA scenarios against the engine")

@@ -70,6 +70,18 @@ class TTSRequest:
     on_done: any            # callable(np.ndarray | None, Exception | None)
     max_audio_length_ms: float = 30_000.0  # per-request cap (reference
     # honors the caller's max length per request, fireredtts2.py:131-143)
+    # Voice cloning (reference gradio_demo.py:153-198 monologue clone,
+    # enhanced_gradio_demo.py:245-340 dialogue with prompt audio):
+    mode: str = "dialogue"          # "dialogue" | "monologue_clone"
+    prompt_wav: Optional[str] = None
+    prompt_text: Optional[str] = None
+
+
+def _run_clone(engine, req: "TTSRequest") -> np.ndarray:
+    """Monologue voice clone via the engine's reference-parity path."""
+    return engine.generate_monologue(
+        req.text, prompt_wav=req.prompt_wav, prompt_text=req.prompt_text,
+        temperature=req.temperature, topk=req.topk)
 
 
 class BatchedTTSService:
@@ -87,6 +99,25 @@ class BatchedTTSService:
         self.batcher.start()
 
     def submit(self, req: TTSRequest) -> None:
+        if req.mode == "monologue_clone":
+            # Clone jobs run against the engine directly (JAX dispatch is
+            # thread-safe; state buffers are per-caller) — they are rare,
+            # long, and not batchable with live dialogue streams.
+            def clone():
+                self.monitor.start_inference(req.request_id)
+                try:
+                    audio = _run_clone(self.engine, req)
+                    self.monitor.end_inference(
+                        req.request_id,
+                        audio_seconds=len(audio) / self.engine.output_sample_rate)
+                    req.on_done(audio, None)
+                except Exception as e:
+                    self.monitor.end_inference(req.request_id, error=True)
+                    req.on_done(None, e)
+
+            threading.Thread(target=clone, daemon=True).start()
+            return
+
         def consume():
             self.monitor.start_inference(req.request_id)
             try:
@@ -142,7 +173,9 @@ class TTSService:
                 return
             self.monitor.start_inference(req.request_id)
             try:
-                if req.streaming:
+                if req.mode == "monologue_clone":
+                    audio = _run_clone(self.engine, req)
+                elif req.streaming:
                     total = []
                     for chunk in self.engine.generate_stream(
                             req.text, req.speaker, [],
@@ -326,7 +359,8 @@ class HealthHTTPServer:
     """
 
     def __init__(self, ws_server: WebSocketTTSServer, host: str = "0.0.0.0",
-                 port: int = 8080, voice_dir: Optional[str] = None):
+                 port: int = 8080, voice_dir: Optional[str] = None,
+                 responder=None):
         import base64
 
         from fireredtts2_tpu.serve.security import validate_text_input
@@ -336,7 +370,7 @@ class HealthHTTPServer:
         from fireredtts2_tpu.utils.audio_io import resample
 
         voices = VoiceProfileManager(voice_dir) if voice_dir else None
-        responder = ResponderChain([RuleBasedResponder()])
+        responder = responder or ResponderChain([RuleBasedResponder()])
         statuses: dict[str, dict] = {}
         statuses_lock = threading.Lock()
 
@@ -466,6 +500,8 @@ class HealthHTTPServer:
                     self._tts(streaming=True)
                 elif self.path == "/api/v1/voices/create" and voices:
                     self._voice_create()
+                elif self.path == "/api/v1/tts/clone" and voices:
+                    self._tts_clone()
                 elif self.path == "/api/v1/conversations/start":
                     req = self._body()
                     if req is None:
@@ -559,6 +595,54 @@ class HealthHTTPServer:
                 except (BrokenPipeError, ConnectionResetError):
                     pass  # client hung up mid-stream
 
+            def _tts_clone(self):
+                """Monologue synthesis in a stored voice (reference
+                gradio_demo.py:153-198 drives the same model path)."""
+                req = self._body()
+                if req is None:
+                    return
+                text = req.get("text", "")
+                v = validate_text_input(text)
+                if not v.ok:
+                    self._json(400, {"error": v.reason})
+                    return
+                p = voices.get(req.get("voice_profile_id", ""))
+                if p is None:
+                    self._json(404, {"error": "voice not found"})
+                    return
+                request_id = req.get("request_id") or uuid.uuid4().hex
+                done = threading.Event()
+                result: dict = {}
+
+                def on_done(audio, err):
+                    result["audio"], result["err"] = audio, err
+                    track(request_id,
+                          status="error" if err is not None else "completed",
+                          duration_s=(0.0 if audio is None else
+                                      len(audio) / ws_server.service.engine.output_sample_rate))
+                    done.set()
+
+                track(request_id, status="processing", created_at=time.time(),
+                      text_len=len(text), voice=p.name)
+                ws_server.service.submit(TTSRequest(
+                    request_id=request_id, text=text, speaker="[S1]",
+                    temperature=float(req.get("temperature", 0.75)),
+                    topk=int(req.get("top_k", 20)), streaming=False,
+                    mode="monologue_clone", prompt_wav=p.wav_path,
+                    prompt_text=p.reference_text,
+                    on_chunk=lambda c: None, on_done=on_done))
+                if not done.wait(timeout=600):
+                    self._json(504, {"error": "generation timed out"})
+                    return
+                if result["err"] is not None:
+                    self._json(500, {"error": str(result["err"])})
+                    return
+                audio = result["audio"]
+                sr = ws_server.service.engine.output_sample_rate
+                self._json(200, {"sample_rate": sr, "format": "pcm16",
+                                 "duration_s": len(audio) / sr,
+                                 "voice": p.name, "data": pcm16_hex(audio)})
+
             def _voice_create(self):
                 req = self._body()
                 if req is None:
@@ -629,13 +713,15 @@ class HealthHTTPServer:
 
 def serve(engine, ws_port: int = 8765, http_port: int = 8080,
           session_dir: Optional[str] = None, max_streams: int = 1,
-          voice_dir: Optional[str] = None) -> None:
+          voice_dir: Optional[str] = None, responder=None) -> None:
     """Blocking entry point: WebSocket TTS + HTTP REST. max_streams > 1
     serves concurrent requests through the continuous batcher; voice_dir
-    enables the /api/v1/voices CRUD."""
+    enables the /api/v1/voices CRUD; responder backs the conversations API
+    (build one with serve.llm.build_responder_chain)."""
     server = WebSocketTTSServer(engine, port=ws_port, session_dir=session_dir,
                                 max_streams=max_streams)
-    health = HealthHTTPServer(server, port=http_port, voice_dir=voice_dir)
+    health = HealthHTTPServer(server, port=http_port, voice_dir=voice_dir,
+                              responder=responder)
 
     async def main():
         await server.start()

@@ -158,3 +158,39 @@ def test_conversation_turn_unknown_session(rest):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(rest["base"], "/api/v1/conversations/zzz/turn", {"text": "hi"})
     assert ei.value.code == 404
+
+
+# ------------------------------------------------------------ voice cloning
+
+
+def test_tts_clone_with_stored_voice(rest):
+    """Upload a reference voice, then synthesize a monologue in it
+    (reference gradio_demo.py:153-198 drives the same path)."""
+    audio = (np.sin(np.linspace(0, 160 * 2 * np.pi, 24_000))
+             .astype(np.float32) * 0.4)
+    code, created = _post(rest["base"], "/api/v1/voices/create", {
+        "name": "bob", "reference_text": "this is bob speaking",
+        "data": _pcm16_hex(audio), "sample_rate": 16_000})
+    assert code == 200
+
+    code, out = _post(rest["base"], "/api/v1/tts/clone", {
+        "text": "Speak this in the stored voice.",
+        "voice_profile_id": created["profile_id"]}, timeout=600)
+    assert code == 200
+    assert out["voice"] == "bob"
+    pcm = np.frombuffer(bytes.fromhex(out["data"]), dtype="<i2")
+    assert pcm.size > 0 and out["duration_s"] > 0
+
+
+def test_tts_clone_unknown_voice(rest):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(rest["base"], "/api/v1/tts/clone",
+              {"text": "hello", "voice_profile_id": "nope"})
+    assert ei.value.code == 404
+
+
+def test_demo_page_has_cloning_ui(rest):
+    with urllib.request.urlopen(rest["base"] + "/demo", timeout=30) as r:
+        page = r.read().decode()
+    assert "voices/create" in page and "tts/clone" in page
+    assert "generate_speech" in page  # dialogue tab intact
