@@ -86,16 +86,19 @@ class FireRedTTS2Engine:
             config = EngineConfig(llm=llm_cfg, codec=codec_cfg, gen_type=gen_type)
             self.config = config
             from fireredtts2_tpu.runtime.checkpoint import (
-                load_lm_checkpoint, load_codec_checkpoint,
+                load_lm_checkpoint, load_codec_checkpoint, find_hf_whisper_dir,
             )
             lm_ckpt = os.path.join(
                 pretrained_dir,
                 "llm_pretrain.pt" if gen_type == "monologue" else "llm_posttrain.pt")
             self.lm_params = load_lm_checkpoint(lm_ckpt, llm_cfg,
                                                 _dtype_of(llm_cfg.dtype))
+            # The frozen SSL encoder ships as an HF whisper-large-v3 checkout
+            # when not embedded in codec.pt (reference codec/whisper.py:333).
             self.codec_params = load_codec_checkpoint(
                 os.path.join(pretrained_dir, "codec.pt"), codec_cfg,
-                _dtype_of(codec_cfg.dtype))
+                _dtype_of(codec_cfg.dtype),
+                hf_whisper_dir=find_hf_whisper_dir(pretrained_dir))
             self.tokenizer = load_tokenizer(
                 os.path.join(pretrained_dir, "Qwen2.5-1.5B"))
         else:

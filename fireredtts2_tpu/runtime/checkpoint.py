@@ -20,7 +20,7 @@ torch pickle is only read once.
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any, Mapping, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -324,11 +324,69 @@ def load_lm_checkpoint(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
     return convert_lm_state_dict(sd, cfg, dtype)
 
 
-def load_codec_checkpoint(path: str, cfg: CodecConfig, dtype=jnp.float32) -> Params:
+def load_codec_checkpoint(path: str, cfg: CodecConfig, dtype=jnp.float32,
+                          hf_whisper_dir: Optional[str] = None) -> Params:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)["generator"]
+    has_ssl = any(k.startswith("ssl.conv1") for k in sd)
+    if not has_ssl:
+        # The reference ships the frozen SSL encoder OUTSIDE codec.pt: it is
+        # whisper-large-v3's encoder pulled from HF
+        # (reference fireredtts2/codec/whisper.py:333-361 from_pretrained).
+        if hf_whisper_dir is None:
+            raise FileNotFoundError(
+                "codec checkpoint has no ssl.* weights; pass hf_whisper_dir "
+                "(a local openai/whisper-large-v3 checkout)")
+        sd = dict(sd)
+        sd.update(load_hf_whisper_encoder_sd(hf_whisper_dir, prefix="ssl"))
     return convert_codec_state_dict(sd, cfg, dtype)
+
+
+def load_hf_whisper_encoder_sd(model_dir: str, prefix: str = "ssl") -> dict:
+    """Local HF whisper checkpoint -> reference-style `{prefix}.*` encoder
+    state-dict entries (HF names 'model.encoder.X' / 'encoder.X' ->
+    '{prefix}.X'; the per-tensor layouts are already identical)."""
+    import os
+
+    import torch
+
+    st_path = os.path.join(model_dir, "model.safetensors")
+    pt_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.torch import load_file
+
+        sd = load_file(st_path)
+    else:
+        sd = torch.load(pt_path, map_location="cpu", weights_only=True)
+    out = {}
+    for k, v in sd.items():
+        for p in ("model.encoder.", "encoder."):
+            if k.startswith(p):
+                out[f"{prefix}." + k[len(p):]] = v
+                break
+    if not out:
+        raise ValueError(f"no encoder.* tensors found in {model_dir}")
+    return out
+
+
+def find_hf_whisper_dir(pretrained_dir: str) -> Optional[str]:
+    """Locate a local HF whisper checkout inside a pretrained dir (the
+    official SSL-encoder weights; reference pulls openai/whisper-large-v3)."""
+    import json as _json
+    import os
+
+    for name in sorted(os.listdir(pretrained_dir)):
+        sub = os.path.join(pretrained_dir, name)
+        cfg_path = os.path.join(sub, "config.json")
+        if os.path.isdir(sub) and os.path.exists(cfg_path):
+            try:
+                with open(cfg_path) as f:
+                    if _json.load(f).get("model_type") == "whisper":
+                        return sub
+            except (ValueError, OSError):
+                continue
+    return None
 
 
 def save_params(path: str, params: Params) -> None:

@@ -230,3 +230,48 @@ def test_s2s_pipeline_with_real_asr(tiny_asr):
     assert isinstance(res.transcript, str)
     assert res.response_text
     assert res.audio24k.size > 0 and np.isfinite(res.audio24k).all()
+
+
+# ----------------------------------------- official SSL-encoder weight path
+
+
+def test_hf_whisper_dir_loads_into_ssl_encoder(rng, tmp_path):
+    """The official-weights path (VERDICT missing #5): a local HF whisper
+    checkout converts into the codec SSL encoder tree verbatim and
+    reproduces the HF torch encoder's output."""
+    torch, model = _tiny_hf_model()
+    cfg = TINY_ASR
+    hf_dir = tmp_path / "whisper-tiny-test"
+    model.save_pretrained(hf_dir)
+
+    from fireredtts2_tpu.runtime.checkpoint import (
+        find_hf_whisper_dir, load_hf_whisper_encoder_sd,
+        _convert_whisper_encoder,
+    )
+    from fireredtts2_tpu.config import WhisperEncoderConfig
+    from fireredtts2_tpu.models.codec.whisper_nn import whisper_encoder_forward
+
+    assert find_hf_whisper_dir(str(tmp_path)) == str(hf_dir)
+
+    sd = load_hf_whisper_encoder_sd(str(hf_dir), prefix="ssl")
+    assert "ssl.conv1.weight" in sd and "ssl.layers.0.self_attn.q_proj.weight" in sd
+    # verbatim: converted tensor equals the HF tensor
+    np.testing.assert_array_equal(
+        np.asarray(sd["ssl.conv1.weight"]),
+        model.model.encoder.conv1.weight.detach().numpy())
+
+    enc_cfg = WhisperEncoderConfig(
+        in_dim=cfg.n_mels, embed_dim=cfg.embed_dim,
+        num_layers=cfg.encoder_layers, num_heads=cfg.num_heads,
+        ffn_dim=cfg.ffn_dim, max_positions=cfg.max_source_positions)
+    params = _convert_whisper_encoder(sd, "ssl", enc_cfg, jnp.float32)
+
+    T = cfg.max_source_positions * 2
+    mel = rng.standard_normal((1, T, cfg.n_mels)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = model.model.encoder(
+            torch.from_numpy(mel.transpose(0, 2, 1))).last_hidden_state.numpy()
+    got, lengths = whisper_encoder_forward(
+        params, cfg.num_heads, jnp.asarray(mel), jnp.asarray([T], jnp.int32))
+    assert int(lengths[0]) == T // 2
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)

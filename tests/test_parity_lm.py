@@ -141,3 +141,54 @@ def test_transformer_matches_torch_qwen2_shifted_positions(rng):
     got, _ = transformer_forward(params, CFG, jnp.asarray(h),
                                  jnp.asarray(pos.astype(np.int32)), causal)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+# --------------------------------------------------------- mid-dim parity
+
+
+def test_transformer_greedy_parity_mid_dim(rng):
+    """Flagship-risk de-risking at ~180M params (qwen-500m dims, 12 layers):
+    converted weights must reproduce torch logits closely enough that a
+    greedy AR decode chain picks the SAME tokens. Tiny-dim parity can hide
+    tolerance cliffs that only appear at real widths/depths (VERDICT r1
+    weak #5)."""
+    cfg = TransformerConfig(vocab_size=0, num_layers=12, num_heads=14,
+                            num_kv_heads=2, embed_dim=896,
+                            intermediate_dim=4864, max_seq_len=128)
+    torch.manual_seed(3)
+    ref = TorchQwen2(cfg).eval()
+    sd = {f"m.{k}": v for k, v in ref.state_dict().items()}
+    params = convert_qwen2_transformer(sd, "m", cfg, jnp.float32)
+
+    n_params = sum(v.numel() for v in ref.state_dict().values())
+    assert n_params > 100e6, n_params  # the point of the test
+
+    V, S, steps = 503, 12, 4
+    emb = (rng.standard_normal((V, cfg.embed_dim)) * 0.05).astype(np.float32)
+    head = (rng.standard_normal((cfg.embed_dim, V)) * 0.05).astype(np.float32)
+    toks = rng.integers(0, V, size=(1, S))
+
+    # torch greedy chain
+    t_toks = list(toks[0])
+    with torch.no_grad():
+        for _ in range(steps):
+            h = torch.from_numpy(emb[np.asarray(t_toks)][None])
+            pos = torch.arange(len(t_toks), dtype=torch.int64)[None]
+            out = ref(h, pos)
+            logits = out[0, -1].numpy() @ head
+            t_toks.append(int(logits.argmax()))
+
+    # JAX greedy chain (stateless forward per step — parity target is the
+    # numerics, the KV-cache path is covered by tiny-dim tests)
+    j_toks = list(toks[0])
+    for _ in range(steps):
+        h = jnp.asarray(emb[np.asarray(j_toks)][None])
+        S_cur = len(j_toks)
+        pos = jnp.arange(S_cur, dtype=jnp.int32)[None]
+        causal = jnp.broadcast_to(mask_ops.causal_mask(S_cur)[None],
+                                  (1, S_cur, S_cur))
+        out, _ = transformer_forward(params, cfg, h, pos, causal)
+        logits = np.asarray(out[0, -1]) @ head
+        j_toks.append(int(logits.argmax()))
+
+    assert j_toks == t_toks, (j_toks[S:], t_toks[S:])
