@@ -388,9 +388,14 @@ class FireRedTTS2Engine:
         # per-stream assembly for each true length.
         Lmax = max(1, int(n_frames.max()))
         Lpad = ((Lmax + 31) // 32) * 32
+        # vectorized fill: (B, ncb, Lpad) with frames past each stream's
+        # length zeroed (no per-stream host loop; buf is zero-padded after
+        # EOS already, so a mask multiply suffices)
+        live = (np.arange(Lpad)[None, :] < n_frames[:, None])  # (B, Lpad)
         toks = np.zeros((B, self._ncb, Lpad), np.int32)
-        for i in range(B):
-            toks[i, :, :n_frames[i]] = buf[i, :n_frames[i]].T
+        T0 = min(Lpad, buf.shape[1])
+        toks[:, :, :T0] = buf[:, :T0].transpose(0, 2, 1)
+        toks *= live[:, None, :]
         middles, tails = self._decode_fn(self.codec_params,
                                          tokens=jnp.asarray(toks))
         middles, tails = np.asarray(middles), np.asarray(tails)
