@@ -53,11 +53,12 @@ def main() -> None:
         wall = time.perf_counter() - t0
         return engine._first_packet_s, samples, wall, chunks
 
-    # Warmup: compiles prefill bucket + all block sizes (1,2,4,8).
-    run(30)
-    # Measure.
-    fp_s, samples, wall, chunks = run(25)
-    fp2_s, samples2, wall2, _ = run(25)
+    # Warmup: compiles prefill bucket + all block sizes (1..block cap).
+    run(50)
+    # Measure (50 frames = 4 s of audio; long enough for the block
+    # schedule to reach its cap so steady-state RTF is visible).
+    fp_s, samples, wall, chunks = run(50)
+    fp2_s, samples2, wall2, _ = run(50)
     fp_ms = min(fp_s, fp2_s) * 1000.0
     audio_s = max(samples, samples2) / 24_000.0
     rtf = audio_s / min(wall, wall2)  # >1 means faster than realtime

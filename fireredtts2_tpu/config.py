@@ -339,6 +339,11 @@ class EngineConfig:
     # (fireredtts2/llm/llm.py:324): topk=10, temperature=0.75.
     depth_topk: int = 10
     depth_temperature: float = 0.75
+    # Streaming block schedule cap (power of 2): K frames per device
+    # dispatch after ramp-up. Larger K amortizes host<->device RTT (30 ms
+    # through a tunnel) at the cost of chunk cadence; a client jitter
+    # buffer absorbs it.
+    stream_block_cap: int = 16
 
 
 def tiny_engine_config(**overrides) -> EngineConfig:

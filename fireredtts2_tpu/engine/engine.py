@@ -493,7 +493,7 @@ class FireRedTTS2Engine:
                 n_emitted += 1
                 yield chunk.astype(np.float32)
             g += K
-            block = min(block * 2, 8)
+            block = min(block * 2, self.config.stream_block_cap)
             if g >= max_len or stop:
                 break
             # Power-of-2 block sizes only (a handful of compiled programs);

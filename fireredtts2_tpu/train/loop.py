@@ -27,8 +27,44 @@ from fireredtts2_tpu.config import LLMConfig
 from fireredtts2_tpu.models.lm.model import init_lm_params
 from fireredtts2_tpu.parallel.mesh import make_mesh
 from fireredtts2_tpu.train.step import (
-    make_optimizer, make_sharded_train_step, TrainState,
+    make_optimizer, make_sharded_train_step, make_sharded_eval_step,
+    TrainState,
 )
+
+
+class MetricsLogger:
+    """Append-only jsonl metrics stream (the reference logs to
+    TensorBoard via torch.utils.tensorboard — not in this image; jsonl is
+    greppable and loads straight into pandas)."""
+
+    def __init__(self, path: Optional[str]):
+        self._f = open(path, "a") if path else None
+
+    def log(self, step: int, kind: str, metrics: dict) -> None:
+        if self._f is None:
+            return
+        row = {"step": step, "kind": kind, "time": time.time()}
+        row.update({k: float(v) for k, v in metrics.items()})
+        self._f.write(json.dumps(row) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()
+
+
+def evaluate(eval_fn, params, data, n_batches: int, seed: int = 1) -> dict:
+    """Mean losses over n_batches of held-out data."""
+    sums: dict[str, float] = {}
+    for i, (tokens, mask) in enumerate(data):
+        if i >= n_batches:
+            break
+        out = eval_fn(params, jnp.asarray(tokens), jnp.asarray(mask),
+                      jax.random.fold_in(jax.random.PRNGKey(seed), i))
+        for k, v in out.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+    n = max(min(n_batches, i + 1), 1)
+    return {f"eval_{k}": v / n for k, v in sums.items()}
 
 
 @dataclass
@@ -45,6 +81,13 @@ class TrainConfig:
     log_every: int = 50
     dp: Optional[int] = None
     tp: int = 1
+    # Mixed precision: fp32 master params, bf16 forward/backward.
+    mixed_precision: bool = False
+    # Eval cadence: run eval_batches of held-out data every eval_every steps
+    # (0 = off); metrics stream to metrics_path as jsonl if set.
+    eval_every: int = 0
+    eval_batches: int = 8
+    metrics_path: Optional[str] = None
 
 
 def synthetic_batches(cfg: LLMConfig, tcfg: TrainConfig, seed: int = 0
@@ -128,14 +171,18 @@ def restore_checkpoint(path: str, like: TrainState) -> TrainState:
 
 
 def train(cfg: LLMConfig, tcfg: TrainConfig, data=None, num_steps: int = 100,
-          seed: int = 0, log=print) -> TrainState:
+          seed: int = 0, log=print, eval_data=None) -> TrainState:
     """Run `num_steps` of training; resumes from tcfg.checkpoint_dir."""
     mesh = make_mesh(dp=tcfg.dp, tp=tcfg.tp)
     params = init_lm_params(jax.random.PRNGKey(seed), cfg, jnp.float32)
     optimizer = make_optimizer(tcfg.peak_lr, tcfg.warmup_steps,
                                tcfg.total_steps, tcfg.weight_decay,
                                tcfg.max_grad_norm)
-    step_fn, state = make_sharded_train_step(mesh, cfg, params, optimizer)
+    compute_dtype = jnp.bfloat16 if tcfg.mixed_precision else None
+    step_fn, state = make_sharded_train_step(mesh, cfg, params, optimizer,
+                                             compute_dtype=compute_dtype)
+    eval_fn = make_sharded_eval_step(mesh, cfg, compute_dtype=compute_dtype) \
+        if tcfg.eval_every else None
 
     if tcfg.checkpoint_dir:
         latest = latest_checkpoint(tcfg.checkpoint_dir)
@@ -146,24 +193,37 @@ def train(cfg: LLMConfig, tcfg: TrainConfig, data=None, num_steps: int = 100,
     if data is None:
         data = synthetic_batches(cfg, tcfg, seed)
 
+    metrics_log = MetricsLogger(tcfg.metrics_path)
     t0 = time.perf_counter()
     start = int(state.step)
-    for i, (tokens, mask) in enumerate(data):
-        if i >= num_steps:
-            break
-        state, metrics = step_fn(state, jnp.asarray(tokens), jnp.asarray(mask),
-                                 jax.random.fold_in(jax.random.PRNGKey(seed), start + i))
-        step = int(state.step)
-        if step % tcfg.log_every == 0 or i == num_steps - 1:
-            dt = time.perf_counter() - t0
-            log(f"step {step}: loss {float(metrics['loss']):.4f} "
-                f"(c0 {float(metrics['c0_loss']):.3f} "
-                f"depth {float(metrics['depth_loss']):.3f} "
-                f"text {float(metrics['text_loss']):.3f} "
-                f"gnorm {float(metrics['grad_norm']):.2f}) "
-                f"{(i + 1) / dt:.2f} steps/s")
-        if tcfg.checkpoint_dir and step % tcfg.checkpoint_every == 0:
+    try:
+        for i, (tokens, mask) in enumerate(data):
+            if i >= num_steps:
+                break
+            state, metrics = step_fn(
+                state, jnp.asarray(tokens), jnp.asarray(mask),
+                jax.random.fold_in(jax.random.PRNGKey(seed), start + i))
+            step = int(state.step)
+            if step % tcfg.log_every == 0 or i == num_steps - 1:
+                dt = time.perf_counter() - t0
+                log(f"step {step}: loss {float(metrics['loss']):.4f} "
+                    f"(c0 {float(metrics['c0_loss']):.3f} "
+                    f"depth {float(metrics['depth_loss']):.3f} "
+                    f"text {float(metrics['text_loss']):.3f} "
+                    f"gnorm {float(metrics['grad_norm']):.2f}) "
+                    f"{(i + 1) / dt:.2f} steps/s")
+                metrics_log.log(step, "train", metrics)
+            if eval_fn and step % tcfg.eval_every == 0:
+                ev = evaluate(eval_fn, state.params,
+                              eval_data or synthetic_batches(cfg, tcfg, seed + 1),
+                              tcfg.eval_batches)
+                log(f"step {step}: " + " ".join(
+                    f"{k} {v:.4f}" for k, v in ev.items()))
+                metrics_log.log(step, "eval", ev)
+            if tcfg.checkpoint_dir and step % tcfg.checkpoint_every == 0:
+                save_checkpoint(tcfg.checkpoint_dir, state)
+        if tcfg.checkpoint_dir:
             save_checkpoint(tcfg.checkpoint_dir, state)
-    if tcfg.checkpoint_dir:
-        save_checkpoint(tcfg.checkpoint_dir, state)
+    finally:
+        metrics_log.close()
     return state

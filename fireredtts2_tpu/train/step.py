@@ -60,13 +60,23 @@ def make_optimizer(peak_lr: float = 3e-4, warmup_steps: int = 1000,
 
 
 def train_step(state: TrainState, tokens, tokens_mask, key, *,
-               cfg: LLMConfig, optimizer: optax.GradientTransformation):
-    """One fp32-master step; returns (new_state, metrics)."""
+               cfg: LLMConfig, optimizer: optax.GradientTransformation,
+               compute_dtype=None):
+    """One fp32-master step; returns (new_state, metrics).
+
+    compute_dtype=jnp.bfloat16 enables mixed precision: the forward/backward
+    runs with bf16-cast params (MXU-friendly), gradients land in fp32 master
+    params via AdamW. Norms inside the model already compute in fp32."""
     def loss_fn(p):
+        if compute_dtype is not None:
+            p = jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if (hasattr(x, "dtype") and x.dtype == jnp.float32) else x, p)
         out = lm_loss(p, cfg, tokens, tokens_mask, key)
         return out["loss"], out
 
     grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, state.params)
     updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     gnorm = optax.global_norm(grads)
@@ -75,12 +85,25 @@ def train_step(state: TrainState, tokens, tokens_mask, key, *,
     return TrainState(new_params, new_opt, state.step + 1), metrics
 
 
+def eval_step(params, tokens, tokens_mask, key, *, cfg: LLMConfig,
+              compute_dtype=None):
+    """Loss-only forward (no grads) for the eval loop."""
+    if compute_dtype is not None:
+        params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if (hasattr(x, "dtype") and x.dtype == jnp.float32) else x, params)
+    return lm_loss(params, cfg, tokens, tokens_mask, key)
+
+
 def make_sharded_train_step(mesh: Mesh, cfg: LLMConfig, params,
-                            optimizer: optax.GradientTransformation):
+                            optimizer: optax.GradientTransformation,
+                            compute_dtype=None):
     """jit the train step with explicit (dp, tp) shardings.
 
     Batch rides dp; weights/optimizer state ride tp per
-    parallel.mesh.lm_param_pspecs. Returns (step_fn, sharded TrainState).
+    parallel.mesh.lm_param_pspecs. compute_dtype=jnp.bfloat16 turns on
+    mixed precision (fp32 master + bf16 forward/backward). Returns
+    (step_fn, sharded TrainState).
     """
     p_specs = lm_param_pspecs(params)
     p_shard = to_named(mesh, p_specs)
@@ -100,7 +123,8 @@ def make_sharded_train_step(mesh: Mesh, cfg: LLMConfig, params,
                        jax.device_put(jnp.zeros((), jnp.int32), rep))
 
     fn = jax.jit(
-        partial(train_step, cfg=cfg, optimizer=optimizer),
+        partial(train_step, cfg=cfg, optimizer=optimizer,
+                compute_dtype=compute_dtype),
         in_shardings=(jax.tree.map(lambda x: x.sharding, state),
                       data_shard, data_shard, rep),
         donate_argnums=(0,),
@@ -113,3 +137,17 @@ def make_sharded_train_step(mesh: Mesh, cfg: LLMConfig, params,
         return fn(st, tokens, tokens_mask, key)
 
     return step_fn, state
+
+
+def make_sharded_eval_step(mesh: Mesh, cfg: LLMConfig, compute_dtype=None):
+    """jit the eval forward with dp-sharded batches."""
+    data_shard = NamedSharding(mesh, P("dp", None, None))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(partial(eval_step, cfg=cfg, compute_dtype=compute_dtype))
+
+    def step_fn(params, tokens, tokens_mask, key):
+        tokens = jax.device_put(tokens, data_shard)
+        tokens_mask = jax.device_put(tokens_mask, data_shard)
+        return fn(params, tokens, tokens_mask, jax.device_put(key, rep))
+
+    return step_fn

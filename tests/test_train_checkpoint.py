@@ -65,3 +65,28 @@ def test_jsonl_batches(tmp_path):
     # audio rows should carry all codebook columns
     audio_rows = mask[0, :, 0]
     assert (mask[0, audio_rows, :-1]).all()
+
+
+def test_train_mixed_precision_eval_and_metrics(tmp_path):
+    """bf16-compute/fp32-master step runs, eval loop fires, metrics stream
+    to jsonl (ROADMAP item 12: mixed precision + eval + metrics)."""
+    import json
+
+    mpath = tmp_path / "metrics.jsonl"
+    tcfg = TrainConfig(batch_size=4, seq_len=32, peak_lr=1e-3,
+                       warmup_steps=2, total_steps=100, log_every=2,
+                       mixed_precision=True, eval_every=2, eval_batches=2,
+                       metrics_path=str(mpath), tp=2)
+    state = train(CFG, tcfg, num_steps=4)
+    assert int(state.step) == 4
+    # master params stayed fp32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.params)
+               if hasattr(l, "dtype") and l.dtype.kind == "f")
+    rows = [json.loads(l) for l in mpath.read_text().splitlines()]
+    kinds = {r["kind"] for r in rows}
+    assert "train" in kinds and "eval" in kinds
+    ev = [r for r in rows if r["kind"] == "eval"][-1]
+    assert np.isfinite(ev["eval_loss"])
+    tr = [r for r in rows if r["kind"] == "train"][-1]
+    assert np.isfinite(tr["loss"]) and np.isfinite(tr["grad_norm"])
