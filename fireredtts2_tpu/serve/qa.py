@@ -137,3 +137,110 @@ class QAPipeline:
                                      max_audio_length_ms=800)
         assert audio.size > 0
         return "rejected oversized prompt; recovered"
+
+
+# ---------------------------------------------------------------------------
+# Fidelity harness (WER / speaker similarity)
+# ---------------------------------------------------------------------------
+# BASELINE.md lists WER and speaker similarity as the reference's fidelity
+# targets (its README eval table); the reference repo itself ships no WER
+# harness. This one is pluggable: any Transcriber (e.g.
+# fireredtts2_tpu.asr.WhisperASR.as_transcriber()) and any speaker-embedding
+# callable. Real gates need real checkpoints — with random dev weights the
+# numbers are reported, not gated.
+
+
+def _edit_distance(a: list, b: list) -> int:
+    """Levenshtein over token lists (iterative DP, O(len(a)*len(b)))."""
+    if not a:
+        return len(b)
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def word_error_rate(reference: str, hypothesis: str) -> float:
+    """WER = edit distance over reference words (standard definition)."""
+    ref = reference.lower().split()
+    hyp = hypothesis.lower().split()
+    if not ref:
+        return 0.0 if not hyp else 1.0
+    return _edit_distance(ref, hyp) / len(ref)
+
+
+def char_error_rate(reference: str, hypothesis: str) -> float:
+    ref = list(reference.lower().replace(" ", ""))
+    hyp = list(hypothesis.lower().replace(" ", ""))
+    if not ref:
+        return 0.0 if not hyp else 1.0
+    return _edit_distance(ref, hyp) / len(ref)
+
+
+def spectral_speaker_embedding(audio: np.ndarray,
+                               sample_rate: int = 16_000) -> np.ndarray:
+    """Signal-level speaker proxy: per-band log-energy statistics of the
+    spectrum (mean + std over frames), L2-normalized. A stand-in with the
+    right interface — swap in a trained speaker encoder for production
+    gates."""
+    n_fft, hop = 512, 160
+    n = (len(audio) - n_fft) // hop + 1
+    if n < 2:
+        return np.zeros(2 * (n_fft // 2 + 1), np.float32)
+    frames = np.lib.stride_tricks.sliding_window_view(
+        audio, n_fft)[::hop][:n] * np.hanning(n_fft)
+    spec = np.abs(np.fft.rfft(frames, axis=1))
+    loge = np.log(spec + 1e-8)
+    emb = np.concatenate([loge.mean(0), loge.std(0)]).astype(np.float32)
+    return emb / (np.linalg.norm(emb) + 1e-8)
+
+
+def speaker_similarity(a: np.ndarray, b: np.ndarray,
+                       sample_rate: int = 16_000,
+                       embedder: Optional[Callable] = None) -> float:
+    emb = embedder or spectral_speaker_embedding
+    ea, eb = emb(a, sample_rate), emb(b, sample_rate)
+    return float(np.dot(ea, eb) /
+                 ((np.linalg.norm(ea) * np.linalg.norm(eb)) + 1e-8))
+
+
+@dataclass
+class FidelityReport:
+    wer: float
+    cer: float
+    transcript: str
+    speaker_sim: Optional[float] = None
+
+
+class FidelityHarness:
+    """Synthesize -> transcribe -> score (and optionally compare speaker
+    identity against a prompt wav)."""
+
+    def __init__(self, engine, transcriber: Callable[[np.ndarray], str],
+                 embedder: Optional[Callable] = None):
+        self.engine = engine
+        self.transcriber = transcriber
+        self.embedder = embedder
+
+    def evaluate_utterance(self, text: str, speaker: str = "[S1]",
+                           prompt_audio_16k: Optional[np.ndarray] = None,
+                           audio: Optional[np.ndarray] = None) -> FidelityReport:
+        """audio (if given) skips synthesis — lets callers score
+        already-generated waveforms."""
+        from fireredtts2_tpu.utils.audio_io import resample
+
+        if audio is None:
+            audio = self.engine.generate(text, speaker, [],
+                                         max_audio_length_ms=30_000)
+        audio16k = resample(audio.astype(np.float32),
+                            self.engine.output_sample_rate, 16_000)
+        hyp = self.transcriber(audio16k)
+        rep = FidelityReport(wer=word_error_rate(text, hyp),
+                             cer=char_error_rate(text, hyp), transcript=hyp)
+        if prompt_audio_16k is not None:
+            rep.speaker_sim = speaker_similarity(
+                audio16k, prompt_audio_16k, embedder=self.embedder)
+        return rep
