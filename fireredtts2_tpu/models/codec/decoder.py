@@ -525,7 +525,7 @@ def stream_decode_tail(cfg: AcousticDecoderConfig,
 
 
 def stream_decode_scan(params: Params, cfg: AcousticDecoderConfig,
-                       latents: Array) -> tuple[Array, Array]:
+                       latents: Array, group: int = 8) -> tuple[Array, Array]:
     """Decode many tokens' latents in ONE compiled scan with exact streaming
     semantics (no tail pollution from bucket padding).
 
@@ -540,19 +540,32 @@ def stream_decode_scan(params: Params, cfg: AcousticDecoderConfig,
 
     Args:
         latents: (B, L*4, D) 50 Hz latents from UpConv (L tokens).
+        group: STATIC tokens per scan step. The per-token scan is
+            per-step-overhead bound (~2.7 ms/token on v5e at group=1, far
+            above the weight-read floor); grouping processes group*8
+            latents per step behind an 8-block-causal mask — each token
+            still attends exactly to its own block plus everything earlier,
+            so emissions equal the group=1 stream within matmul-tiling
+            tolerance. L must be a multiple of group (the engine's Lpad
+            multiples of 32 guarantee it).
     Returns:
         (middles (L, B, chunk*hop), tails (L, B, n_fft-hop-pad)).
     """
     B = latents.shape[0]
     L = latents.shape[1] // 4
+    if L % group:
+        group = 1
+    G = group
     n_fft, hop = cfg.n_fft, cfg.hop_length
     pad = (n_fft - hop) // 2
+    r_1 = n_fft // hop - 1
     state = stream_state_init(cfg, B, latents.dtype)
 
     w = jnp.asarray(hann_window_cached(n_fft), dtype=jnp.float32)
 
     def backbone_chunk(x, st: VocoderStreamState):
-        """Shared conv+attention front; returns windowed ifft frames."""
+        """Shared conv+attention front; returns windowed ifft frames.
+        x: (B, 4*G, D) -> frames (B, n_fft, 8*G)."""
         h, up1, up2 = _upsample_chunk(params, x, st.up1_cache, st.up2_cache)
         S = h.shape[1]
         hc = h.transpose(0, 2, 1)
@@ -562,9 +575,12 @@ def stream_decode_scan(params: Params, cfg: AcousticDecoderConfig,
         hc, c0a, c0b = causal_resnet_chunk(params["prior0"], hc, rb[0, 0], rb[0, 1])
         hc, c1a, c1b = causal_resnet_chunk(params["prior1"], hc, rb[1, 0], rb[1, 1])
         T_max = st.kv_k.shape[2]
-        key_ok = (jnp.arange(T_max, dtype=jnp.int32)[None, None, :]
-                  < (st.pos[:, None, None] + S))
-        mask = jnp.broadcast_to(key_ok, (B, S, T_max))
+        # 8-block-causal within the chunk: query q (latent index within this
+        # chunk) sees keys < pos + 8*(q//8 + 1) — its own token's block plus
+        # all earlier slots. For G=1 this is the original "whole chunk" mask.
+        q_end = st.pos[:, None] + 8 * (jnp.arange(S, dtype=jnp.int32)[None] // 8 + 1)
+        mask = (jnp.arange(T_max, dtype=jnp.int32)[None, None, :]
+                < q_end[:, :, None])                      # (B, S, T_max)
         cache = {"k": st.kv_k, "v": st.kv_v}
         hc, cache = whisper_layers_forward(params["layers"], cfg.num_heads, hc,
                                            mask, cache, st.pos)
@@ -578,7 +594,7 @@ def stream_decode_scan(params: Params, cfg: AcousticDecoderConfig,
             rb_caches=jnp.stack([jnp.stack([c0a, c0b]), jnp.stack([c1a, c1b]),
                                  jnp.stack([c2a, c2b]), jnp.stack([c3a, c3b])]),
             kv_k=cache["k"], kv_v=cache["v"],
-            istft_cache=frames[..., -(n_fft // hop - 1):].astype(st.istft_cache.dtype),
+            istft_cache=frames[..., -r_1:].astype(st.istft_cache.dtype),
             pos=st.pos + S,
         )
         return frames, new_st
@@ -602,18 +618,30 @@ def stream_decode_scan(params: Params, cfg: AcousticDecoderConfig,
         return middle, tail
 
     def step(carry, xs):
-        st, t = carry
-        x = xs                                                   # (B, 4, D)
+        st, t = carry                                            # t: group index
+        x = xs                                                   # (B, 4*G, D)
         prev_cache = st.istft_cache
         frames, new_st = backbone_chunk(x, st)
         frames_cat = jnp.concatenate(
-            [prev_cache.astype(frames.dtype), frames], axis=-1)
-        middle, tail = jax.lax.cond(
-            t == 0,
-            lambda: emit_first(frames),
-            lambda: emit_rest(frames_cat))
-        return (new_st, t + 1), (middle, tail)
+            [prev_cache.astype(frames.dtype), frames], axis=-1)  # (B, n_fft, r_1 + 8G)
+        mids, tls = [], []
+        for g in range(G):                                       # static unroll
+            window = jax.lax.slice_in_dim(frames_cat, 8 * g, 8 * g + 8 + r_1,
+                                          axis=2)
+            if g == 0:
+                middle, tail = jax.lax.cond(
+                    t == 0,
+                    lambda: emit_first(
+                        jax.lax.slice_in_dim(frames, 0, 8, axis=2)),
+                    lambda: emit_rest(window))
+            else:
+                middle, tail = emit_rest(window)
+            mids.append(middle)
+            tls.append(tail)
+        return (new_st, t + 1), (jnp.stack(mids), jnp.stack(tls))
 
-    xs = latents.reshape(B, L, 4, -1).transpose(1, 0, 2, 3)      # (L, B, 4, D)
+    xs = latents.reshape(B, L // G, 4 * G, -1).transpose(1, 0, 2, 3)
     (_, _), (middles, tails) = jax.lax.scan(step, (state, jnp.int32(0)), xs)
-    return middles, tails
+    # (L//G, G, B, ...) -> (L, B, ...)
+    return (middles.reshape(L, *middles.shape[2:]),
+            tails.reshape(L, *tails.shape[2:]))

@@ -195,3 +195,29 @@ def test_codec_encode_batch_cap_equivalence(codec_params, rng):
     codes_cap, len_cap = codec_encode(codec_params, capped, audio)
     np.testing.assert_array_equal(len_big, len_cap)
     np.testing.assert_array_equal(codes_big, codes_cap)
+
+
+def test_grouped_scan_equals_per_token_scan(codec_params, rng):
+    """The grouped vocoder scan (8 tokens/step, 8-block-causal mask) must
+    emit the same middles/tails as the per-token scan — it exists purely to
+    amortize per-step overhead (PERF.md round 2)."""
+    from fireredtts2_tpu.models.codec.decoder import stream_decode_scan
+    from fireredtts2_tpu.models.codec.rvq import rvq_decode
+    from fireredtts2_tpu.models.codec.decoder import upconv_forward
+
+    B, L = 2, 16
+    tokens = rng.integers(0, CFG.rvq.codebook_size,
+                          (B, CFG.rvq.num_quantizers, L)).astype(np.int32)
+    codes = jnp.asarray(tokens).transpose(1, 0, 2)
+    feats = rvq_decode(codec_params["rvq"], CFG.rvq, codes)
+    up = upconv_forward(codec_params["upsample"], CFG.upsample_stride, feats)
+
+    m1, t1 = stream_decode_scan(codec_params["acoustic_decoder"],
+                                CFG.acoustic_decoder, up, group=1)
+    m8, t8 = stream_decode_scan(codec_params["acoustic_decoder"],
+                                CFG.acoustic_decoder, up, group=8)
+    assert m1.shape == m8.shape and t1.shape == t8.shape
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1),
+                               rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(t8), np.asarray(t1),
+                               rtol=2e-3, atol=5e-4)
