@@ -67,10 +67,14 @@ def main() -> None:
     # continuous batcher (the serving configuration).
     agg_rtf, n_streams = _bench_batched(engine)
 
+    # Offline (non-streaming) single-utterance throughput.
+    off_rtf = _bench_offline(engine, text)
+
     # Device-time + utilization accounting (runtime/perf.py): the tunnel's
     # ±25% wall-clock noise cannot hide a device-time regression because the
     # whole-utterance program is ONE dispatch.
     perf = _bench_device(engine, llm)
+    perf["offline_rtf"] = round(off_rtf, 2)
 
     print(json.dumps({
         "metric": "first_packet_latency_ms_streaming_flagship",
@@ -83,6 +87,18 @@ def main() -> None:
                   "frames": chunks, "backend": jax.default_backend(),
                   **perf},
     }))
+
+
+def _bench_offline(engine, text: str) -> float:
+    """Offline generate() realtime factor (whole-utterance program +
+    grouped vocoder scan)."""
+    def run():
+        t0 = time.perf_counter()
+        audio = engine.generate(text, "[S1]", [], max_audio_length_ms=4000)
+        return (len(audio) / 24_000.0) / (time.perf_counter() - t0)
+
+    run()  # compile
+    return max(run(), run())
 
 
 def _bench_device(engine, llm_cfg) -> dict:
