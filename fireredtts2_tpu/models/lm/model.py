@@ -272,6 +272,37 @@ def prefill_into_slot(params: Params, cfg: LLMConfig, state: LMState,
     return new_state, frame
 
 
+def prefill_into_slots(params: Params, cfg: LLMConfig, state: LMState,
+                       bs: Array, tokens: Array, tokens_mask: Array,
+                       valid: Array, key: Array,
+                       temperature=0.9, topk: int | Array = 20,
+                       depth_topk: int = 10, depth_temperature: float = 0.75,
+                       ) -> tuple[LMState, Array]:
+    """Prefill SEVERAL prompts into slots `bs` of a batched decode state in
+    ONE device program (burst admission: N arrivals cost one dispatch, not
+    N — the reference has no batched path at all, fireredtts2.py:43).
+
+    bs: (N,) int32 slot indices (distinct; entries >= B are DROPPED — used
+    to pad N to a bucketed size without touching any slot). tokens /
+    tokens_mask: (N, S, C+1) right-aligned buckets; valid: (N, S).
+    temperature/topk may be (N,)/(N,1) per-request vectors.
+    Returns (updated batched state, frames (N, ncb)).
+    """
+    N = tokens.shape[0]
+    small = init_lm_state(cfg, N, state.cache_k.dtype)
+    small, frames = lm_generate_frame(
+        params, cfg, small, tokens, tokens_mask, valid, key,
+        temperature, topk, depth_topk, depth_temperature)
+    # scatter the N fresh rows into the big state's slots
+    new_state = LMState(
+        cache_k=state.cache_k.at[:, bs].set(small.cache_k, mode="drop"),
+        cache_v=state.cache_v.at[:, bs].set(small.cache_v, mode="drop"),
+        slot_valid=state.slot_valid.at[bs].set(small.slot_valid, mode="drop"),
+        pos=state.pos.at[bs].set(small.pos, mode="drop"),
+    )
+    return new_state, frames
+
+
 def build_step_frame(cfg: LLMConfig, frame: Array) -> tuple[Array, Array]:
     """Sampled frame (B, ncb) -> next AR input ((B,1,C+1) tokens, mask):
     audio columns filled, text column zero/unmasked (fireredtts2.py:183-193)."""

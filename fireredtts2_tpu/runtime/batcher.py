@@ -6,8 +6,9 @@ aspirational — SURVEY.md §3.6). Here decode really is batched:
 
 - a fixed pool of B stream slots shares ONE batched LM decode step and ONE
   batched vocoder step per 80 ms frame — static shapes, compiled once;
-- new requests are admitted by prefilling their prompt into a free slot
-  (models/lm/model.py:prefill_into_slot) while other slots keep decoding;
+- new requests are admitted by prefilling their prompts into free slots —
+  a whole BURST in one batched dispatch
+  (models/lm/model.py:prefill_into_slots) — while other slots keep decoding;
 - per-slot EOS (all-zero frame) frees the slot; per-slot `is_first` handles
   each stream's vocoder warmup inside the shared step
   (models/codec/decoder.py:stream_decode_step_batched);
@@ -36,7 +37,7 @@ import jax.numpy as jnp
 
 from fireredtts2_tpu.config import EngineConfig
 from fireredtts2_tpu.models.lm.model import (
-    init_lm_state, prefill_into_slot, reset_lm_slot,
+    init_lm_state, prefill_into_slots, reset_lm_slot,
 )
 from fireredtts2_tpu.models.codec.decoder import reset_vocoder_slot
 from fireredtts2_tpu.models.codec.model import stream_decode_init
@@ -121,8 +122,8 @@ class ContinuousBatcher:
                     depth_temperature=cfg.depth_temperature),
             static_argnames=("block",),
             donate_argnames=("state", "vstate"))
-        self._prefill_slot = jax.jit(
-            partial(prefill_into_slot, cfg=llm_cfg,
+        self._prefill_slots = jax.jit(
+            partial(prefill_into_slots, cfg=llm_cfg,
                     depth_topk=cfg.depth_topk,
                     depth_temperature=cfg.depth_temperature),
             donate_argnames=("state",))
@@ -179,21 +180,57 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- loop
 
     def _admit(self) -> None:
+        """Admit ALL pending requests that fit in free slots with ONE
+        batched prefill dispatch (burst arrivals cost one program, not N —
+        prompts are padded to the widest bucket in the burst; extra left
+        padding is exact thanks to RoPE shift invariance + slot_valid)."""
         free = [i for i, s in enumerate(self.slots) if not s.active]
+        reqs: list[_Pending] = []
+        slot_ids: list[int] = []
         while free and not self.pending.empty():
             try:
                 req = self.pending.get_nowait()
             except queue.Empty:
-                return
-            b = free.pop()
+                break
+            reqs.append(req)
+            slot_ids.append(free.pop())
+        if not reqs:
+            return
+
+        for b in slot_ids:
             self.lm_state = self._reset_lm(self.lm_state, jnp.int32(b))
             self.vo_state = self._reset_vo(self.vo_state, jnp.int32(b))
-            self.lm_state, frame = self._prefill_slot(
-                self.engine.lm_params, state=self.lm_state, b=jnp.int32(b),
-                tokens=jnp.asarray(req.tokens), tokens_mask=jnp.asarray(req.mask),
-                valid=jnp.asarray(req.valid), key=self._next_key(),
-                temperature=req.temperature, topk=jnp.int32(req.topk))
-            self.frames = self.frames.at[b].set(frame[0])
+
+        # Pad the burst to a power-of-2 row count (few compiled programs);
+        # dummy rows scatter to out-of-range slot B and are dropped.
+        N = len(reqs)
+        Np = 1 << (N - 1).bit_length()
+        S = max(r.tokens.shape[1] for r in reqs)
+        C = reqs[0].tokens.shape[2]
+        tokens = np.zeros((Np, S, C), np.int32)
+        mask = np.zeros((Np, S, C), bool)
+        valid = np.zeros((Np, S), bool)
+        temps = np.full((Np,), self.cfg.default_temperature, np.float32)
+        topks = np.full((Np,), self.default_topk, np.int32)
+        bs = np.full((Np,), self.B, np.int32)
+        for i, req in enumerate(reqs):
+            s = req.tokens.shape[1]
+            tokens[i, S - s:] = req.tokens[0]
+            mask[i, S - s:] = req.mask[0]
+            valid[i, S - s:] = req.valid[0]
+            temps[i] = req.temperature
+            topks[i] = req.topk
+            bs[i] = slot_ids[i]
+        self.lm_state, frames = self._prefill_slots(
+            self.engine.lm_params, state=self.lm_state, bs=jnp.asarray(bs),
+            tokens=jnp.asarray(tokens), tokens_mask=jnp.asarray(mask),
+            valid=jnp.asarray(valid), key=self._next_key(),
+            temperature=jnp.asarray(temps)[:, None],
+            topk=jnp.asarray(topks))
+        self.frames = self.frames.at[jnp.asarray(bs[:N])].set(frames[:N])
+        now = time.perf_counter()
+        for i, req in enumerate(reqs):
+            b = slot_ids[i]
             self.emitted = self.emitted.at[b].set(0)
             self.temps[b] = req.temperature
             self.topks[b] = req.topk
@@ -202,7 +239,7 @@ class ContinuousBatcher:
             slot.handle = req.handle
             slot.frames_done = 0
             slot.max_frames = req.max_frames
-            slot.started = time.perf_counter()
+            slot.started = now
             slot.last_tail = None
 
     def _next_key(self):

@@ -153,3 +153,11 @@ def get_performance_monitor() -> PerformanceMonitor:
         if _GLOBAL is None:
             _GLOBAL = PerformanceMonitor()
         return _GLOBAL
+
+
+def reset_performance_monitor() -> PerformanceMonitor:
+    """Replace the singleton with a fresh monitor (tests; ops reset)."""
+    global _GLOBAL
+    with _GLOBAL_LOCK:
+        _GLOBAL = PerformanceMonitor()
+        return _GLOBAL

@@ -242,3 +242,57 @@ def test_lm_loss_grads_flow(rng, lm_params):
     gnorm = float(jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
                                for x in jax.tree.leaves(g))))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_prefill_into_slots_burst(rng, lm_params):
+    """Batched burst admission: (a) with greedy sampling (topk=1, draws are
+    batch-shape independent) an N=1 burst equals the single-slot path;
+    (b) padded rows (slot index B, mode=drop) leave the state untouched;
+    (c) a 2-burst fills both slots and identical prompts yield identical
+    greedy frames."""
+    from fireredtts2_tpu.models.lm.model import (
+        prefill_into_slot, prefill_into_slots)
+
+    B, L, bucket = 4, 9, 16
+    t1, m1 = _random_prompt(rng, 1, L)
+    pad = bucket - L
+    tokens = np.zeros((1, bucket, CFG.num_columns), np.int32)
+    tmask = np.zeros((1, bucket, CFG.num_columns), bool)
+    valid = np.zeros((1, bucket), bool)
+    tokens[0, pad:], tmask[0, pad:], valid[0, pad:] = t1[0], m1[0], True
+    key = jax.random.PRNGKey(7)
+    kw = dict(topk=1, depth_topk=1)
+
+    base = init_lm_state(CFG, B)
+    s_single, f_single = prefill_into_slot(
+        lm_params, CFG, base, jnp.int32(2), jnp.asarray(tokens),
+        jnp.asarray(tmask), jnp.asarray(valid), key, **kw)
+
+    base2 = init_lm_state(CFG, B)
+    # N=1 padded to Np=2 with a dropped dummy row
+    tok2 = np.concatenate([tokens, np.zeros_like(tokens)])
+    msk2 = np.concatenate([tmask, np.zeros_like(tmask)])
+    val2 = np.concatenate([valid, np.zeros_like(valid)])
+    s_burst, f_burst = prefill_into_slots(
+        lm_params, CFG, base2, jnp.asarray([2, B], jnp.int32),
+        jnp.asarray(tok2), jnp.asarray(msk2), jnp.asarray(val2), key, **kw)
+
+    np.testing.assert_array_equal(np.asarray(f_single[0]),
+                                  np.asarray(f_burst[0]))
+    np.testing.assert_array_equal(np.asarray(s_single.pos),
+                                  np.asarray(s_burst.pos))
+    np.testing.assert_array_equal(np.asarray(s_single.slot_valid),
+                                  np.asarray(s_burst.slot_valid))
+    np.testing.assert_array_equal(np.asarray(s_single.cache_k),
+                                  np.asarray(s_burst.cache_k))
+
+    # 2-burst into slots 0 and 3
+    tok3 = np.concatenate([tokens, tokens])
+    msk3 = np.concatenate([tmask, tmask])
+    val3 = np.concatenate([valid, valid])
+    s2, f2 = prefill_into_slots(
+        lm_params, CFG, init_lm_state(CFG, B),
+        jnp.asarray([0, 3], jnp.int32), jnp.asarray(tok3),
+        jnp.asarray(msk3), jnp.asarray(val3), key, **kw)
+    assert np.asarray(s2.pos).tolist() == [bucket, 0, 0, bucket]
+    np.testing.assert_array_equal(np.asarray(f2[0]), np.asarray(f2[1]))

@@ -124,8 +124,10 @@ def test_websocket_server_end_to_end():
 
     from fireredtts2_tpu.config import tiny_engine_config
     from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.monitor import reset_performance_monitor
     from fireredtts2_tpu.serve.server import WebSocketTTSServer
 
+    reset_performance_monitor()  # the singleton accumulates across tests
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
     server = WebSocketTTSServer(engine, host="127.0.0.1", port=18765)
 
