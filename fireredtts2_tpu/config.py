@@ -108,6 +108,10 @@ class LLMConfig:
     # Weight-only int8 for the backbone too (halves its per-step reads;
     # decode is weight-read-bound at small batch).
     quantize_backbone: bool = False
+    # Bit width for the depth quantizer: 8 (per-channel) or 4 (group-wise
+    # packed nibbles — quarter the reads; validate quality on real weights
+    # before defaulting).
+    quantize_depth_bits: int = 8
 
     @property
     def backbone(self) -> TransformerConfig:

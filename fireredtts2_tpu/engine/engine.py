@@ -114,12 +114,14 @@ class FireRedTTS2Engine:
 
         if self.config.llm.quantize_depth or self.config.llm.quantize_backbone:
             from fireredtts2_tpu.models.lm.transformer import (
-                quantize_transformer_int8,
+                quantize_transformer_int8, quantize_transformer_int4,
             )
             self.lm_params = dict(self.lm_params)
             if self.config.llm.quantize_depth:
-                self.lm_params["decoder"] = quantize_transformer_int8(
-                    self.lm_params["decoder"])
+                quant = (quantize_transformer_int4
+                         if self.config.llm.quantize_depth_bits == 4
+                         else quantize_transformer_int8)
+                self.lm_params["decoder"] = quant(self.lm_params["decoder"])
             if self.config.llm.quantize_backbone:
                 self.lm_params["backbone"] = quantize_transformer_int8(
                     self.lm_params["backbone"])

@@ -71,3 +71,57 @@ def test_engine_with_quantized_backbone_runs():
     chunks = list(e.generate_stream("stream it", "[S1]", [],
                                     max_audio_length_ms=480))
     assert chunks and all(np.isfinite(c).all() for c in chunks)
+
+
+def test_int4_roundtrip_and_forward(rng):
+    from fireredtts2_tpu.models.lm.transformer import quantize_transformer_int4
+
+    tcfg = FLAVORS["tiny"]
+    params = init_transformer_params(jax.random.PRNGKey(2), tcfg, jnp.float32)
+    q = quantize_transformer_int4(params, group=16)
+    # packed: half the input rows
+    assert q["wq"].shape[1] == params["wq"].shape[1] // 2
+    assert q["wq"].dtype == jnp.int8 and "wq_scale4" in q
+
+    B, S = 1, 6
+    h = jnp.asarray(rng.standard_normal((B, S, tcfg.embed_dim)).astype(np.float32))
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    mask = jnp.broadcast_to(mask_ops.causal_mask(S)[None], (B, S, S))
+    full, _ = transformer_forward(params, tcfg, h, pos, mask)
+    quant, _ = transformer_forward(q, tcfg, h, pos, mask)
+    f, qn = np.asarray(full), np.asarray(quant)
+    cos = (f * qn).sum() / (np.linalg.norm(f) * np.linalg.norm(qn))
+    assert cos > 0.99, cos  # int4: looser than int8's 0.999
+
+
+def test_int4_unpack_exact(rng):
+    """Packed nibbles must unpack to exactly the quantized values (the _mm
+    dequant path), including negatives."""
+    from fireredtts2_tpu.models.lm.transformer import quantize_transformer_int4
+
+    w = jnp.asarray(rng.standard_normal((1, 8, 4)).astype(np.float32))
+    q = quantize_transformer_int4({"wq": w}, group=4)
+    p8 = np.asarray(q["wq"][0])
+    scale = np.asarray(q["wq_scale4"][0])           # (2, 4)
+    lo = (p8.astype(np.int8) << 4).astype(np.int8) >> 4
+    hi = p8.astype(np.int8) >> 4
+    unpacked = np.stack([lo, hi], axis=1).reshape(8, 4).astype(np.float32)
+    deq = unpacked.reshape(2, 4, 4) * scale[:, None, :]
+    ref = np.asarray(w[0])
+    # error bounded by half a quantization step per group
+    step = scale.repeat(4, axis=0)
+    assert (np.abs(deq.reshape(8, 4) - ref) <= step / 2 + 1e-6).all()
+
+
+def test_engine_with_int4_depth_runs():
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    import dataclasses
+
+    cfg = tiny_engine_config()
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, quantize_depth=True,
+                                     quantize_depth_bits=4))
+    e = FireRedTTS2Engine(config=cfg, seed=0)
+    assert "wq_scale4" in e.lm_params["decoder"]
+    audio = e.generate("int4 depth", "[S1]", [], max_audio_length_ms=480)
+    assert audio.shape[0] % 1920 == 0 and np.isfinite(audio).all()

@@ -22,27 +22,32 @@ import jax.numpy as jnp
 FRAMES = 100
 
 
-def build(quantize_depth: bool, quantize_backbone: bool):
+def build(quantize_depth: bool, quantize_backbone: bool,
+          depth_bits: int = 8):
     from fireredtts2_tpu.config import LLMConfig
     from fireredtts2_tpu.models.lm.model import (
         init_lm_params, init_lm_state, lm_generate_loop)
-    from fireredtts2_tpu.models.lm.transformer import quantize_transformer_int8
+    from fireredtts2_tpu.models.lm.transformer import (
+        quantize_transformer_int8, quantize_transformer_int4)
 
     cfg = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
                     text_vocab_size=152_000, audio_vocab_size=2051,
                     audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16")
     params = init_lm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     if quantize_depth:
-        params["decoder"] = quantize_transformer_int8(params["decoder"])
+        quant = (quantize_transformer_int4 if depth_bits == 4
+                 else quantize_transformer_int8)
+        params["decoder"] = quant(params["decoder"])
     if quantize_backbone:
         params["backbone"] = quantize_transformer_int8(params["backbone"])
     return cfg, params, init_lm_state, lm_generate_loop
 
 
 def run_variant(name: str, pallas: bool, int8_depth: bool, int8_backbone: bool,
-                batch: int = 1, bucket: int = 128) -> float:
+                batch: int = 1, bucket: int = 128, depth_bits: int = 8) -> float:
     os.environ["FRTTS2_PALLAS"] = "1" if pallas else "0"
-    cfg, params, init_lm_state, lm_generate_loop = build(int8_depth, int8_backbone)
+    cfg, params, init_lm_state, lm_generate_loop = build(
+        int8_depth, int8_backbone, depth_bits)
 
     B, L = batch, bucket
     key = jax.random.PRNGKey(1)
@@ -78,6 +83,8 @@ VARIANTS = {
     "mask-int8d":    dict(pallas=False, int8_depth=True, int8_backbone=False),
     "pallas-int8d":  dict(pallas=True, int8_depth=True, int8_backbone=False),
     "pallas-int8all": dict(pallas=True, int8_depth=True, int8_backbone=True),
+    "int4d-int8b": dict(pallas=False, int8_depth=True, int8_backbone=True,
+                        depth_bits=4),
 }
 
 
