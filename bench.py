@@ -145,10 +145,13 @@ def _bench_batched(engine, n_streams: int = 8, n_frames: int = 25):
         texts = [f"Stream number {i}: a short benchmark sentence about "
                  f"tensor processing units and speech synthesis."
                  for i in range(n_streams)]
-        # warmup (compiles batched steps + slot prefill)
-        h = batcher.submit(texts[0], "[S1]", max_audio_length_ms=4 * 80)
-        for _ in h:
-            pass
+        # warmup (compiles batched steps + burst-sized slot prefill: a
+        # simultaneous submit admits as ONE batched prefill program)
+        warm = [batcher.submit(t, "[S1]", max_audio_length_ms=4 * 80)
+                for t in texts]
+        for h in warm:
+            for _ in h:
+                pass
         t0 = time.perf_counter()
         handles = [batcher.submit(t, "[S1]", max_audio_length_ms=n_frames * 80)
                    for t in texts]

@@ -201,10 +201,13 @@ class ContinuousBatcher:
             self.lm_state = self._reset_lm(self.lm_state, jnp.int32(b))
             self.vo_state = self._reset_vo(self.vo_state, jnp.int32(b))
 
-        # Pad the burst to a power-of-2 row count (few compiled programs);
-        # dummy rows scatter to out-of-range slot B and are dropped.
+        # Pad the burst to one of TWO static row counts (1 for the common
+        # single arrival, B for any burst) so exactly two prefill programs
+        # exist per bucket — deterministic compile surface, no first-burst
+        # compile stall at a new size. Dummy rows scatter to out-of-range
+        # slot B and are dropped.
         N = len(reqs)
-        Np = 1 << (N - 1).bit_length()
+        Np = 1 if N == 1 else self.B
         S = max(r.tokens.shape[1] for r in reqs)
         C = reqs[0].tokens.shape[2]
         tokens = np.zeros((Np, S, C), np.int32)
