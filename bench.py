@@ -56,12 +56,13 @@ def main() -> None:
     # Warmup: compiles prefill bucket + all block sizes (1..block cap).
     run(50)
     # Measure (50 frames = 4 s of audio; long enough for the block
-    # schedule to reach its cap so steady-state RTF is visible).
-    fp_s, samples, wall, chunks = run(50)
-    fp2_s, samples2, wall2, _ = run(50)
-    fp_ms = min(fp_s, fp2_s) * 1000.0
-    audio_s = max(samples, samples2) / 24_000.0
-    rtf = audio_s / min(wall, wall2)  # >1 means faster than realtime
+    # schedule to reach its cap so steady-state RTF is visible). Min of 3:
+    # the tunneled host link has ±25% wall-clock noise.
+    runs = [run(50) for _ in range(3)]
+    fp_ms = min(r[0] for r in runs) * 1000.0
+    audio_s = max(r[1] for r in runs) / 24_000.0
+    rtf = audio_s / min(r[2] for r in runs)  # >1 = faster than realtime
+    chunks = runs[0][3]
 
     # Multi-stream throughput: aggregate realtime factor with the
     # continuous batcher (the serving configuration).
