@@ -105,9 +105,11 @@ def quantize_transformer_int4(params: Params, group: int = 128) -> Params:
     """Weight-only int4 (group-wise symmetric, two nibbles packed per int8
     byte along the input axis) — quarter of the bf16 HBM weight traffic.
 
-    Riskier than int8 (validate on real weights before shipping as the
-    default); group-wise scales over `group` input channels bound the
-    quantization error per dot-product segment."""
+    Packed byte at row i holds input rows i (low nibble) and i + I/2 (high
+    nibble) so the Pallas kernel's unpack is a contiguous sublane concat
+    (ops/pallas_int4.py). Riskier than int8 (validate on real weights
+    before shipping as the default); group-wise scales over `group` input
+    channels bound the quantization error per dot-product segment."""
     out: Params = {}
     for k, v in params.items():
         if k in _MATMUL_KEYS:
@@ -121,7 +123,7 @@ def quantize_transformer_int4(params: Params, group: int = 128) -> Params:
                                 / 7.0, 1e-8)                # (L, I/g, 1, O)
             q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
             q = q.reshape(L, I, O)
-            lo, hi = q[:, 0::2, :], q[:, 1::2, :]
+            lo, hi = q[:, : I // 2, :], q[:, I // 2:, :]    # halves packing
             out[k] = ((lo & 0x0F) | jnp.left_shift(hi, 4)).astype(jnp.int8)
             out[k + "_scale4"] = scale[:, :, 0, :]          # (L, I/g, O) fp32
         else:
@@ -129,21 +131,30 @@ def quantize_transformer_int4(params: Params, group: int = 128) -> Params:
     return out
 
 
+def _unpack_int4(p8: Array, scale: Array, dtype) -> Array:
+    """(I/2, O) packed + (I/g, O) scales -> (I, O) dequantized (XLA path)."""
+    lo = jnp.right_shift(jnp.left_shift(p8, 4), 4)          # rows [0, I/2)
+    hi = jnp.right_shift(p8, 4)                             # rows [I/2, I)
+    q = jnp.concatenate([lo, hi], axis=0)
+    g = q.shape[0] // scale.shape[0]
+    wq = (q.astype(dtype).reshape(scale.shape[0], g, -1)
+          * scale[:, None, :].astype(dtype))
+    return wq.reshape(q.shape[0], -1)
+
+
 def _mm(x: Array, lp: Params, name: str) -> Array:
-    """x @ W with transparent weight-only int8/int4 (dequant fused into the
-    matmul read by XLA)."""
+    """x @ W with transparent weight-only int8/int4. int8 dequant fuses
+    into the dot under XLA; int4 routes through the Pallas fused-unpack
+    kernel on TPU (XLA materializes the unpacked weights — measured slower
+    than int8, PERF.md)."""
     w = lp[name]
     if name + "_scale4" in lp:
-        # int4: unpack two nibbles per byte (input axis), group dequant
-        p8 = w                                              # (I/2, O) int8
-        lo = jnp.right_shift(jnp.left_shift(p8, 4), 4)      # sign-extended
-        hi = jnp.right_shift(p8, 4)
-        q = jnp.stack([lo, hi], axis=1).reshape(p8.shape[0] * 2, p8.shape[1])
-        scale = lp[name + "_scale4"]                        # (I/g, O)
-        g = q.shape[0] // scale.shape[0]
-        wq = (q.astype(x.dtype).reshape(scale.shape[0], g, -1)
-              * scale[:, None, :].astype(x.dtype))
-        return x @ wq.reshape(q.shape[0], -1)
+        from fireredtts2_tpu.ops.pallas_int4 import (
+            int4_matmul, int4_kernel_enabled)
+
+        if int4_kernel_enabled():
+            return int4_matmul(x, w, lp[name + "_scale4"])
+        return x @ _unpack_int4(w, lp[name + "_scale4"], x.dtype)
     if w.dtype == jnp.int8:
         y = jnp.dot(x, w.astype(x.dtype), precision=None)
         return y * lp[name + "_scale"][0].astype(y.dtype)

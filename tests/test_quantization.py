@@ -95,22 +95,41 @@ def test_int4_roundtrip_and_forward(rng):
 
 
 def test_int4_unpack_exact(rng):
-    """Packed nibbles must unpack to exactly the quantized values (the _mm
-    dequant path), including negatives."""
-    from fireredtts2_tpu.models.lm.transformer import quantize_transformer_int4
+    """Packed nibbles (halves layout: byte row i = input rows i and i+I/2)
+    must unpack to exactly the quantized values, including negatives."""
+    from fireredtts2_tpu.models.lm.transformer import (
+        quantize_transformer_int4, _unpack_int4)
 
     w = jnp.asarray(rng.standard_normal((1, 8, 4)).astype(np.float32))
     q = quantize_transformer_int4({"wq": w}, group=4)
-    p8 = np.asarray(q["wq"][0])
-    scale = np.asarray(q["wq_scale4"][0])           # (2, 4)
-    lo = (p8.astype(np.int8) << 4).astype(np.int8) >> 4
-    hi = p8.astype(np.int8) >> 4
-    unpacked = np.stack([lo, hi], axis=1).reshape(8, 4).astype(np.float32)
-    deq = unpacked.reshape(2, 4, 4) * scale[:, None, :]
+    deq = np.asarray(_unpack_int4(q["wq"][0], q["wq_scale4"][0], jnp.float32))
     ref = np.asarray(w[0])
-    # error bounded by half a quantization step per group
+    scale = np.asarray(q["wq_scale4"][0])           # (2, 4)
     step = scale.repeat(4, axis=0)
-    assert (np.abs(deq.reshape(8, 4) - ref) <= step / 2 + 1e-6).all()
+    assert (np.abs(deq - ref) <= step / 2 + 1e-6).all()
+
+
+def test_int4_kernel_matches_xla_dequant(rng):
+    """The Pallas fused-unpack matmul (interpret mode on CPU) must match
+    the XLA dequant path at production-like dims."""
+    from fireredtts2_tpu.models.lm.transformer import (
+        quantize_transformer_int4, _unpack_int4)
+    from fireredtts2_tpu.ops.pallas_int4 import int4_matmul
+
+    for I, O in ((256, 384), (128, 256)):
+        w = jnp.asarray(rng.standard_normal((1, I, O)).astype(np.float32) * 0.1)
+        q = quantize_transformer_int4({"wq": w}, group=64)
+        x = jnp.asarray(rng.standard_normal((2, I)).astype(np.float32))
+        want = x @ _unpack_int4(q["wq"][0], q["wq_scale4"][0], jnp.float32)
+        got = int4_matmul(x, q["wq"][0], q["wq_scale4"][0], interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+    # 3D activations reshape through
+    x3 = jnp.asarray(rng.standard_normal((2, 3, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((1, 128, 256)).astype(np.float32) * 0.1)
+    q = quantize_transformer_int4({"wq": w}, group=64)
+    got = int4_matmul(x3, q["wq"][0], q["wq_scale4"][0], interpret=True)
+    assert got.shape == (2, 3, 256)
 
 
 def test_engine_with_int4_depth_runs():
