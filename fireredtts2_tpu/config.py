@@ -112,6 +112,12 @@ class LLMConfig:
     # packed nibbles — quarter the reads; validate quality on real weights
     # before defaulting).
     quantize_depth_bits: int = 8
+    # Fused depth-chain Pallas kernel (ops/pallas_depth.py): run the whole
+    # per-frame depth decode (15 sequential steps + sampling) in ONE
+    # pallas_call with weights VMEM-resident per this placement plan, e.g.
+    # "gate=r4,up=s8,down=s8" (r8 = resident int8, r4 = resident int4,
+    # s8 = streamed int8). Empty = disabled (XLA depth loop).
+    fused_depth_plan: str = ""
 
     @property
     def backbone(self) -> TransformerConfig:

@@ -112,12 +112,19 @@ class FireRedTTS2Engine:
                                                   _dtype_of(config.codec.dtype))
             self.tokenizer = load_tokenizer(None)
 
-        if self.config.llm.quantize_depth or self.config.llm.quantize_backbone:
+        if (self.config.llm.fused_depth_plan or self.config.llm.quantize_depth
+                or self.config.llm.quantize_backbone):
             from fireredtts2_tpu.models.lm.transformer import (
                 quantize_transformer_int8, quantize_transformer_int4,
             )
             self.lm_params = dict(self.lm_params)
-            if self.config.llm.quantize_depth:
+            if self.config.llm.fused_depth_plan:
+                # Fused depth-chain kernel: quantizes the decoder per the
+                # placement plan and installs the kernel bundle.
+                from fireredtts2_tpu.ops.pallas_depth import enable_fused_depth
+                self.lm_params = enable_fused_depth(self.lm_params,
+                                                    self.config.llm)
+            elif self.config.llm.quantize_depth:
                 quant = (quantize_transformer_int4
                          if self.config.llm.quantize_depth_bits == 4
                          else quantize_transformer_int8)

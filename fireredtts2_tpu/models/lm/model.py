@@ -122,7 +122,18 @@ def frame_hidden(params: Params, cfg: LLMConfig, tokens: Array,
 def _depth_decode(params: Params, cfg: LLMConfig, last_h: Array, c0: Array,
                   key: Array, depth_topk: int, depth_temperature: float) -> Array:
     """Sample codebooks 1..N-1 with the depth transformer (fresh 16-slot
-    cache; reference resets it every frame, llm.py:317)."""
+    cache; reference resets it every frame, llm.py:317).
+
+    When the params tree carries a prepared "depth_chain" bundle (see
+    ops/pallas_depth.enable_fused_depth) the whole chain runs in ONE fused
+    Pallas kernel with VMEM-resident weights — same key folding, same
+    sampled tokens for the same key."""
+    if cfg.fused_depth_plan and "depth_chain" in params:
+        from fireredtts2_tpu.ops.pallas_depth import fused_depth_decode
+        return fused_depth_decode(
+            params["depth_chain"], cfg, last_h, c0, key,
+            depth_topk=depth_topk, depth_temperature=depth_temperature,
+            plan=cfg.fused_depth_plan)
     dec_cfg = cfg.decoder
     ncb = cfg.audio_num_codebooks
     B = last_h.shape[0]

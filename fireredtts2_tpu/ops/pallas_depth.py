@@ -1,0 +1,676 @@
+"""Fused depth-chain Pallas kernel: the WHOLE per-frame depth decode
+(15 sequential qwen-200m steps + sampling) in ONE pallas_call.
+
+Why. The depth decoder dominates LM device time per 80 ms frame: its ~187M
+transformer params are re-read from HBM for every one of the 15 sequential
+codebook steps, because each step's input is the previous step's SAMPLED
+token (reference loop: fireredtts2/llm/llm.py:317-328). XLA cannot keep
+weights on-chip across the steps; this kernel can — v5e has 128 MB of VMEM.
+Weight placement is a static PLAN per MLP matmul family:
+
+- ``r8``: int8, RESIDENT in VMEM for the whole frame (read from HBM once).
+- ``r4``: int4 packed nibbles, resident; dequantized in VMEM per use with
+  the float-math trick proven in ops/pallas_int4.py (Mosaic: no vector
+  shl), in quarter-matrix chunks to bound the unpacked temporary.
+- ``s8``: int8, STREAMED from HBM per step in half-matrix chunks behind a
+  double buffer (for what residency cannot fit).
+
+The attention projections (wq/wk/wv/wo, 22 MB int8) are always resident.
+Measured on v5e (tools/devtime.py, flagship qwen-200m, B=1): XLA int8
+loop 7.40 ms/frame -> fused gate=r4,up=s8,down=s8 6.65 ms/frame; heavier
+residency cuts the remaining per-step streaming (PERF.md round 2).
+
+In-kernel math mirrors models/lm/model.py::_depth_decode exactly:
+- the reference's S=2 prefill ([backbone h, embed(c0)]) is computed as two
+  single-position micro-steps — identical numerics for causal attention
+  since every op is row-independent;
+- sampling is temperature + top-k + exponential-race argmax(probs / q)
+  (reference fireredtts2/llm/llm.py:34-49) with the SAME q draws as the
+  XLA path: the exponential noise is drawn OUTSIDE the kernel with
+  jax.random.fold_in(key, step) and streamed in per step, so fused and XLA
+  paths sample identical tokens for identical keys;
+- the next step's embedding rows are fetched by PER-STREAM row DMA from
+  the flat audio-embedding table (offset token + codebook*V, llm.py:336),
+  issued right after sampling — embeddings never occupy table-sized VMEM.
+
+Hard-won Mosaic facts encoded here: matmul accumulators must be 32-bit;
+pltpu.repeat TILES (g-major) rather than element-repeating — Q rows are
+permuted to (g, b, hkv) order to line up; unwritten scratch is NaN-poison,
+so dead KV slots are select-ed away, never multiplied by zero; DMA lane
+slices must be 128-aligned (half/quarter splits of flagship dims are).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fireredtts2_tpu.config import LLMConfig, TransformerConfig
+
+_NEG = -1e30
+_MATMUL = ("wq", "wk", "wv", "wo")
+_MLP = ("w_gate", "w_up", "w_down")
+
+
+# ---------------------------------------------------------------------------
+# Plan parsing
+# ---------------------------------------------------------------------------
+
+
+def parse_plan(plan: str) -> dict[str, str]:
+    """"gate=r4,up=s8,down=s8" -> {"w_gate": "r4", ...}. Empty -> all r8."""
+    out = {"w_gate": "r8", "w_up": "r8", "w_down": "r8"}
+    if plan:
+        for part in plan.split(","):
+            k, v = part.split("=")
+            key = {"gate": "w_gate", "up": "w_up", "down": "w_down"}[k.strip()]
+            assert v in ("r8", "r4", "s8"), v
+            out[key] = v
+    return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Bundle preparation (host/setup time)
+# ---------------------------------------------------------------------------
+
+
+def _quant8(w: Array) -> tuple[Array, Array]:
+    """Per-output-channel symmetric int8 (matches
+    models/lm/transformer.py::quantize_transformer_int8)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0,
+                        1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quant4(w: Array, group: int) -> tuple[Array, Array]:
+    """Group-wise symmetric int4, halves-packed (matches
+    quantize_transformer_int4: packed row i = input rows (i, i + I/2))."""
+    wf = w.astype(jnp.float32)
+    L, I, O = wf.shape
+    # Groups must divide I/2: the kernel dequantizes input-row chunks of
+    # each nibble side independently (down-proj streams/unpacks per half).
+    g = max(min(group, I // 2), 1)
+    while (I // 2) % g:
+        g //= 2
+    wg = wf.reshape(L, I // g, g, O)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=2, keepdims=True) / 7.0,
+                        1e-8)
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8).reshape(L, I, O)
+    lo, hi = q[:, : I // 2, :], q[:, I // 2:, :]
+    packed = ((lo & 0x0F) | jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return packed, scale[:, :, 0, :]  # (L, I/2, O), (L, I/g, O)
+
+
+def prepare_depth_chain(params: dict[str, Any], cfg: LLMConfig,
+                        plan: str = "", group: int = 128) -> dict[str, Any]:
+    """Build the kernel weight bundle from an LM params tree whose
+    ``decoder`` is UNQUANTIZED (bf16/f32).
+
+    Returns a dict of arrays (a pytree — it rides inside the params tree as
+    ``params["depth_chain"]``) plus, under "xla_decoder", the matching
+    mixed-quantized decoder tree for the XLA fallback path so both paths
+    compute identical numbers. Quantized arrays are SHARED between the two
+    views (same HBM buffers).
+    """
+    dec = params["decoder"]
+    assert dec["wq"].dtype not in (jnp.int8,), \
+        "prepare_depth_chain needs the unquantized decoder params"
+    p = parse_plan(plan)
+    ncb = cfg.audio_num_codebooks
+    V = cfg.audio_vocab_size
+    Vp = _round_up(V, 128)
+    dcfg = cfg.decoder
+    dtype = params["projection"].dtype
+
+    bundle: dict[str, Any] = {}
+    xla_dec: dict[str, Any] = {}
+    for k, v in dec.items():
+        if k in _MATMUL:
+            q, s = _quant8(v)
+            bundle[k], bundle[k + "_s"] = q, s
+            xla_dec[k], xla_dec[k + "_scale"] = q, s
+        elif k in _MLP:
+            if p[k] == "r4":
+                q, s4 = _quant4(v, group)
+                # Scales stored in the compute dtype: the XLA dequant path
+                # casts them to x.dtype anyway (transformer._unpack_int4),
+                # and int4-value * bf16-scale products are exact in fp32,
+                # so both paths round identically.
+                bundle[k], bundle[k + "_s4"] = q, s4.astype(dtype)
+                xla_dec[k], xla_dec[k + "_scale4"] = q, s4.astype(dtype)
+            else:
+                q, s = _quant8(v)
+                bundle[k], bundle[k + "_s"] = q, s
+                xla_dec[k], xla_dec[k + "_scale"] = q, s
+        else:
+            xla_dec[k] = v
+    # Norm/bias vectors as (L, 1, D) rows for broadcast.
+    L = dcfg.num_layers
+    bundle["attn_norm"] = dec["attn_norm"].reshape(L, 1, -1)
+    bundle["mlp_norm"] = dec["mlp_norm"].reshape(L, 1, -1)
+    bundle["final_norm"] = dec["final_norm"].reshape(1, -1)
+    bundle["bq"] = dec["bq"].reshape(L, 1, -1)
+    bundle["bk"] = dec["bk"].reshape(L, 1, -1)
+    bundle["bv"] = dec["bv"].reshape(L, 1, -1)
+
+    bundle["proj"] = params["projection"]
+
+    # Flat embedding rows for codebooks 0..ncb-2 (embed_audio indexes the
+    # flat table at token + codebook*V, models/lm/model.py:100-104). The
+    # kernel DMAs the 8-row ALIGNED window containing each sampled row
+    # (Mosaic: HBM sublane slices must be 8-aligned) and one-hot-selects
+    # the row on chip; pad the row count so every window is in range.
+    emb = params["audio_embeddings"][: (ncb - 1) * V].astype(dtype)
+    pad_rows = _round_up(emb.shape[0], 8) - emb.shape[0]
+    bundle["emb_rows"] = jnp.pad(emb, ((0, pad_rows), (0, 0)))
+    # audio_head: (ncb-1, D_dec, V) -> pad V to a lane multiple.
+    head = params["audio_head"].astype(dtype)
+    bundle["head_steps"] = jnp.pad(head, ((0, 0), (0, 0), (0, Vp - V)))
+
+    # RoPE tables for depth positions 0..ncb-1.
+    half = dcfg.head_dim // 2
+    inv = 1.0 / (dcfg.rope_base ** (
+        jnp.arange(0, half, dtype=jnp.float32) * 2.0 / dcfg.head_dim))
+    ang = jnp.arange(ncb, dtype=jnp.float32)[:, None] * inv
+    bundle["rope_cos"] = jnp.cos(ang)
+    bundle["rope_sin"] = jnp.sin(ang)
+
+    bundle["xla_decoder"] = xla_dec
+    return bundle
+
+
+def enable_fused_depth(params: dict[str, Any], cfg: LLMConfig) -> dict[str, Any]:
+    """Serving transform: prepare the fused-chain bundle and swap the
+    decoder tree for the matching mixed-quantized one, so the XLA fallback
+    path computes the same numbers as the kernel."""
+    assert cfg.fused_depth_plan, "set LLMConfig.fused_depth_plan first"
+    bundle = prepare_depth_chain(params, cfg, cfg.fused_depth_plan)
+    xla_dec = bundle.pop("xla_decoder")
+    out = dict(params)
+    out["decoder"] = xla_dec
+    out["depth_chain"] = bundle
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel helpers
+# ---------------------------------------------------------------------------
+
+
+def _rms(x: Array, w: Array, eps: float) -> Array:
+    xf = x.astype(jnp.float32)
+    s = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * s).astype(x.dtype) * w.astype(x.dtype)
+
+
+def _dot(a: Array, b: Array) -> Array:
+    """2-D matmul, fp32 accumulation (Mosaic requires a 32-bit matmul acc;
+    callers downcast — the same rounding point as XLA's bf16-out dot)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+
+
+def _deq8(w8: Array, dtype) -> Array:
+    return w8.astype(dtype)
+
+
+def _unpack4_rows(p8: Array, scales: Array, dtype, side: int | None) -> Array:
+    """Dequantize packed-int4 rows (float math — Mosaic has no vector
+    shift; derivation in ops/pallas_int4.py).
+
+    p8: (R, W) packed bytes; scales: (R'/g, W) rows covering the TARGET
+    input rows; side: 0 = low nibbles, 1 = high nibbles, None = both
+    (returns (2R, W), scales must cover 2R rows)."""
+    p = p8.astype(jnp.float32)
+    hi = jnp.floor(p * 0.0625)
+    if side == 1:
+        q = hi
+    else:
+        u = p - 16.0 * hi
+        lo = u - 16.0 * (u >= 8.0).astype(jnp.float32)
+        q = lo if side == 0 else jnp.concatenate([lo, hi], axis=0)
+    g = q.shape[0] // scales.shape[0]
+    w = (q.reshape(scales.shape[0], g, -1)
+         * scales[:, None, :].astype(jnp.float32)).reshape(q.shape)
+    return w.astype(dtype)
+
+
+def _dequant_chunks(width: int) -> int:
+    """How many chunks to split an int4 dequant over: bounds the unpacked
+    bf16 temporary while keeping every slice 128-lane-aligned (Mosaic
+    requires it — flagship Ih = 4480 = 35 x 128 splits 5 ways, not 2)."""
+    if width % 128:
+        return 1
+    tiles = width // 128
+    for qn in (4, 5, 2, 3, 7):
+        if tiles % qn == 0 and width // qn >= 256:
+            return qn
+    return 1
+
+
+def _lane_argmax(x: Array) -> Array:
+    """First-index argmax over the last (lane) axis -> (rows, 1) int32."""
+    m = jnp.max(x, axis=-1, keepdims=True)
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.min(jnp.where(x >= m, ids, jnp.int32(x.shape[-1])),
+                   axis=-1, keepdims=True)
+
+
+def _kth_largest(x: Array, k: int) -> Array:
+    """Value of the k-th largest lane entry per row (ties collapse — with
+    continuous logits this matches jax.lax.top_k(x, k)[0][..., -1:])."""
+    cur = x
+    for _ in range(k - 1):
+        m = jnp.max(cur, axis=-1, keepdims=True)
+        cur = jnp.where(cur >= m, _NEG, cur)
+    return jnp.max(cur, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
+                        ncb: int, V: int, Vp: int, plan: dict[str, str],
+                        topk: int, temperature: float, greedy: bool,
+                        eps: float):
+    r = dict(zip(names, refs))
+    L, Dd = cfg.num_layers, cfg.embed_dim
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    G = Hq // Hkv
+    lasth_ref = r["last_h"]
+    Bp, Db = lasth_ref.shape
+    dtype = lasth_ref.dtype
+    I = cfg.intermediate_dim
+    Ih = I // 2
+
+    out_ref = r["out"]
+    k_store, v_store = r["k_store"], r["v_store"]
+    e_buf, head_buf, nz_buf = r["e_buf"], r["head_buf"], r["nz_buf"]
+    tok_io = r["tok_io"]
+
+    streamed = [n for n in _MLP if plan[n] == "s8"]
+
+    def mlp_chunk_dma(name: str, l: int, h: int):
+        """DMA half-matrix chunk (layer l, half h) of a streamed tensor.
+        gate/up halve OUTPUT columns; down halves INPUT rows. Slices are
+        128-lane / 32-sublane aligned at flagship dims (Ih = 4480)."""
+        buf, sem = r[name + "_buf"], r[name + "_sem"]
+        if name == "w_down":
+            src = r[name].at[l, pl.ds(h * Ih, Ih), :]
+        else:
+            src = r[name].at[l, :, pl.ds(h * Ih, Ih)]
+        return pltpu.make_async_copy(src, buf.at[h], sem.at[h])
+
+    def head_dma(j):
+        return pltpu.make_async_copy(r["head_steps"].at[j], head_buf,
+                                     r["head_sem"])
+
+    def noise_dma(j):
+        return pltpu.make_async_copy(r["noise"].at[j], nz_buf, r["nz_sem"])
+
+    def emb_row_dma(b: int, row8):
+        """Fetch the aligned 8-row window starting at row8 into e_buf[b]."""
+        return pltpu.make_async_copy(r["emb_rows"].at[pl.ds(row8, 8)],
+                                     e_buf.at[b], r["emb_sems"].at[b])
+
+    def start_emb_rows(p):
+        """After sampling at step p: fetch embed rows token_p + p*V for
+        step p+1 (embed_audio codebook index p, model.py:100-104)."""
+        for b in range(Bp):
+            tok = tok_io[b, 0]
+            row = jnp.clip(tok, 0, V - 1) + p * V
+            emb_row_dma(b, (row // 8) * 8).start()
+
+    # Warm-up: step 0's head slice (content discarded at p=0 but the buffer
+    # must not be read mid-DMA) and the streamed MLP chunks for layer 0.
+    # No embedding warm-up: micro-step 0 consumes last_h, and step 1's rows
+    # are issued at the bottom of step 0 once tok_io holds c0.
+    head_dma(0).start()
+    for n in streamed:
+        mlp_chunk_dma(n, 0, 0).start()
+        mlp_chunk_dma(n, 0, 1).start()
+
+    def mm8(x: Array, name: str, l: int) -> Array:
+        """x @ W for a resident int8 tensor (mirrors transformer._mm)."""
+        y = _dot(x, _deq8(r[name][l], dtype)).astype(dtype)
+        return y * r[name + "_s"][l].astype(y.dtype)
+
+    def rope(xh: Array, cosr: Array, sinr: Array) -> Array:
+        d = xh.shape[-1]
+        xf = xh.astype(jnp.float32)
+        x1, x2 = xf[:, : d // 2], xf[:, d // 2:]
+        return jnp.concatenate(
+            [x1 * cosr - x2 * sinr, x2 * cosr + x1 * sinr],
+            axis=-1).astype(xh.dtype)
+
+    def mlp_in_matmul(name: str, x2: Array, l: int, half: int) -> Array:
+        """x2 @ {gate,up}[l][:, half] -> (Bp, Ih) in dtype, scale applied."""
+        mode = plan[name]
+        if mode == "r8":
+            y = _dot(x2, _deq8(r[name][l, :, half * Ih:(half + 1) * Ih],
+                               dtype)).astype(dtype)
+        elif mode == "s8":
+            y = _dot(x2, _deq8(r[name + "_buf"][half], dtype)).astype(dtype)
+        else:  # r4: chunked column dequant bounds the unpacked temporary
+            qn = _dequant_chunks(Ih)
+            qw = Ih // qn
+            ys = []
+            for qs in range(qn):
+                c0 = half * Ih + qs * qw
+                wq = _unpack4_rows(r[name][l][:, c0:c0 + qw],
+                                   r[name + "_s4"][l][:, c0:c0 + qw],
+                                   dtype, side=None)
+                ys.append(_dot(x2, wq).astype(dtype))
+            return ys[0] if qn == 1 else jnp.concatenate(ys, axis=1)
+        return y * r[name + "_s"][l][:, half * Ih:(half + 1) * Ih
+                                     ].astype(dtype)
+
+    def mlp_down_matmul(t_h: Array, l: int, half: int) -> Array:
+        """t_h (Bp, Ih) @ down[l][half rows] -> fp32 (Bp, Dd) partial."""
+        mode = plan["w_down"]
+        if mode == "r8":
+            return _dot(t_h, _deq8(r["w_down"][l, half * Ih:(half + 1) * Ih],
+                                   dtype))
+        if mode == "s8":
+            return _dot(t_h, _deq8(r["w_down_buf"][half], dtype))
+        # r4: nibble side = half; chunked input-row dequant when groups
+        # allow (chunk rows must be whole scale groups).
+        packed = r["w_down"][l]                      # (I/2 = Ih, Dd)
+        scales = r["w_down_s4"][l]                   # (I/g, Dd)
+        g = I // scales.shape[0]
+        qn = _dequant_chunks(Ih)
+        if (Ih // qn) % g:
+            qn = 1
+        qh = Ih // qn
+        acc = jnp.zeros((t_h.shape[0], Dd), jnp.float32)
+        for qs in range(qn):
+            rows = slice(qs * qh, (qs + 1) * qh)
+            srow = slice((half * Ih + qs * qh) // g,
+                         (half * Ih + (qs + 1) * qh) // g)
+            wq = _unpack4_rows(packed[rows, :], scales[srow, :], dtype,
+                               side=half)
+            acc = acc + _dot(t_h[:, rows], wq)
+        return acc
+
+    def body(p, samples):
+        # ---- input hidden state ------------------------------------------
+        noise_dma(p).start()  # tiny row; hidden behind the layer stack
+
+        @pl.when(p > 0)
+        def _():
+            for b in range(Bp):
+                # Wait the window DMAs issued at the bottom of step p-1
+                # (the descriptor's source index is irrelevant to the wait
+                # — only the byte count must match the outstanding copy).
+                emb_row_dma(b, 0).wait()
+
+        # Select each stream's row from its 8-row window (one-hot sum over
+        # REAL table data — safe to multiply). tok_io still holds step
+        # p-1's token; the row offset recomputes the DMA's scalar math in
+        # vector form.
+        prev_vec = tok_io[...]                               # (Bp, 1)
+        row_vec = jnp.clip(prev_vec, 0, V - 1) + (p - 1) * V
+        off = row_vec - (row_vec // 8) * 8                   # (Bp, 1)
+        # One-hot in f32: Mosaic only supports minor-dim insertion on
+        # 32-bit types; f32*bf16 row selection is exact either way.
+        oh8 = (jax.lax.broadcasted_iota(jnp.int32, (Bp, 8), 1)
+               == off).astype(jnp.float32)
+        e = jnp.sum(e_buf[...].astype(jnp.float32) * oh8[:, :, None],
+                    axis=1).astype(dtype)                    # (Bp, Db)
+        # At p=0 e_buf is unwritten scratch, so e may be NaN — SELECT it
+        # away (where discards, never multiplies).
+        e = jnp.where(p == 0, jnp.zeros_like(e), e)
+        h_emb = _dot(e.astype(dtype), r["proj"][...]).astype(dtype)
+        h_last = _dot(lasth_ref[...], r["proj"][...]).astype(dtype)
+        h = jnp.where(p == 0, h_last, h_emb)                 # (Bp, Dd)
+
+        cosr = r["rope_cos"][pl.ds(p, 1), :].astype(jnp.float32)
+        sinr = r["rope_sin"][pl.ds(p, 1), :].astype(jnp.float32)
+
+        # ---- transformer layers ------------------------------------------
+        for l in range(L):
+            x = _rms(h, r["attn_norm"][l], eps)
+            q = mm8(x, "wq", l) + r["bq"][l].astype(dtype)
+            k = mm8(x, "wk", l) + r["bk"][l].astype(dtype)
+            v = mm8(x, "wv", l) + r["bv"][l].astype(dtype)
+            # Q rows permuted to (g, b, hkv): pltpu.repeat TILES its input
+            # ([rows, rows, ...]) rather than element-repeating, so tile g
+            # of repeat(k, G) lines up with q rows (g, b, hkv).
+            qg = [
+                jnp.concatenate(
+                    [q[:, (hkv * G + g) * Dh:(hkv * G + g + 1) * Dh]
+                     for hkv in range(Hkv)], axis=1).reshape(Bp * Hkv, Dh)
+                for g in range(G)
+            ]
+            qh = rope(jnp.concatenate(qg, axis=0), cosr, sinr)
+            kh = rope(k.reshape(Bp * Hkv, Dh), cosr, sinr)
+            vh = v.reshape(Bp * Hkv, Dh)
+            k_store[l, pl.ds(p, 1)] = kh[None].astype(k_store.dtype)
+            v_store[l, pl.ds(p, 1)] = vh[None].astype(v_store.dtype)
+
+            qf = qh.astype(jnp.float32) * (1.0 / (Dh ** 0.5))
+            # Whole-window attention in 3-D ops: the slot axis stays
+            # LEADING so mask/softmax/reduce run once over the window.
+            k3 = pltpu.repeat(k_store[l], G, axis=1).astype(jnp.float32)
+            s3 = jnp.sum(qf[None, :, :] * k3, axis=-1)     # (ncb, G*Bp*Hkv)
+            tpos = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 0)
+            s3 = jnp.where(tpos <= p, s3, _NEG)
+            mx = jnp.max(s3, axis=0, keepdims=True)
+            ex = jnp.exp(s3 - mx)
+            probs = (ex / jnp.sum(ex, axis=0, keepdims=True)).astype(dtype)
+            v3 = pltpu.repeat(v_store[l], G, axis=1).astype(jnp.float32)
+            # Slots t > p are UNWRITTEN scratch (NaN/garbage): their
+            # probability is 0 but 0 * NaN = NaN, so select — never
+            # multiply — the dead slots away.
+            vsel = jnp.where(tpos[:, :, None] <= p, v3, 0.0)
+            acc = jnp.sum(probs.astype(jnp.float32)[:, :, None] * vsel,
+                          axis=0)                          # (G*Bp*Hkv, Dh)
+            og = acc.astype(dtype)
+            # Inverse permutation: rows (g, b, hkv) -> columns h = hkv*G+g.
+            opieces = [og[g * Bp * Hkv:(g + 1) * Bp * Hkv
+                          ].reshape(Bp, Hkv * Dh) for g in range(G)]
+            o = jnp.concatenate(
+                [opieces[h2 % G][:, (h2 // G) * Dh:(h2 // G + 1) * Dh]
+                 for h2 in range(Hq)], axis=1)             # (Bp, Hq*Dh)
+            h = h + mm8(o, "wo", l).astype(dtype)
+
+            # MLP in halves (s8 chunks double-buffer across layers/steps).
+            x2 = _rms(h, r["mlp_norm"][l], eps)
+            d_acc = jnp.zeros((Bp, Dd), jnp.float32)
+            for half in range(2):
+                for n in streamed:
+                    mlp_chunk_dma(n, l, half).wait()
+                g_act = jax.nn.silu(
+                    mlp_in_matmul("w_gate", x2, l, half).astype(jnp.float32)
+                ).astype(dtype)
+                u_act = mlp_in_matmul("w_up", x2, l, half)
+                d_acc = d_acc + mlp_down_matmul(g_act * u_act, l, half)
+                for n in streamed:
+                    if l + 1 < L:
+                        mlp_chunk_dma(n, l + 1, half).start()
+                    else:
+                        @pl.when(p < ncb - 1)
+                        def _(n=n, half=half):
+                            mlp_chunk_dma(n, 0, half).start()
+            d = d_acc.astype(dtype)
+            if plan["w_down"] != "r4":
+                d = d * r["w_down_s"][l].astype(dtype)  # (1, Dd) broadcast
+            h = h + d
+
+        hh = _rms(h, r["final_norm"][0], eps)
+
+        # ---- logits + sampling -------------------------------------------
+        head_dma(jnp.minimum(p, ncb - 2)).wait()
+        logits = _dot(hh, head_buf[...])                      # (Bp, Vp) f32
+
+        @pl.when(p < ncb - 1)
+        def _():
+            head_dma(jnp.minimum(p, ncb - 2)).start()  # slice for step p+1
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(lane < V, logits, _NEG)
+        noise_dma(p).wait()
+        if greedy:
+            tok = _lane_argmax(logits)
+        else:
+            lf = logits / temperature
+            kth = _kth_largest(lf, topk)
+            filt = jnp.where(lf < kth, _NEG, lf)
+            m = jnp.max(filt, axis=-1, keepdims=True)
+            ex2 = jnp.exp(filt - m)
+            pr = ex2 / jnp.sum(ex2, axis=-1, keepdims=True)
+            tok = _lane_argmax(pr / nz_buf[...])
+
+        tok = jnp.where(p == 0, r["c0"][...], tok)           # record c0 at 0
+        onecol = (jax.lax.broadcasted_iota(jnp.int32, (Bp, ncb), 1)
+                  == p).astype(jnp.int32)
+        samples = samples + tok * onecol
+        tok_io[...] = tok
+
+        @pl.when(p < ncb - 1)
+        def _():
+            start_emb_rows(p)  # rows c_p + p*V, consumed at step p+1
+        return samples
+
+    samples = jax.lax.fori_loop(
+        0, ncb, body, jnp.zeros((Bp, ncb), jnp.int32))
+    out_ref[...] = samples
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
+def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
+                       last_h: Array, c0: Array, key: Array,
+                       depth_topk: int = 10, depth_temperature: float = 0.75,
+                       greedy: bool = False, plan: str = "",
+                       interpret: bool | None = None) -> Array:
+    """Sample codebooks 0..ncb-1 for one frame with the fused chain kernel.
+
+    Mirrors models/lm/model.py::_depth_decode (same key folding, same
+    sampling semantics). Returns (B, ncb) int32 including c0.
+    """
+    dcfg = cfg.decoder
+    ncb = cfg.audio_num_codebooks
+    V = cfg.audio_vocab_size
+    Vp = _round_up(V, 128)
+    B = last_h.shape[0]
+    Bp = _round_up(max(B, 8), 8)
+    dtype = last_h.dtype
+    p = parse_plan(plan)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # Exponential-race draws, identical to the XLA path (fold_in(key, i),
+    # shape (B, V)) so both paths pick the same tokens for the same key.
+    if greedy:
+        noise = jnp.ones((ncb, Bp, Vp), jnp.float32)
+    else:
+        draws = jnp.stack([
+            jax.random.exponential(jax.random.fold_in(key, i), (B, V),
+                                   dtype=jnp.float32)
+            for i in range(1, ncb)])
+        noise = jnp.ones((ncb, Bp, Vp), jnp.float32)
+        noise = noise.at[1:, :B, :V].set(draws)
+
+    if B != Bp:
+        last_h = jnp.pad(last_h, ((0, Bp - B), (0, 0)))
+        c0 = jnp.pad(c0, ((0, Bp - B),))
+
+    names: list[str] = []
+    args: list[Array] = []
+    in_specs: list[Any] = []
+
+    def add(name: str, arr: Array, space=pltpu.VMEM):
+        names.append(name)
+        args.append(arr)
+        in_specs.append(pl.BlockSpec(memory_space=space))
+
+    add("c0", c0.astype(jnp.int32).reshape(Bp, 1))
+    add("last_h", last_h)
+    add("noise", noise, space=pl.ANY)
+    add("proj", bundle["proj"].astype(dtype))
+    add("rope_cos", bundle["rope_cos"])
+    add("rope_sin", bundle["rope_sin"])
+    for n in ("attn_norm", "mlp_norm", "final_norm", "bq", "bk", "bv"):
+        add(n, bundle[n].astype(dtype))
+    for n in _MATMUL:
+        add(n, bundle[n])
+        add(n + "_s", bundle[n + "_s"])
+    for n in _MLP:
+        mode = p[n]
+        if mode == "s8":
+            add(n, bundle[n], space=pl.ANY)
+            add(n + "_s", bundle[n + "_s"])
+        elif mode == "r4":
+            add(n, bundle[n])
+            add(n + "_s4", bundle[n + "_s4"])
+        else:
+            add(n, bundle[n])
+            add(n + "_s", bundle[n + "_s"])
+    add("emb_rows", bundle["emb_rows"].astype(dtype), space=pl.ANY)
+    add("head_steps", bundle["head_steps"].astype(dtype), space=pl.ANY)
+
+    L, Dd = dcfg.num_layers, dcfg.embed_dim
+    Hkv, Dh = dcfg.num_kv_heads, dcfg.head_dim
+    Db = bundle["proj"].shape[0]
+    I = dcfg.intermediate_dim
+    Ih = I // 2
+
+    scratch = [
+        pltpu.VMEM((L, ncb, Bp * Hkv, Dh), dtype),      # k_store
+        pltpu.VMEM((L, ncb, Bp * Hkv, Dh), dtype),      # v_store
+        pltpu.VMEM((Bp, 8, Db), dtype),                 # e_buf (8-row windows)
+        pltpu.VMEM((Dd, Vp), dtype),                    # head_buf
+        pltpu.VMEM((Bp, Vp), jnp.float32),              # nz_buf
+        pltpu.VMEM((Bp, 1), jnp.int32),                 # tok_io
+        pltpu.SemaphoreType.DMA((Bp,)),                 # emb_sems
+        pltpu.SemaphoreType.DMA(()),                    # head_sem
+        pltpu.SemaphoreType.DMA(()),                    # nz_sem
+    ]
+    scratch_names = ["k_store", "v_store", "e_buf", "head_buf", "nz_buf",
+                     "tok_io", "emb_sems", "head_sem", "nz_sem"]
+    for n in _MLP:
+        if p[n] == "s8":
+            # gate/up stream (Dd, Ih) column halves; down streams (Ih, Dd)
+            # row halves.
+            shape = (2, Ih, Dd) if n == "w_down" else (2, Dd, Ih)
+            scratch.append(pltpu.VMEM(shape, jnp.int8))
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+            scratch_names += [n + "_buf", n + "_sem"]
+
+    all_names = tuple(names + ["out"] + scratch_names)
+
+    kernel = pl.pallas_call(
+        functools.partial(
+            _depth_chain_kernel, names=all_names, cfg=dcfg, ncb=ncb, V=V,
+            Vp=Vp, plan=p, topk=depth_topk, temperature=depth_temperature,
+            greedy=greedy, eps=dcfg.norm_eps),
+        out_shape=jax.ShapeDtypeStruct((Bp, ncb), jnp.int32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * (1 << 20)),
+        interpret=interpret,
+    )
+    samples = kernel(*args)
+    return samples[:B]

@@ -79,6 +79,35 @@ class FrameCost:
     kv_bytes: float       # HBM KV-slab traffic (per stream, so scales with B)
 
 
+def depth_frame_weight_bytes(cfg: LLMConfig) -> Optional[float]:
+    """HBM weight bytes per frame for the depth decoder under the fused
+    chain kernel (ops/pallas_depth.py): RESIDENT tensors are read from HBM
+    once per frame, STREAMED tensors once per sequential step. None when
+    the fused plan is disabled (the XLA loop re-reads everything ncb-1
+    times; lm_frame_cost's default accounting covers that)."""
+    if not cfg.fused_depth_plan:
+        return None
+    from fireredtts2_tpu.ops.pallas_depth import parse_plan
+
+    plan = parse_plan(cfg.fused_depth_plan)
+    dec = cfg.decoder
+    D, I, L = dec.embed_dim, dec.intermediate_dim, dec.num_layers
+    ncb = cfg.audio_num_codebooks
+    attn = L * (D * dec.num_heads * dec.head_dim * 2
+                + D * dec.num_kv_heads * dec.head_dim * 2)
+    total = float(attn)  # attention projections: resident int8, read once
+    for name in ("w_gate", "w_up", "w_down"):
+        sz = L * D * I
+        mode = plan[name]
+        if mode == "r8":
+            total += sz
+        elif mode == "r4":
+            total += sz * 0.5
+        else:  # s8: re-streamed for each of the ncb micro-steps
+            total += float(sz) * ncb
+    return total
+
+
 def lm_frame_cost(cfg: LLMConfig, batch: int = 1, mean_context: int = 512,
                   weight_bytes_per_param: float = 2.0,
                   backbone_bytes_per_param: Optional[float] = None,
@@ -117,11 +146,15 @@ def lm_frame_cost(cfg: LLMConfig, batch: int = 1, mean_context: int = 512,
              else weight_bytes_per_param)
     dec_wb = (depth_bytes_per_param if depth_bytes_per_param is not None
               else weight_bytes_per_param)
+    fused_depth = depth_frame_weight_bytes(cfg)
+    depth_bytes = (fused_depth if fused_depth is not None
+                   # XLA loop: depth weights re-read for every sequential
+                   # step — the per-frame floor (PERF.md): 2 prefill slots
+                   # + (ncb - 2) steps.
+                   else (ncb - 1) * dec_params * dec_wb)
     weight_bytes = (
         bb_params * bb_wb + c0_head * 2.0
-        # depth decoder weights are re-read for every sequential step — the
-        # per-frame floor (PERF.md): 2 prefill slots + (ncb - 2) steps.
-        + (ncb - 1) * dec_params * dec_wb
+        + depth_bytes
         + audio_heads * 2.0 + proj * 2.0
     )
 

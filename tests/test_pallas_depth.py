@@ -1,0 +1,113 @@
+"""Fused depth-chain kernel (ops/pallas_depth.py) vs the XLA depth loop.
+
+The kernel must sample IDENTICAL tokens to models/lm/model.py::_depth_decode
+for the same key: both draw the exponential-race noise with
+fold_in(key, step), and the XLA fallback runs on the same mixed-quantized
+weights the kernel reads (prepare_depth_chain returns both views sharing
+buffers). Tests run in Pallas interpret mode on the CPU mesh at tiny dims
+(f32 — dequantized math is bitwise-identical between the two paths there).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fireredtts2_tpu.config import LLMConfig, tiny_engine_config
+from fireredtts2_tpu.models.lm.model import (
+    _depth_decode, init_lm_params, init_lm_state, lm_generate_frame,
+)
+from fireredtts2_tpu.ops.pallas_depth import (
+    enable_fused_depth, fused_depth_decode, parse_plan, prepare_depth_chain,
+)
+
+PLANS = ["", "gate=r4,up=s8,down=s8", "gate=s8,up=r4,down=r4",
+         "gate=s8,up=s8,down=s8"]
+
+
+def _tiny_cfg(plan=""):
+    return LLMConfig(backbone_flavor="tiny", decoder_flavor="tiny-deep",
+                     text_vocab_size=300, audio_vocab_size=64,
+                     audio_num_codebooks=4, max_seq_len=256, dtype="float32",
+                     fused_depth_plan=plan)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _tiny_cfg()
+    params = init_lm_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B = 3
+    last_h = jax.random.normal(jax.random.PRNGKey(1),
+                               (B, cfg.backbone.embed_dim), jnp.float32)
+    c0 = jax.random.randint(jax.random.PRNGKey(2), (B,), 0,
+                            cfg.audio_vocab_size)
+    return cfg, params, last_h, c0
+
+
+def test_parse_plan():
+    assert parse_plan("") == {"w_gate": "r8", "w_up": "r8", "w_down": "r8"}
+    assert parse_plan("gate=r4,down=s8") == {
+        "w_gate": "r4", "w_up": "r8", "w_down": "s8"}
+
+
+@pytest.mark.parametrize("plan", PLANS)
+def test_sampled_tokens_match_xla(setup, plan):
+    cfg, params, last_h, c0 = setup
+    bundle = prepare_depth_chain(params, cfg, plan)
+    params_q = dict(params, decoder=bundle["xla_decoder"])
+    key = jax.random.PRNGKey(7)
+    xla = _depth_decode(params_q, cfg, last_h, c0, key, 10, 0.75)
+    fused = fused_depth_decode(bundle, cfg, last_h, c0, key, 10, 0.75,
+                               plan=plan, interpret=True)
+    assert (xla == fused).all(), (xla.tolist(), fused.tolist())
+    # c0 is recorded verbatim in column 0.
+    assert (fused[:, 0] == c0).all()
+
+
+@pytest.mark.parametrize("plan", ["", "gate=r4,up=s8,down=s8"])
+def test_greedy_matches_topk1(setup, plan):
+    cfg, params, last_h, c0 = setup
+    bundle = prepare_depth_chain(params, cfg, plan)
+    params_q = dict(params, decoder=bundle["xla_decoder"])
+    key = jax.random.PRNGKey(3)
+    xla = _depth_decode(params_q, cfg, last_h, c0, key, 1, 0.75)
+    fused = fused_depth_decode(bundle, cfg, last_h, c0, key, greedy=True,
+                               plan=plan, interpret=True)
+    assert (xla == fused).all()
+
+
+def test_batch_padding_consistency(setup):
+    """A stream's samples must not depend on how many others share the
+    kernel batch (B=1 vs B=3 padded to 8)."""
+    cfg, params, last_h, c0 = setup
+    bundle = prepare_depth_chain(params, cfg, "")
+    key = jax.random.PRNGKey(9)
+    full = fused_depth_decode(bundle, cfg, last_h, c0, key, greedy=True,
+                              interpret=True)
+    one = fused_depth_decode(bundle, cfg, last_h[:1], c0[:1], key,
+                             greedy=True, interpret=True)
+    assert (full[:1] == one).all()
+
+
+def test_lm_generate_frame_routes_through_kernel(setup):
+    """End-to-end: lm_generate_frame with the bundle installed samples the
+    same frame as the XLA path on the matching quantized decoder."""
+    cfg, params, last_h, c0 = setup
+    plan = "gate=r4,up=s8,down=s8"
+    cfg_fused = _tiny_cfg(plan)
+    params_fused = enable_fused_depth(dict(params), cfg_fused)
+    params_plain = dict(params, decoder=params_fused["decoder"])
+
+    B, S = 2, 8
+    key = jax.random.PRNGKey(11)
+    tokens = jax.random.randint(key, (B, S, cfg.num_columns), 1, 60)
+    tmask = jnp.ones((B, S, cfg.num_columns), bool)
+    valid = jnp.ones((B, S), bool)
+    kf = jax.random.PRNGKey(12)
+
+    st = init_lm_state(cfg, B, jnp.float32)
+    _, frame_plain = lm_generate_frame(params_plain, cfg, st, tokens, tmask,
+                                       valid, kf)
+    st = init_lm_state(cfg_fused, B, jnp.float32)
+    _, frame_fused = lm_generate_frame(params_fused, cfg_fused, st, tokens,
+                                       tmask, valid, kf)
+    assert (frame_plain == frame_fused).all()

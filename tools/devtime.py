@@ -23,7 +23,7 @@ FRAMES = 100
 
 
 def build(quantize_depth: bool, quantize_backbone: bool,
-          depth_bits: int = 8):
+          depth_bits: int = 8, fused_plan: str = ""):
     from fireredtts2_tpu.config import LLMConfig
     from fireredtts2_tpu.models.lm.model import (
         init_lm_params, init_lm_state, lm_generate_loop)
@@ -32,9 +32,13 @@ def build(quantize_depth: bool, quantize_backbone: bool,
 
     cfg = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
                     text_vocab_size=152_000, audio_vocab_size=2051,
-                    audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16")
+                    audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16",
+                    fused_depth_plan=fused_plan)
     params = init_lm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    if quantize_depth:
+    if fused_plan:
+        from fireredtts2_tpu.ops.pallas_depth import enable_fused_depth
+        params = enable_fused_depth(params, cfg)
+    elif quantize_depth:
         quant = (quantize_transformer_int4 if depth_bits == 4
                  else quantize_transformer_int8)
         params["decoder"] = quant(params["decoder"])
@@ -44,10 +48,11 @@ def build(quantize_depth: bool, quantize_backbone: bool,
 
 
 def run_variant(name: str, pallas: bool, int8_depth: bool, int8_backbone: bool,
-                batch: int = 1, bucket: int = 128, depth_bits: int = 8) -> float:
+                batch: int = 1, bucket: int = 128, depth_bits: int = 8,
+                fused_plan: str = "") -> float:
     os.environ["FRTTS2_PALLAS"] = "1" if pallas else "0"
     cfg, params, init_lm_state, lm_generate_loop = build(
-        int8_depth, int8_backbone, depth_bits)
+        int8_depth, int8_backbone, depth_bits, fused_plan)
 
     B, L = batch, bucket
     key = jax.random.PRNGKey(1)
@@ -85,6 +90,19 @@ VARIANTS = {
     "pallas-int8all": dict(pallas=True, int8_depth=True, int8_backbone=True),
     "int4d-int8b": dict(pallas=False, int8_depth=True, int8_backbone=True,
                         depth_bits=4),
+    # Fused depth-chain kernel plans (ops/pallas_depth.py), int8 backbone.
+    "fused-r8": dict(pallas=False, int8_depth=False, int8_backbone=True,
+                     fused_plan="gate=r8,up=s8,down=s8"),
+    "fused-r4": dict(pallas=False, int8_depth=False, int8_backbone=True,
+                     fused_plan="gate=r4,up=r4,down=r4"),
+    "fused-mix": dict(pallas=False, int8_depth=False, int8_backbone=True,
+                      fused_plan="gate=r4,up=s8,down=s8"),
+    "fused-mix2": dict(pallas=False, int8_depth=False, int8_backbone=True,
+                       fused_plan="gate=r4,up=r4,down=s8"),
+    "fused-mix3": dict(pallas=False, int8_depth=False, int8_backbone=True,
+                       fused_plan="gate=r4,up=r4,down=r8"),
+    "fused-s8": dict(pallas=False, int8_depth=False, int8_backbone=True,
+                     fused_plan="gate=s8,up=s8,down=s8"),
 }
 
 
