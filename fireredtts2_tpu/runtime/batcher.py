@@ -87,7 +87,8 @@ class _Pending:
 class ContinuousBatcher:
     """Batched multi-stream decoder over a shared engine's params."""
 
-    def __init__(self, engine, max_streams: int = 16, topk: int = 20):
+    def __init__(self, engine, max_streams: int = 16, topk: int = 20,
+                 policy=None):
         self.engine = engine
         self.B = max_streams
         self.default_topk = topk
@@ -134,6 +135,16 @@ class ContinuousBatcher:
         self._ts = (codec_cfg.acoustic_decoder.n_fft
                     - codec_cfg.acoustic_decoder.hop_length) // 2
         self.block_frames = 4  # 320 ms of audio per device round trip
+        # Adaptive block sizing (runtime/policy.py): picks K from a small
+        # ladder using measured RTT/frame-cost; ladder is intentionally
+        # tiny so the compiled-program surface stays warmable.
+        if policy is None:
+            from fireredtts2_tpu.runtime.policy import (
+                AdaptiveBlockPolicy, BlockPolicyConfig)
+            policy = AdaptiveBlockPolicy(BlockPolicyConfig(
+                ladder=(1, 4, 16), start_block=self.block_frames))
+        self.policy = policy
+        self.chunk_drops = 0
 
         self._key = jax.random.PRNGKey(int(time.time()) & 0xFFFF)
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -288,10 +299,13 @@ class ContinuousBatcher:
                 continue
 
             # Admission happens at block boundaries: short blocks while
-            # requests are waiting (fast admission), long blocks otherwise
-            # (fewer round trips).
-            K = 1 if not self.pending.empty() else self.block_frames
+            # requests are waiting (fast admission), adaptively sized
+            # blocks otherwise (runtime/policy.py fits wall(K) = rtt +
+            # K*frame_cost and picks the smallest realtime K).
+            K = self.policy.choose(pending=not self.pending.empty(),
+                                   active=len(active))
 
+            t_block = time.perf_counter()
             (self.lm_state, self.vo_state, self.frames, self.emitted,
              packed) = self._block(
                 self.engine.lm_params, self.engine.codec_params,
@@ -303,6 +317,7 @@ class ContinuousBatcher:
             step_counter += K
             pk = np.asarray(packed)        # ONE fetch: (K, B, cs+ts+1)
             now = time.perf_counter()
+            self.policy.record(K, now - t_block)
 
             for j in range(K):
                 for b in [i for i, s in enumerate(self.slots) if s.active]:
@@ -324,4 +339,5 @@ class ContinuousBatcher:
                         slot.handle.chunks.put_nowait(chunk.copy())
                     except queue.Full:
                         slot.handle.error = RuntimeError("client too slow; dropped")
+                        self.chunk_drops += 1
                         self._finish(b)

@@ -338,6 +338,26 @@ class WebSocketTTSServer:
         out["clients"] = len(self.clients)
         out["sessions"] = self.sessions.active_count
         out["uptime_s"] = time.time() - self.started
+        # Continuous-batching + adaptive-block-policy telemetry and the
+        # rule-based recommendation engine (runtime/policy.py — the
+        # reference's PerformanceOptimizationEngine capability,
+        # advanced_performance_monitor.py:673-939).
+        batcher = getattr(self.service, "batcher", None)
+        if batcher is not None:
+            out["active_streams"] = batcher.active_streams
+            out["queue_depth"] = batcher.pending.qsize()
+            out["chunk_drops"] = batcher.chunk_drops
+            out["block_policy"] = batcher.policy.snapshot()
+        from fireredtts2_tpu.runtime.policy import RecommendationEngine
+
+        rec_stats = dict(out)
+        rec_stats["first_packet_p95_ms"] = out.get("first_packet_ms_p95")
+        dev = out.get("device") or {}
+        if dev.get("bytes_limit"):
+            rec_stats["hbm_used_fraction"] = (
+                dev.get("bytes_in_use", 0) / dev["bytes_limit"])
+        out["recommendations"] = [
+            r.to_dict() for r in RecommendationEngine().evaluate(rec_stats)]
         return out
 
 
