@@ -278,6 +278,11 @@ class CodecConfig:
     # would otherwise become one unbounded batch through the 32-layer SSL
     # encoder and risk OOM.
     encode_max_batch: int = 48
+    # Weight-only int8 on the VOCODER backbone transformer (the 12-layer
+    # stack re-read every streaming chunk — the second HBM cost after the
+    # LM). Encoders/adaptors stay bf16 (encode is per-prompt, not per
+    # frame).
+    quantize_vocoder: bool = False
 
 
 def codec_config_from_json(path: str, **overrides) -> CodecConfig:

@@ -132,6 +132,14 @@ class FireRedTTS2Engine:
             if self.config.llm.quantize_backbone:
                 self.lm_params["backbone"] = quantize_transformer_int8(
                     self.lm_params["backbone"])
+        if self.config.codec.quantize_vocoder:
+            from fireredtts2_tpu.models.codec.whisper_nn import (
+                quantize_whisper_layers_int8,
+            )
+            self.codec_params = dict(self.codec_params)
+            ad = dict(self.codec_params["acoustic_decoder"])
+            ad["layers"] = quantize_whisper_layers_int8(ad["layers"])
+            self.codec_params["acoustic_decoder"] = ad
 
         self.sample_rate = self.config.codec.input_sample_rate      # 16 kHz in
         self.output_sample_rate = self.config.codec.output_sample_rate  # 24 kHz out

@@ -63,6 +63,37 @@ def init_whisper_layers(key: Array, num_layers: int, dim: int, ffn_dim: int,
     }
 
 
+_WHISPER_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "fc1_w", "fc2_w")
+
+
+def quantize_whisper_layers_int8(params: Params) -> Params:
+    """Weight-only int8 (per-output-channel symmetric) for a stacked
+    whisper layer tree. Used on the VOCODER backbone: its 12-layer
+    transformer weights are re-read every streaming chunk (the second HBM
+    cost after the LM, PERF.md); int8 halves that. Norms/biases stay."""
+    out: Params = {}
+    for k, v in params.items():
+        if k in _WHISPER_MATMUL_KEYS:
+            w = v.astype(jnp.float32)
+            scale = jnp.maximum(
+                jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0, 1e-8)
+            out[k] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+            out[k + "_scale"] = scale  # (L, 1, out) fp32
+        else:
+            out[k] = v
+    return out
+
+
+def _wmm(x: Array, lp: Params, name: str) -> Array:
+    """x @ W with transparent weight-only int8 (dequant fuses into the
+    dot under XLA — same recipe as models/lm/transformer._mm)."""
+    w = lp[name]
+    if w.dtype == jnp.int8:
+        y = jnp.dot(x, w.astype(x.dtype), precision=None)
+        return y * lp[name + "_scale"][0].astype(y.dtype)
+    return x @ w
+
+
 def _whisper_layer(h: Array, lp: Params, num_heads: int, mask: Optional[Array],
                    k_slab: Optional[Array], v_slab: Optional[Array],
                    cache_pos: Optional[Array]):
@@ -70,9 +101,9 @@ def _whisper_layer(h: Array, lp: Params, num_heads: int, mask: Optional[Array],
     Dh = D // num_heads
 
     x = layer_norm(h, lp["attn_ln_w"], lp["attn_ln_b"])
-    q = (x @ lp["wq"] + lp["bq"]).reshape(B, S, num_heads, Dh)
-    k = (x @ lp["wk"]).reshape(B, S, num_heads, Dh)
-    v = (x @ lp["wv"] + lp["bv"]).reshape(B, S, num_heads, Dh)
+    q = (_wmm(x, lp, "wq") + lp["bq"]).reshape(B, S, num_heads, Dh)
+    k = _wmm(x, lp, "wk").reshape(B, S, num_heads, Dh)
+    v = (_wmm(x, lp, "wv") + lp["bv"]).reshape(B, S, num_heads, Dh)
 
     if k_slab is not None:
         # scalar cache_pos = shared slot; (B,) = per-stream slots
@@ -90,11 +121,11 @@ def _whisper_layer(h: Array, lp: Params, num_heads: int, mask: Optional[Array],
         attn = mha_attention(q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
     else:
         attn = mha_attention(q, k, v, mask)
-    h = h + (attn.reshape(B, S, D) @ lp["wo"] + lp["bo"]).astype(h.dtype)
+    h = h + (_wmm(attn.reshape(B, S, D), lp, "wo") + lp["bo"]).astype(h.dtype)
 
     x = layer_norm(h, lp["ffn_ln_w"], lp["ffn_ln_b"])
-    x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
-    h = h + (x @ lp["fc2_w"] + lp["fc2_b"]).astype(h.dtype)
+    x = jax.nn.gelu(_wmm(x, lp, "fc1_w") + lp["fc1_b"], approximate=False)
+    h = h + (_wmm(x, lp, "fc2_w") + lp["fc2_b"]).astype(h.dtype)
     return h, k_slab, v_slab
 
 

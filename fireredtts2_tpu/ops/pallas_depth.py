@@ -305,17 +305,36 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
     tok_io = r["tok_io"]
 
     streamed = [n for n in _MLP if plan[n] == "s8"]
+    n_sub = _dequant_chunks(Ih)
+    Sw = Ih // n_sub
+    n_flat = L * 2 * n_sub  # subchunks per step per streamed tensor
 
-    def mlp_chunk_dma(name: str, l: int, h: int):
-        """DMA half-matrix chunk (layer l, half h) of a streamed tensor.
-        gate/up halve OUTPUT columns; down halves INPUT rows. Slices are
-        128-lane / 32-sublane aligned at flagship dims (Ih = 4480)."""
+    def sub_dma(name: str, j: int):
+        """DMA flat subchunk j = ((l*2 + half)*n_sub + s) of a streamed
+        tensor into its double buffer. gate/up slice OUTPUT columns, down
+        slices INPUT rows; slices are 128-lane aligned at flagship dims
+        (Sw = 4480/5 = 896). Small subchunks keep the VMEM double buffer
+        ~5x leaner than half-matrix streaming (the mix2-plan OOM fix)."""
+        jj = j % n_flat
+        l = jj // (2 * n_sub)
+        half, s = (jj % (2 * n_sub)) // n_sub, jj % n_sub
+        off = half * Ih + s * Sw
         buf, sem = r[name + "_buf"], r[name + "_sem"]
         if name == "w_down":
-            src = r[name].at[l, pl.ds(h * Ih, Ih), :]
+            src = r[name].at[l, pl.ds(off, Sw), :]
         else:
-            src = r[name].at[l, :, pl.ds(h * Ih, Ih)]
-        return pltpu.make_async_copy(src, buf.at[h], sem.at[h])
+            src = r[name].at[l, :, pl.ds(off, Sw)]
+        return pltpu.make_async_copy(src, buf.at[j % 2], sem.at[j % 2])
+
+    def prefetch_next(name: str, j: int, p):
+        """After consuming subchunk j, refill its slot with j+2 (wrapping
+        into the NEXT step's first chunks, skipped on the last step)."""
+        if j + 2 < n_flat:
+            sub_dma(name, j + 2).start()
+        else:
+            @pl.when(p < ncb - 1)
+            def _():
+                sub_dma(name, j + 2).start()
 
     def head_dma(j):
         return pltpu.make_async_copy(r["head_steps"].at[j], head_buf,
@@ -343,8 +362,8 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
     # are issued at the bottom of step 0 once tok_io holds c0.
     head_dma(0).start()
     for n in streamed:
-        mlp_chunk_dma(n, 0, 0).start()
-        mlp_chunk_dma(n, 0, 1).start()
+        sub_dma(n, 0).start()
+        sub_dma(n, 1).start()
 
     def mm8(x: Array, name: str, l: int) -> Array:
         """x @ W for a resident int8 tensor (mirrors transformer._mm)."""
@@ -359,14 +378,22 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
             [x1 * cosr - x2 * sinr, x2 * cosr + x1 * sinr],
             axis=-1).astype(xh.dtype)
 
-    def mlp_in_matmul(name: str, x2: Array, l: int, half: int) -> Array:
+    def mlp_in_matmul(name: str, x2: Array, l: int, half: int, p=None) -> Array:
         """x2 @ {gate,up}[l][:, half] -> (Bp, Ih) in dtype, scale applied."""
         mode = plan[name]
         if mode == "r8":
             y = _dot(x2, _deq8(r[name][l, :, half * Ih:(half + 1) * Ih],
                                dtype)).astype(dtype)
         elif mode == "s8":
-            y = _dot(x2, _deq8(r[name + "_buf"][half], dtype)).astype(dtype)
+            base = (l * 2 + half) * n_sub
+            ys = []
+            for s in range(n_sub):
+                sub_dma(name, base + s).wait()
+                ys.append(_dot(
+                    x2, _deq8(r[name + "_buf"][(base + s) % 2], dtype)
+                ).astype(dtype))
+                prefetch_next(name, base + s, p)
+            y = ys[0] if n_sub == 1 else jnp.concatenate(ys, axis=1)
         else:  # r4: chunked column dequant bounds the unpacked temporary
             qn = _dequant_chunks(Ih)
             qw = Ih // qn
@@ -381,14 +408,22 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
         return y * r[name + "_s"][l][:, half * Ih:(half + 1) * Ih
                                      ].astype(dtype)
 
-    def mlp_down_matmul(t_h: Array, l: int, half: int) -> Array:
+    def mlp_down_matmul(t_h: Array, l: int, half: int, p=None) -> Array:
         """t_h (Bp, Ih) @ down[l][half rows] -> fp32 (Bp, Dd) partial."""
         mode = plan["w_down"]
         if mode == "r8":
             return _dot(t_h, _deq8(r["w_down"][l, half * Ih:(half + 1) * Ih],
                                    dtype))
         if mode == "s8":
-            return _dot(t_h, _deq8(r["w_down_buf"][half], dtype))
+            base = (l * 2 + half) * n_sub
+            acc = jnp.zeros((t_h.shape[0], Dd), jnp.float32)
+            for s in range(n_sub):
+                sub_dma("w_down", base + s).wait()
+                acc = acc + _dot(
+                    t_h[:, s * Sw:(s + 1) * Sw],
+                    _deq8(r["w_down_buf"][(base + s) % 2], dtype))
+                prefetch_next("w_down", base + s, p)
+            return acc
         # r4: nibble side = half; chunked input-row dequant when groups
         # allow (chunk rows must be whole scale groups).
         packed = r["w_down"][l]                      # (I/2 = Ih, Dd)
@@ -490,24 +525,17 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
                  for h2 in range(Hq)], axis=1)             # (Bp, Hq*Dh)
             h = h + mm8(o, "wo", l).astype(dtype)
 
-            # MLP in halves (s8 chunks double-buffer across layers/steps).
+            # MLP in halves; streamed tensors ride per-subchunk double
+            # buffers whose waits/prefetches live inside the matmul
+            # helpers (sub_dma / prefetch_next).
             x2 = _rms(h, r["mlp_norm"][l], eps)
             d_acc = jnp.zeros((Bp, Dd), jnp.float32)
             for half in range(2):
-                for n in streamed:
-                    mlp_chunk_dma(n, l, half).wait()
                 g_act = jax.nn.silu(
-                    mlp_in_matmul("w_gate", x2, l, half).astype(jnp.float32)
+                    mlp_in_matmul("w_gate", x2, l, half, p).astype(jnp.float32)
                 ).astype(dtype)
-                u_act = mlp_in_matmul("w_up", x2, l, half)
-                d_acc = d_acc + mlp_down_matmul(g_act * u_act, l, half)
-                for n in streamed:
-                    if l + 1 < L:
-                        mlp_chunk_dma(n, l + 1, half).start()
-                    else:
-                        @pl.when(p < ncb - 1)
-                        def _(n=n, half=half):
-                            mlp_chunk_dma(n, 0, half).start()
+                u_act = mlp_in_matmul("w_up", x2, l, half, p)
+                d_acc = d_acc + mlp_down_matmul(g_act * u_act, l, half, p)
             d = d_acc.astype(dtype)
             if plan["w_down"] != "r4":
                 d = d * r["w_down_s"][l].astype(dtype)  # (1, Dd) broadcast
@@ -648,11 +676,12 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
     ]
     scratch_names = ["k_store", "v_store", "e_buf", "head_buf", "nz_buf",
                      "tok_io", "emb_sems", "head_sem", "nz_sem"]
+    Sw = Ih // _dequant_chunks(Ih)
     for n in _MLP:
         if p[n] == "s8":
-            # gate/up stream (Dd, Ih) column halves; down streams (Ih, Dd)
-            # row halves.
-            shape = (2, Ih, Dd) if n == "w_down" else (2, Dd, Ih)
+            # gate/up stream (Dd, Sw) column subchunks; down streams
+            # (Sw, Dd) row subchunks (Sw = Ih / 5 at flagship dims).
+            shape = (2, Sw, Dd) if n == "w_down" else (2, Dd, Sw)
             scratch.append(pltpu.VMEM(shape, jnp.int8))
             scratch.append(pltpu.SemaphoreType.DMA((2,)))
             scratch_names += [n + "_buf", n + "_sem"]

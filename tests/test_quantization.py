@@ -145,3 +145,58 @@ def test_engine_with_int4_depth_runs():
     assert "wq_scale4" in e.lm_params["decoder"]
     audio = e.generate("int4 depth", "[S1]", [], max_audio_length_ms=480)
     assert audio.shape[0] % 1920 == 0 and np.isfinite(audio).all()
+
+
+def test_engine_with_quantized_vocoder_streaming_equals_batch():
+    """int8 vocoder backbone: engine runs end-to-end AND the streaming ≡
+    batch invariant holds (both paths share the same quantized weights)."""
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    import dataclasses
+
+    cfg = tiny_engine_config()
+    cfg = dataclasses.replace(
+        cfg, codec=dataclasses.replace(cfg.codec, quantize_vocoder=True))
+    # TWO engines with the same seed: the engine's RNG advances per call,
+    # so stream-vs-batch comparisons need fresh engines (same pattern as
+    # tests/test_engine.py::test_generate_stream_matches_batch_decode).
+    e1 = FireRedTTS2Engine(config=cfg, seed=0)
+    assert e1.codec_params["acoustic_decoder"]["layers"]["wq"].dtype == jnp.int8
+    chunks = list(e1.generate_stream("quantized vocoder", "[S1]", [],
+                                     max_audio_length_ms=480))
+    assert chunks and all(np.isfinite(c).all() for c in chunks)
+    streamed = np.concatenate(chunks)
+
+    e2 = FireRedTTS2Engine(config=cfg, seed=0)
+    audio = e2.generate("quantized vocoder", "[S1]", [],
+                        max_audio_length_ms=480)
+    assert audio.shape[0] % 1920 == 0 and np.isfinite(audio).all()
+    # Same seed => same tokens; streaming vocoder must equal batch decode
+    # (same bound as the unquantized invariant, tests/test_codec.py:142).
+    assert streamed.shape == audio.shape
+    np.testing.assert_allclose(streamed, audio, rtol=2e-3, atol=5e-4)
+
+
+def test_quantized_vocoder_output_close_to_bf16():
+    """int8 on the vocoder perturbs the waveform only mildly (random
+    weights; the gate is a sanity bound, not a perceptual metric)."""
+    import dataclasses
+
+    from fireredtts2_tpu.models.codec.model import (
+        codec_decode, init_codec_params)
+    from fireredtts2_tpu.models.codec.whisper_nn import (
+        quantize_whisper_layers_int8)
+
+    cfg = tiny_engine_config().codec
+    params = init_codec_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 4, 10), 0,
+                                cfg.rvq.codebook_size)
+    ref = codec_decode(params, cfg, tokens)
+    qp = dict(params)
+    qp["acoustic_decoder"] = dict(qp["acoustic_decoder"])
+    qp["acoustic_decoder"]["layers"] = quantize_whisper_layers_int8(
+        qp["acoustic_decoder"]["layers"])
+    out = codec_decode(qp, cfg, tokens)
+    assert out.shape == ref.shape
+    err = float(np.sqrt(np.mean((np.asarray(out) - np.asarray(ref)) ** 2)))
+    scale = float(np.sqrt(np.mean(np.asarray(ref) ** 2))) + 1e-9
+    assert err / scale < 0.15, (err, scale)

@@ -1,6 +1,6 @@
 """Measure offline (non-streaming) single-utterance and batched RTF on the
-flagship serving config (int8). Usage: PYTHONPATH=/root/.axon_site:. python
-tools/offline_rtf.py [batch...]"""
+flagship serving config. Usage: PYTHONPATH=/root/.axon_site:. python
+tools/offline_rtf.py [batch...] [--fused=PLAN] [--vocoder-int8]"""
 import sys
 import time
 
@@ -8,14 +8,21 @@ def main():
     from fireredtts2_tpu.config import EngineConfig, LLMConfig, CodecConfig
     from fireredtts2_tpu.engine import FireRedTTS2Engine
 
+    args = sys.argv[1:]
+    fused = next((a.split("=", 1)[1] for a in args if a.startswith("--fused=")),
+                 "")
+    vo8 = "--vocoder-int8" in args
+    batches = [int(a) for a in args if a.isdigit()] or [1, 8]
     llm = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
                     text_vocab_size=152_000, audio_vocab_size=2051,
                     audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16",
-                    quantize_depth=True, quantize_backbone=True)
-    engine = FireRedTTS2Engine(config=EngineConfig(llm=llm, codec=CodecConfig(dtype="bfloat16")), seed=0)
+                    quantize_depth=not fused, quantize_backbone=True,
+                    fused_depth_plan=fused)
+    codec = CodecConfig(dtype="bfloat16", quantize_vocoder=vo8)
+    engine = FireRedTTS2Engine(config=EngineConfig(llm=llm, codec=codec),
+                               seed=0)
     text = ("Here is a benchmark sentence about synthesis throughput on "
             "tensor processing units, long enough to be representative.")
-    batches = [int(a) for a in sys.argv[1:]] or [1, 8]
     for B in batches:
         fn = (lambda: engine.generate(text, "[S1]", [], max_audio_length_ms=8000)) if B == 1 \
             else (lambda: engine.generate_batch([text] * B, ["[S1]"] * B, max_audio_length_ms=8000))
