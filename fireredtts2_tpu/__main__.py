@@ -80,6 +80,13 @@ def _cmd_serve(args):
         primary=args.llm_primary, hf_model_dir=args.llm_model_dir,
         openai_base_url=args.openai_base_url, openai_model=args.openai_model,
         openai_api_key=os.environ.get("OPENAI_API_KEY"))
+    if args.profiler_port:
+        # Live jax.profiler gRPC endpoint: `xprof --port 6006
+        # --grpc_port <port>` or TensorBoard's profile tab can attach to a
+        # running server (the in-repo tracing hook, runtime/perf.py).
+        from fireredtts2_tpu.runtime.perf import start_profiler_server
+        start_profiler_server(args.profiler_port)
+        print(f"jax.profiler listening on :{args.profiler_port}")
     print(f"serving: ws://0.0.0.0:{args.ws_port}  http://0.0.0.0:{args.http_port}/health")
     serve(engine, ws_port=args.ws_port, http_port=args.http_port,
           session_dir=args.session_dir, max_streams=args.max_streams,
@@ -144,6 +151,8 @@ def main(argv=None):
                    help="concurrent batched streams per chip (1 = serial)")
     s.add_argument("--voice-dir", default=None,
                    help="voice-profile store dir (enables /api/v1/voices)")
+    s.add_argument("--profiler-port", type=int, default=0,
+                   help="expose a live jax.profiler gRPC endpoint (0 = off)")
     s.add_argument("--llm-primary", default="rule_based",
                    choices=["rule_based", "local", "openai"],
                    help="primary conversation-LLM backend")

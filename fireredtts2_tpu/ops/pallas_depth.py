@@ -288,7 +288,8 @@ def _kth_largest(x: Array, k: int) -> Array:
 def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
                         ncb: int, V: int, Vp: int, plan: dict[str, str],
                         topk: int, temperature: float, greedy: bool,
-                        eps: float):
+                        eps: float, stream_sub: int = 1,
+                        stream_slots: int = 2):
     r = dict(zip(names, refs))
     L, Dd = cfg.num_layers, cfg.embed_dim
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -305,36 +306,40 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
     tok_io = r["tok_io"]
 
     streamed = [n for n in _MLP if plan[n] == "s8"]
-    n_sub = _dequant_chunks(Ih)
-    Sw = Ih // n_sub
+    n_sub = stream_sub
+    Sw = Ih // max(n_sub, 1)
     n_flat = L * 2 * n_sub  # subchunks per step per streamed tensor
 
     def sub_dma(name: str, j: int):
         """DMA flat subchunk j = ((l*2 + half)*n_sub + s) of a streamed
-        tensor into its double buffer. gate/up slice OUTPUT columns, down
-        slices INPUT rows; slices are 128-lane aligned at flagship dims
-        (Sw = 4480/5 = 896). Small subchunks keep the VMEM double buffer
-        ~5x leaner than half-matrix streaming (the mix2-plan OOM fix)."""
+        tensor into its ring of stream_slots buffers. gate/up slice OUTPUT
+        columns, down slices INPUT rows; slices are 128-lane aligned at
+        flagship dims (Sw = 4480 or 896). The (n_sub, slots) pair is chosen
+        by the wrapper's VMEM budget: big chunks when they fit (fewer
+        DMAs = faster), small chunks with a deeper ring when residency
+        needs the room."""
         jj = j % n_flat
         l = jj // (2 * n_sub)
         half, s = (jj % (2 * n_sub)) // n_sub, jj % n_sub
         off = half * Ih + s * Sw
         buf, sem = r[name + "_buf"], r[name + "_sem"]
+        slot = j % stream_slots
         if name == "w_down":
             src = r[name].at[l, pl.ds(off, Sw), :]
         else:
             src = r[name].at[l, :, pl.ds(off, Sw)]
-        return pltpu.make_async_copy(src, buf.at[j % 2], sem.at[j % 2])
+        return pltpu.make_async_copy(src, buf.at[slot], sem.at[slot])
 
     def prefetch_next(name: str, j: int, p):
-        """After consuming subchunk j, refill its slot with j+2 (wrapping
-        into the NEXT step's first chunks, skipped on the last step)."""
-        if j + 2 < n_flat:
-            sub_dma(name, j + 2).start()
+        """After consuming subchunk j, refill its slot with j+slots
+        (wrapping into the NEXT step's first chunks, skipped on the last
+        step)."""
+        if j + stream_slots < n_flat:
+            sub_dma(name, j + stream_slots).start()
         else:
             @pl.when(p < ncb - 1)
             def _():
-                sub_dma(name, j + 2).start()
+                sub_dma(name, j + stream_slots).start()
 
     def head_dma(j):
         return pltpu.make_async_copy(r["head_steps"].at[j], head_buf,
@@ -362,8 +367,8 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
     # are issued at the bottom of step 0 once tok_io holds c0.
     head_dma(0).start()
     for n in streamed:
-        sub_dma(n, 0).start()
-        sub_dma(n, 1).start()
+        for j in range(min(stream_slots, n_flat)):
+            sub_dma(n, j).start()
 
     def mm8(x: Array, name: str, l: int) -> Array:
         """x @ W for a resident int8 tensor (mirrors transformer._mm)."""
@@ -390,7 +395,8 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
             for s in range(n_sub):
                 sub_dma(name, base + s).wait()
                 ys.append(_dot(
-                    x2, _deq8(r[name + "_buf"][(base + s) % 2], dtype)
+                    x2, _deq8(r[name + "_buf"][(base + s) % stream_slots],
+                              dtype)
                 ).astype(dtype))
                 prefetch_next(name, base + s, p)
             y = ys[0] if n_sub == 1 else jnp.concatenate(ys, axis=1)
@@ -421,7 +427,7 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
                 sub_dma("w_down", base + s).wait()
                 acc = acc + _dot(
                     t_h[:, s * Sw:(s + 1) * Sw],
-                    _deq8(r["w_down_buf"][(base + s) % 2], dtype))
+                    _deq8(r["w_down_buf"][(base + s) % stream_slots], dtype))
                 prefetch_next("w_down", base + s, p)
             return acc
         # r4: nibble side = half; chunked input-row dequant when groups
@@ -676,14 +682,53 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
     ]
     scratch_names = ["k_store", "v_store", "e_buf", "head_buf", "nz_buf",
                      "tok_io", "emb_sems", "head_sem", "nz_sem"]
-    Sw = Ih // _dequant_chunks(Ih)
+
+    # ---- streaming granularity from the VMEM budget --------------------
+    # Bigger chunks stream faster (fewer DMAs: measured 6.7 vs 7.5
+    # ms/frame half-chunks vs fifth-chunks on the mix plan), so take the
+    # biggest (chunk, ring) option whose buffers fit beside the resident
+    # weights. Fixed overhead ~= scratch + r4 dequant temporaries +
+    # Mosaic working set.
+    def _size(a) -> int:
+        n = 1
+        for d in a.shape:
+            n *= d
+        return n * a.dtype.itemsize
+
+    resident = sum(
+        _size(a) for nm, a in zip(names, args)
+        if (nm in _MATMUL or nm in _MLP or nm.endswith("_s")
+            or nm.endswith("_s4") or nm == "proj")
+        and not (nm in _MLP and p.get(nm) == "s8"))
+    n_r4 = sum(1 for n in _MLP if p[n] == "r4")
+    fixed = (2 * L * ncb * Bp * Hkv * Dh * 2      # k/v stores
+             + Dd * Vp * 2 + Bp * Vp * 4 + Bp * 8 * Db * 2
+             + (18 << 20)                         # attn temps + headroom
+             # Mosaic keeps r4 dequant temporaries alive longer than their
+             # dataflow lifetime (measured: the two-r4 mix2 plan used
+             # ~14 MB beyond the analytic sum) — budget for them.
+             + n_r4 * (6 << 20))
+    budget = (120 << 20) - resident - fixed
+    n_streamed = sum(1 for n in _MLP if p[n] == "s8")
+    tiles = Ih // 128 if Ih % 128 == 0 else 1
+    options = [(1, 2)] + [(q, s) for q in (5, 7, 35) if tiles % q == 0
+                          for s in (4, 2)]
+    stream_sub, stream_slots = options[-1] if options else (1, 2)
+    for q, s in options:
+        per = s * (Ih // q) * Dd  # int8 bytes per tensor's ring
+        if n_streamed * per <= max(budget, 0) and (L * 2 * q) % s == 0:
+            stream_sub, stream_slots = q, s
+            break
+    Sw = Ih // stream_sub
+
     for n in _MLP:
         if p[n] == "s8":
-            # gate/up stream (Dd, Sw) column subchunks; down streams
-            # (Sw, Dd) row subchunks (Sw = Ih / 5 at flagship dims).
-            shape = (2, Sw, Dd) if n == "w_down" else (2, Dd, Sw)
+            # gate/up stream (Dd, Sw) column chunks; down streams (Sw, Dd)
+            # row chunks, each behind a stream_slots-deep ring.
+            shape = ((stream_slots, Sw, Dd) if n == "w_down"
+                     else (stream_slots, Dd, Sw))
             scratch.append(pltpu.VMEM(shape, jnp.int8))
-            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+            scratch.append(pltpu.SemaphoreType.DMA((stream_slots,)))
             scratch_names += [n + "_buf", n + "_sem"]
 
     all_names = tuple(names + ["out"] + scratch_names)
@@ -692,7 +737,8 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
         functools.partial(
             _depth_chain_kernel, names=all_names, cfg=dcfg, ncb=ncb, V=V,
             Vp=Vp, plan=p, topk=depth_topk, temperature=depth_temperature,
-            greedy=greedy, eps=dcfg.norm_eps),
+            greedy=greedy, eps=dcfg.norm_eps, stream_sub=stream_sub,
+            stream_slots=stream_slots),
         out_shape=jax.ShapeDtypeStruct((Bp, ncb), jnp.int32),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

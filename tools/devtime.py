@@ -49,7 +49,7 @@ def build(quantize_depth: bool, quantize_backbone: bool,
 
 def run_variant(name: str, pallas: bool, int8_depth: bool, int8_backbone: bool,
                 batch: int = 1, bucket: int = 128, depth_bits: int = 8,
-                fused_plan: str = "") -> float:
+                fused_plan: str = "", depth_topk: int = 10) -> float:
     os.environ["FRTTS2_PALLAS"] = "1" if pallas else "0"
     cfg, params, init_lm_state, lm_generate_loop = build(
         int8_depth, int8_backbone, depth_bits, fused_plan)
@@ -66,7 +66,7 @@ def run_variant(name: str, pallas: bool, int8_depth: bool, int8_backbone: bool,
     # weights into the program as constants and stall the compiler).
     fn = jax.jit(lambda p, st, cap: lm_generate_loop(
         p, cfg, st, tokens, tmask, valid, jax.random.PRNGKey(2),
-        max_frames=FRAMES, frame_cap=cap)[2])
+        max_frames=FRAMES, frame_cap=cap, depth_topk=depth_topk)[2])
 
     st = init_lm_state(cfg, B, jnp.bfloat16)
     fn(params, st, jnp.int32(FRAMES)).block_until_ready()  # compile
@@ -103,6 +103,11 @@ VARIANTS = {
                        fused_plan="gate=r4,up=r4,down=r8"),
     "fused-s8": dict(pallas=False, int8_depth=False, int8_backbone=True,
                      fused_plan="gate=s8,up=s8,down=s8"),
+    # Sampling-cost probe: depth_topk=1 skips the serial k-th-largest chain.
+    "fused-mix-k1": dict(pallas=False, int8_depth=False, int8_backbone=True,
+                         fused_plan="gate=r4,up=s8,down=s8", depth_topk=1),
+    "int8all-k1": dict(pallas=False, int8_depth=True, int8_backbone=True,
+                       depth_topk=1),
 }
 
 
