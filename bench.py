@@ -28,14 +28,17 @@ def main() -> None:
     from fireredtts2_tpu.config import EngineConfig, LLMConfig, CodecConfig
     from fireredtts2_tpu.engine import FireRedTTS2Engine
 
-    # Serving configuration: weight-only int8 on both transformers. AR
-    # decode is weight-read-bound; int8 cuts the LM device floor from
-    # 12.1 -> 7.4 ms/frame on v5e (tools/devtime.py, PERF.md).
+    # Serving configuration: int8 backbone + the fused depth-chain Pallas
+    # kernel (whole 15-step depth decode in ONE pallas_call, gate proj
+    # VMEM-resident, up/down streamed) + int8 vocoder backbone. Measured
+    # LM floor on v5e: 12.1 (bf16) -> 7.4 (int8 XLA loop) -> 6.5 ms/frame
+    # (fused kernel) — tools/devtime.py, PERF.md.
     llm = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
                     text_vocab_size=152_000, audio_vocab_size=2051,
                     audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16",
-                    quantize_depth=True, quantize_backbone=True)
-    codec = CodecConfig(dtype="bfloat16")
+                    quantize_backbone=True,
+                    fused_depth_plan="gate=r8,up=s8,down=s8")
+    codec = CodecConfig(dtype="bfloat16", quantize_vocoder=True)
     cfg = EngineConfig(llm=llm, codec=codec)
     engine = FireRedTTS2Engine(config=cfg, seed=0)
 
@@ -111,7 +114,11 @@ def _bench_device(engine, llm_cfg) -> dict:
     from fireredtts2_tpu.runtime.perf import (
         measure_lm_device_ms_per_frame, utilization)
 
-    dq = 1.0 if engine.config.llm.quantize_depth else 2.0
+    # Depth HBM accounting comes from the fused plan when set
+    # (runtime/perf.py:depth_frame_weight_bytes); dq only matters for the
+    # XLA-loop fallback.
+    dq = 1.0 if (engine.config.llm.quantize_depth
+                 or engine.config.llm.fused_depth_plan) else 2.0
     bq = 1.0 if engine.config.llm.quantize_backbone else 2.0
     ms = measure_lm_device_ms_per_frame(engine.lm_params, llm_cfg, frames=100)
     u = utilization(llm_cfg, ms, batch=1, depth_bytes_per_param=dq,
