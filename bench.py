@@ -30,15 +30,17 @@ def main() -> None:
 
     # Serving configuration: int8 backbone + the fused depth-chain Pallas
     # kernel (whole 15-step depth decode in ONE pallas_call, gate proj
-    # VMEM-resident, up/down streamed) + int8 vocoder backbone. Measured
-    # LM floor on v5e: 12.1 (bf16) -> 7.4 (int8 XLA loop) -> 6.5 ms/frame
-    # (fused kernel) — tools/devtime.py, PERF.md.
+    # VMEM-resident, up/down streamed). Measured LM floor on v5e: 12.1
+    # (bf16) -> 7.4 (int8 XLA loop) -> 6.5 ms/frame (fused kernel) —
+    # tools/devtime.py, PERF.md. The vocoder stays bf16: int8 there
+    # measured SLOWER at batch under XLA (B=8 offline 36.5 -> 27.3 — the
+    # int4-under-XLA lesson again), so quantize_vocoder ships opt-in only.
     llm = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
                     text_vocab_size=152_000, audio_vocab_size=2051,
                     audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16",
                     quantize_backbone=True,
                     fused_depth_plan="gate=r8,up=s8,down=s8")
-    codec = CodecConfig(dtype="bfloat16", quantize_vocoder=True)
+    codec = CodecConfig(dtype="bfloat16")
     cfg = EngineConfig(llm=llm, codec=codec)
     engine = FireRedTTS2Engine(config=cfg, seed=0)
 

@@ -287,7 +287,7 @@ def _kth_largest(x: Array, k: int) -> Array:
 
 def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
                         ncb: int, V: int, Vp: int, plan: dict[str, str],
-                        topk: int, temperature: float, greedy: bool,
+                        topk: int, greedy: bool,
                         eps: float, stream_sub: int = 1,
                         stream_slots: int = 2):
     r = dict(zip(names, refs))
@@ -563,7 +563,9 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
         if greedy:
             tok = _lane_argmax(logits)
         else:
-            lf = logits / temperature
+            # temperature rides in SMEM: engine callers pass it traced
+            # (per-config, not per-compile).
+            lf = logits / r["temp"][0]
             kth = _kth_largest(lf, topk)
             filt = jnp.where(lf < kth, _NEG, lf)
             m = jnp.max(filt, axis=-1, keepdims=True)
@@ -640,6 +642,8 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
 
     add("c0", c0.astype(jnp.int32).reshape(Bp, 1))
     add("last_h", last_h)
+    add("temp", jnp.asarray(depth_temperature, jnp.float32).reshape(1),
+        space=pltpu.SMEM)
     add("noise", noise, space=pl.ANY)
     add("proj", bundle["proj"].astype(dtype))
     add("rope_cos", bundle["rope_cos"])
@@ -736,7 +740,7 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
     kernel = pl.pallas_call(
         functools.partial(
             _depth_chain_kernel, names=all_names, cfg=dcfg, ncb=ncb, V=V,
-            Vp=Vp, plan=p, topk=depth_topk, temperature=depth_temperature,
+            Vp=Vp, plan=p, topk=depth_topk,
             greedy=greedy, eps=dcfg.norm_eps, stream_sub=stream_sub,
             stream_slots=stream_slots),
         out_shape=jax.ShapeDtypeStruct((Bp, ncb), jnp.int32),
