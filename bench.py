@@ -100,7 +100,7 @@ def _bench_offline(engine, text: str) -> float:
     grouped vocoder scan)."""
     def run():
         t0 = time.perf_counter()
-        audio = engine.generate(text, "[S1]", [], max_audio_length_ms=4000)
+        audio = engine.generate(text, "[S1]", [], max_audio_length_ms=8000)
         return (len(audio) / 24_000.0) / (time.perf_counter() - t0)
 
     run()  # compile
@@ -143,7 +143,7 @@ def _bench_device(engine, llm_cfg) -> dict:
     return out
 
 
-def _bench_batched(engine, n_streams: int = 8, n_frames: int = 25):
+def _bench_batched(engine, n_streams: int = 8, n_frames: int = 50):
     """Aggregate realtime factor across concurrent batched streams."""
     import numpy as np
 

@@ -7,7 +7,11 @@ page served by the HTTP server:
 - Voice cloning tab: upload prompt audio + reference text -> voice profile
   (persisted by serve/voices.py through /api/v1/voices), then monologue
   synthesis in that voice via /api/v1/tts/clone (reference
-  gradio_demo.py:153-198, enhanced_gradio_demo.py:245-340).
+  gradio_demo.py:153-198, enhanced_gradio_demo.py:245-340);
+- Metrics tab: live /stats poll — first-packet/RTF percentiles, stream
+  counts, block-policy estimate, recommendation-engine output (reference
+  enhanced_gradio_demo.py performance metrics panel, :560-620);
+- zh/en language toggle (reference gradio_demo.py i18n table, :29-120).
 """
 
 DEMO_HTML = """<!doctype html>
@@ -27,31 +31,40 @@ DEMO_HTML = """<!doctype html>
  .tab.active{color:#eee;border-color:#c33}
  .panel{display:none}.panel.active{display:block}
 </style></head><body>
-<h2>fireredtts2_tpu</h2>
+<h2>fireredtts2_tpu <select id="lang" style="float:right"><option value="en">English</option><option value="zh">中文</option></select></h2>
 <div>
- <span class="tab active" data-p="dlg">Dialogue</span>
- <span class="tab" data-p="clone">Voice cloning</span>
+ <span class="tab active" data-p="dlg" data-i18n="tab_dlg">Dialogue</span>
+ <span class="tab" data-p="clone" data-i18n="tab_clone">Voice cloning</span>
+ <span class="tab" data-p="metrics" data-i18n="tab_metrics">Metrics</span>
 </div>
 
 <div id="dlg" class="panel active">
-<p>Multi-speaker text with <code>[S1]..[S4]</code> tags. Audio streams as it
+<p data-i18n="dlg_help">Multi-speaker text with <code>[S1]..[S4]</code> tags. Audio streams as it
 is generated (first packet in well under a second).</p>
 <textarea id="text">[S1]Hello there, welcome to the show. [S2]Thanks, great to be here!</textarea>
 <div class="row">
  <label>temperature <input id="temp" type="number" value="0.9" step="0.05"></label>
  <label>top-k <input id="topk" type="number" value="20" step="1"></label>
- <button id="go">Generate</button>
+ <button id="go" data-i18n="btn_generate">Generate</button>
 </div>
 <div id="log"></div>
 </div>
 
+<div id="metrics" class="panel">
+<h3 data-i18n="m_title">Live serving metrics</h3>
+<table style="width:100%;font-size:.9rem" id="mtable"></table>
+<h3 data-i18n="m_recs">Recommendations</h3>
+<div id="mrecs" style="font-size:.9rem;color:#fc6"></div>
+<pre id="mraw" style="font-size:.7rem;color:#777;max-height:14rem;overflow:auto"></pre>
+</div>
+
 <div id="clone" class="panel">
-<h3>1. Create a voice profile</h3>
+<h3 data-i18n="c_step1">1. Create a voice profile</h3>
 <div class="row"><input id="vname" type="text" placeholder="voice name"></div>
 <div class="row"><input id="vtext" type="text" placeholder="reference text (what the prompt audio says)"></div>
 <div class="row"><input id="vfile" type="file" accept="audio/*">
  <button id="vcreate">Create profile</button></div>
-<h3>2. Speak in that voice</h3>
+<h3 data-i18n="c_step2">2. Speak in that voice</h3>
 <div class="row"><select id="vsel"></select>
  <button id="vrefresh" title="reload profiles">&#8635;</button></div>
 <textarea id="ctext">Hello! This is my cloned voice speaking on a tensor processing unit.</textarea>
@@ -63,11 +76,57 @@ is generated (first packet in well under a second).</p>
 const $ = id => document.getElementById(id);
 const log = m => $('log').textContent += m + "\\n";
 const clog = m => $('clog').textContent += m + "\\n";
+// ------------------------------------------------ i18n (zh/en — the
+// reference gradio demo ships a zh/en string table, gradio_demo.py:29-120)
+const I18N = {
+  en: {tab_dlg: 'Dialogue', tab_clone: 'Voice cloning', tab_metrics: 'Metrics',
+       dlg_help: 'Multi-speaker text with [S1]..[S4] tags. Audio streams as it is generated.',
+       btn_generate: 'Generate', m_title: 'Live serving metrics',
+       m_recs: 'Recommendations', c_step1: '1. Create a voice profile',
+       c_step2: '2. Speak in that voice'},
+  zh: {tab_dlg: '\\u5bf9\\u8bdd\\u5408\\u6210', tab_clone: '\\u58f0\\u97f3\\u514b\\u9686', tab_metrics: '\\u6027\\u80fd\\u76d1\\u63a7',
+       dlg_help: '\\u591a\\u8bf4\\u8bdd\\u4eba\\u6587\\u672c\\uff0c\\u4f7f\\u7528 [S1]..[S4] \\u6807\\u7b7e\\u3002\\u97f3\\u9891\\u8fb9\\u751f\\u6210\\u8fb9\\u64ad\\u653e\\u3002',
+       btn_generate: '\\u751f\\u6210', m_title: '\\u5b9e\\u65f6\\u670d\\u52a1\\u6307\\u6807',
+       m_recs: '\\u4f18\\u5316\\u5efa\\u8bae', c_step1: '1. \\u521b\\u5efa\\u58f0\\u97f3\\u6863\\u6848',
+       c_step2: '2. \\u7528\\u8be5\\u58f0\\u97f3\\u8bf4\\u8bdd'},
+};
+$('lang').onchange = () => {
+  const t = I18N[$('lang').value];
+  document.querySelectorAll('[data-i18n]').forEach(el => {
+    if (t[el.dataset.i18n]) el.textContent = t[el.dataset.i18n];
+  });
+};
 document.querySelectorAll('.tab').forEach(t => t.onclick = () => {
   document.querySelectorAll('.tab').forEach(x => x.classList.remove('active'));
   document.querySelectorAll('.panel').forEach(x => x.classList.remove('active'));
   t.classList.add('active'); $(t.dataset.p).classList.add('active');
 });
+// ------------------------------------------------ metrics panel
+async function pollStats() {
+  if (!$('metrics').classList.contains('active')) return;
+  try {
+    const d = await (await fetch('/stats')).json();
+    const rows = [
+      ['first packet p50 / p95 (ms)',
+       `${(d.first_packet_ms_p50||0).toFixed(0)} / ${(d.first_packet_ms_p95||0).toFixed(0)}`],
+      ['RTF p50', (d.rtf_p50||0).toFixed(2)],
+      ['active / queued streams', `${d.active_streams??d.active??0} / ${d.queue_depth??0}`],
+      ['completed / errors', `${d.completed??0} / ${d.errors??0}`],
+      ['chunk drops', d.chunk_drops??0],
+      ['block policy (rtt / frame ms)',
+       d.block_policy ? `${d.block_policy.rtt_ms??'-'} / ${d.block_policy.frame_cost_ms??'-'}` : '-'],
+      ['device bytes in use', ((d.device||{}).bytes_in_use||0).toLocaleString()],
+    ];
+    $('mtable').innerHTML = rows.map(r =>
+      `<tr><td style="color:#aaa">${r[0]}</td><td>${r[1]}</td></tr>`).join('');
+    const recs = d.recommendations || [];
+    $('mrecs').textContent = recs.length
+      ? recs.map(r => `[${r.severity}] ${r.message} — ${r.action}`).join('\\n')
+      : 'all healthy';
+    $('mraw').textContent = JSON.stringify(d, null, 1);
+  } catch (e) { $('mrecs').textContent = 'stats unavailable: ' + e; }
+}
+setInterval(pollStats, 2000);
 let actx;
 function playPcm16(hex, rate, at) {
   const n = hex.length / 4;
