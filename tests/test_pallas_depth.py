@@ -111,3 +111,33 @@ def test_lm_generate_frame_routes_through_kernel(setup):
     _, frame_fused = lm_generate_frame(params_fused, cfg_fused, st, tokens,
                                        tmask, valid, kf)
     assert (frame_plain == frame_fused).all()
+
+
+def test_engine_stream_equals_batch_with_fused_plan():
+    """Engine-level invariant under the SERVING config shape: with the
+    fused depth-chain kernel on, streaming chunks still concatenate to the
+    batch decode for the same seed (both paths route the depth decode
+    through the kernel with identical key folding)."""
+    import dataclasses
+
+    import numpy as np
+
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    cfg = tiny_engine_config()
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(
+            cfg.llm, fused_depth_plan="gate=r8,up=s8,down=s8"))
+
+    e1 = FireRedTTS2Engine(config=cfg, seed=11)
+    assert "depth_chain" in e1.lm_params
+    chunks = list(e1.generate_stream("fused kernel stream", "[S1]", [],
+                                     max_audio_length_ms=480))
+    streamed = np.concatenate(chunks)
+
+    e2 = FireRedTTS2Engine(config=cfg, seed=11)
+    batch = e2.generate("fused kernel stream", "[S1]", [],
+                        max_audio_length_ms=480)
+    assert streamed.shape == batch.shape
+    np.testing.assert_allclose(streamed, batch, rtol=1e-3, atol=1e-4)
