@@ -598,7 +598,8 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
                        last_h: Array, c0: Array, key: Array,
                        depth_topk: int = 10, depth_temperature: float = 0.75,
                        greedy: bool = False, plan: str = "",
-                       interpret: bool | None = None) -> Array:
+                       interpret: bool | None = None,
+                       stream_cfg: tuple[int, int] | None = None) -> Array:
     """Sample codebooks 0..ncb-1 for one frame with the fused chain kernel.
 
     Mirrors models/lm/model.py::_depth_decode (same key folding, same
@@ -723,6 +724,9 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
         if n_streamed * per <= max(budget, 0) and (L * 2 * q) % s == 0:
             stream_sub, stream_slots = q, s
             break
+    if stream_cfg is not None:  # test/tuning override
+        stream_sub, stream_slots = stream_cfg
+        assert Ih % stream_sub == 0 and (L * 2 * stream_sub) % stream_slots == 0
     Sw = Ih // stream_sub
 
     for n in _MLP:

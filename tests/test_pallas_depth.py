@@ -141,3 +141,22 @@ def test_engine_stream_equals_batch_with_fused_plan():
                         max_audio_length_ms=480)
     assert streamed.shape == batch.shape
     np.testing.assert_allclose(streamed, batch, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("stream_cfg", [(2, 2), (2, 4), (4, 2), (4, 4)])
+def test_stream_ring_configs_exact(setup, stream_cfg):
+    """The streamed-chunk ring (any chunk count / ring depth) must compute
+    EXACTLY what the XLA path computes at f32 — column-partitioned dots
+    are value-identical and down-chunk partials accumulate in fp32. The
+    flagship (5, 4) config is the same machinery at aligned dims (proven
+    bit-deterministic on chip by tools/depth_kernel_check.py)."""
+    cfg, params, last_h, c0 = setup
+    plan = "gate=s8,up=s8,down=s8"
+    bundle = prepare_depth_chain(params, cfg, plan)
+    params_q = dict(params, decoder=bundle["xla_decoder"])
+    key = jax.random.PRNGKey(21)
+    xla = _depth_decode(params_q, cfg, last_h, c0, key, 10, 0.75)
+    fused = fused_depth_decode(bundle, cfg, last_h, c0, key, 10, 0.75,
+                               plan=plan, interpret=True,
+                               stream_cfg=stream_cfg)
+    assert (xla == fused).all()
