@@ -398,6 +398,8 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
                     x2, _deq8(r[name + "_buf"][(base + s) % stream_slots],
                               dtype)
                 ).astype(dtype))
+                # Refill AFTER the dot: chunk j+slots lands in THIS slot —
+                # starting it earlier would overwrite the operand mid-read.
                 prefetch_next(name, base + s, p)
             y = ys[0] if n_sub == 1 else jnp.concatenate(ys, axis=1)
         else:  # r4: chunked column dequant bounds the unpacked temporary

@@ -319,25 +319,35 @@ class ContinuousBatcher:
             now = time.perf_counter()
             self.policy.record(K, now - t_block)
 
-            for j in range(K):
-                for b in [i for i, s in enumerate(self.slots) if s.active]:
-                    slot = self.slots[b]
-                    if pk[j, b, -1] > 0.5:            # frame was EOS
-                        self._finish(b)
-                        continue
-                    if slot.frames_done >= slot.max_frames:
-                        self._finish(b)
-                        continue
-                    chunk = pk[j, b, :cs]
+            # Fan the packed block out with ONE numpy slice and ONE queue
+            # put per stream (the per-(frame, stream) python loop was the
+            # host bottleneck past 8 streams, PERF.md round 2): a stream
+            # accepts frames up to its first EOS flag / its frame cap, as
+            # one contiguous audio chunk.
+            eos = pk[:, :, -1] > 0.5                 # (K, B)
+            for b in active:
+                slot = self.slots[b]
+                if not slot.active:
+                    continue
+                hit_eos = bool(eos[:, b].any())
+                n_eos = int(np.argmax(eos[:, b])) if hit_eos else K
+                n = min(n_eos, slot.max_frames - slot.frames_done)
+                capped = n < n_eos or slot.frames_done + n >= slot.max_frames
+                if n > 0:
+                    audio = pk[:n, b, :cs].reshape(-1)
                     if slot.frames_done == 0:
-                        chunk = chunk[self._lead:]
+                        audio = audio[self._lead:]
                         if slot.handle.first_packet_s is None:
                             slot.handle.first_packet_s = now - slot.handle._t0
-                    slot.last_tail = pk[j, b, cs:cs + ts]
-                    slot.frames_done += 1
+                    slot.last_tail = pk[n - 1, b, cs:cs + ts]
+                    slot.frames_done += n
                     try:
-                        slot.handle.chunks.put_nowait(chunk.copy())
+                        slot.handle.chunks.put_nowait(audio.copy())
                     except queue.Full:
-                        slot.handle.error = RuntimeError("client too slow; dropped")
+                        slot.handle.error = RuntimeError(
+                            "client too slow; dropped")
                         self.chunk_drops += 1
                         self._finish(b)
+                        continue
+                if hit_eos or capped:
+                    self._finish(b)

@@ -1,0 +1,68 @@
+"""Depth-chain kernel cost in isolation (no backbone): ms per frame of
+JUST the fused kernel call, vs the XLA depth loop. Locates where the
+LM frame budget actually goes (tools/devtime.py measures the whole LM).
+
+Usage: PYTHONPATH=/root/.axon_site:. python tools/depth_only.py [plan] [B...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from fireredtts2_tpu.config import LLMConfig
+from fireredtts2_tpu.models.lm.model import _depth_decode, init_lm_params
+from fireredtts2_tpu.ops.pallas_depth import (
+    fused_depth_decode, prepare_depth_chain,
+)
+
+REPEAT = 20  # frames per timed dispatch (scan amortizes launch overhead)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    plan = next((a for a in args if "=" in a), "gate=r8,up=s8,down=s8")
+    batches = [int(a) for a in args if a.isdigit()] or [1, 8]
+    cfg = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
+                    text_vocab_size=152_000, audio_vocab_size=2051,
+                    audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16")
+    params = init_lm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    bundle = prepare_depth_chain(params, cfg, plan)
+    params_q = dict(params, decoder=bundle["xla_decoder"])
+
+    for B in batches:
+        last_h = jax.random.normal(jax.random.PRNGKey(1),
+                                   (B, cfg.backbone.embed_dim), jnp.bfloat16)
+        c0 = jax.random.randint(jax.random.PRNGKey(2), (B,), 0,
+                                cfg.audio_vocab_size)
+
+        def loop(fn):
+            def body(carry, i):
+                key = jax.random.fold_in(jax.random.PRNGKey(3), i)
+                out = fn(key)
+                return carry + out.sum(), None
+            return jax.jit(lambda: jax.lax.scan(
+                body, jnp.int32(0), jnp.arange(REPEAT))[0])
+
+        for name, fn in (
+            ("fused", loop(lambda k: fused_depth_decode(
+                bundle, cfg, last_h, c0, k, plan=plan))),
+            ("xla", loop(lambda k: _depth_decode(
+                params_q, cfg, last_h, c0, k, 10, 0.75))),
+        ):
+            fn().block_until_ready()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn().block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            print(f"{plan:24s} B={B:2d} {name:5s}: "
+                  f"{best * 1000 / REPEAT:6.2f} ms/frame (depth only)",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
