@@ -17,7 +17,8 @@ def main():
     llm = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
                     text_vocab_size=152_000, audio_vocab_size=2051,
                     audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16",
-                    quantize_depth=True, quantize_backbone=True)
+                    quantize_backbone=True,
+                    fused_depth_plan="gate=r8,up=s8,down=s8")
     engine = FireRedTTS2Engine(
         config=EngineConfig(llm=llm, codec=CodecConfig(dtype="bfloat16")),
         seed=0)
