@@ -495,20 +495,22 @@ class FireRedTTS2Engine:
             tokens=jnp.asarray(tokens), tokens_mask=jnp.asarray(tmask),
             valid=jnp.asarray(valid), key=utt_key, block=block, **kw)
         while True:
-            pk = np.asarray(packed)          # one fetch per block
+            # one fetch per block; layout (B, K*cs + K*ts + K):
+            # [middles | per-cut tails | eos flags] (models/pipeline.py)
+            pk = np.asarray(packed)[0]
             K = block
-            for j in range(K):
-                if g + j >= max_len or pk[j, 0, -1] > 0.5:  # cap or EOS
-                    stop = True
-                    break
-                chunk = pk[j, 0, :cs]
+            eos = pk[K * (cs + ts):] > 0.5
+            n = min(int(np.argmax(eos)) if eos.any() else K, max_len - g)
+            stop = n < K
+            if n > 0:
+                span = pk[:n * cs]
                 if n_emitted == 0:
-                    chunk = chunk[self._lead_samples:]
+                    span = span[self._lead_samples:]
                     if self._first_packet_s is None:
                         self._first_packet_s = time.perf_counter() - t_start
-                last_tail = pk[j, 0, cs:cs + ts]
-                n_emitted += 1
-                yield chunk.astype(np.float32)
+                last_tail = pk[K * cs + (n - 1) * ts: K * cs + n * ts]
+                n_emitted += n
+                yield span.astype(np.float32)
             g += K
             block = min(block * 2, self.config.stream_block_cap)
             if g >= max_len or stop:

@@ -361,9 +361,16 @@ def stream_decode_chunk(params: Params, cfg: AcousticDecoderConfig,
     # Attention: this chunk's 8 latents see every written slot plus themselves.
     T_max = state.kv_k.shape[2]
     B = hc.shape[0]
-    key_ok = (jnp.arange(T_max, dtype=jnp.int32)[None, None, :]
-              < (state.pos[:, None, None] + S))
-    mask = jnp.broadcast_to(key_ok, (B, S, T_max))
+    # 8-block-causal within the chunk (reference decoder.py:263-266): a
+    # query latent sees every slot up to the END of its own 8-latent token
+    # block, never later tokens. For S == 8 (one token) this equals the
+    # old full pos + S window; chunks are whole tokens so pos is 8-aligned.
+    q_end = (state.pos[:, None, None]
+             + ((jnp.arange(S, dtype=jnp.int32)[None, :, None]
+                 // VOCODER_CHUNK) + 1) * VOCODER_CHUNK)
+    mask = jnp.broadcast_to(
+        jnp.arange(T_max, dtype=jnp.int32)[None, None, :] < q_end,
+        (B, S, T_max))
     cache = {"k": state.kv_k, "v": state.kv_v}
     hc, cache = whisper_layers_forward(params["layers"], cfg.num_heads, hc,
                                        mask, cache, state.pos)
@@ -404,9 +411,16 @@ def _vocoder_backbone_chunk(params: Params, cfg: AcousticDecoderConfig,
     hc, c1a, c1b = causal_resnet_chunk(params["prior1"], hc, rb[1, 0], rb[1, 1])
     T_max = state.kv_k.shape[2]
     B = hc.shape[0]
-    key_ok = (jnp.arange(T_max, dtype=jnp.int32)[None, None, :]
-              < (state.pos[:, None, None] + S))
-    mask = jnp.broadcast_to(key_ok, (B, S, T_max))
+    # 8-block-causal within the chunk (reference decoder.py:263-266): a
+    # query latent sees every slot up to the END of its own 8-latent token
+    # block, never later tokens. For S == 8 (one token) this equals the
+    # old full pos + S window; chunks are whole tokens so pos is 8-aligned.
+    q_end = (state.pos[:, None, None]
+             + ((jnp.arange(S, dtype=jnp.int32)[None, :, None]
+                 // VOCODER_CHUNK) + 1) * VOCODER_CHUNK)
+    mask = jnp.broadcast_to(
+        jnp.arange(T_max, dtype=jnp.int32)[None, None, :] < q_end,
+        (B, S, T_max))
     cache = {"k": state.kv_k, "v": state.kv_v}
     hc, cache = whisper_layers_forward(params["layers"], cfg.num_heads, hc,
                                        mask, cache, state.pos)
@@ -476,6 +490,61 @@ def stream_decode_step_batched(params: Params, cfg: AcousticDecoderConfig,
     middle = jnp.where(f, mid_first, mid_rest)
     tail = jnp.where(f, tail_first, tail_rest)
     return middle, tail, new_state
+
+
+def stream_decode_block_batched(params: Params, cfg: AcousticDecoderConfig,
+                                x: Array, state: VocoderStreamState,
+                                is_first: Array
+                                ) -> tuple[Array, Array, VocoderStreamState]:
+    """K-token batched vocoder step: all of a fused block's tokens in ONE
+    backbone pass, so the 12-layer transformer weights are read once per
+    BLOCK instead of once per frame (the streaming analogue of the offline
+    grouped scan — at 16 streams the per-frame vocoder pass was the
+    serving bottleneck, PERF.md).
+
+    Args:
+        x: (B, 4*K, D) K tokens' 50 Hz latents per slot.
+        is_first: (B,) bool — True for a slot's first block.
+    Returns:
+        (middle (B, K*chunk*hop) — for first blocks the leading `lead`
+         samples are zero-padding;
+         tails (K, B, (n_fft-hop) - pad) — tails[j] is the closing
+         emission if token j were the slot's last (a cut's tail depends
+         only on the 3 windowed frames preceding it, so it is independent
+         of the first/rest emission style);
+         new state).
+    """
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    pad = (n_fft - hop) // 2
+    r_1 = n_fft // hop - 1                                       # 3
+    K = x.shape[1] // 4
+    prev_cache = state.istft_cache
+    frames, new_state = _vocoder_backbone_chunk(params, cfg, x, state)
+
+    frames_cat = jnp.concatenate([prev_cache.astype(frames.dtype), frames],
+                                 axis=-1)
+    y_rest = _norm_ola(frames_cat, hop, n_fft)
+    mid_rest = y_rest[:, (n_fft - hop):-(n_fft - hop)]           # K*chunk*hop
+
+    y_first = _norm_ola(frames, hop, n_fft)
+    mid_first = y_first[:, pad:-(n_fft - hop)]
+    lead = mid_rest.shape[1] - mid_first.shape[1]
+    mid_first = jnp.pad(mid_first, ((0, 0), (lead, 0)))
+    middle = jnp.where(is_first[:, None], mid_first, mid_rest)
+
+    # Per-cut closing tails: the OLA tail after token j draws only on the
+    # last r_1 windowed frames before the cut (stream_decode_tail's math),
+    # i.e. frames[..., 8j+8-r_1 : 8j+8] — same for first/rest styles.
+    def cut_tail(win: Array) -> Array:
+        y = overlap_add(win.astype(jnp.float32), hop)
+        env = window_envelope(n_fft, hop, r_1, dtype=y.dtype)
+        y = y / jnp.maximum(env[None, :], 1e-11)
+        start = r_1 * hop
+        return y[:, start:start + (n_fft - hop) - pad]
+
+    tails = jnp.stack([cut_tail(frames[..., 8 * j + 8 - r_1: 8 * j + 8])
+                       for j in range(K)])                       # (K, B, ts)
+    return middle, tails, new_state
 
 
 def reset_vocoder_slot(state: VocoderStreamState, b: Array) -> VocoderStreamState:

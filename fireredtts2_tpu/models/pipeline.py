@@ -28,7 +28,7 @@ from fireredtts2_tpu.models.lm.model import (
 )
 from fireredtts2_tpu.models.codec.rvq import rvq_decode
 from fireredtts2_tpu.models.codec.decoder import (
-    VocoderStreamState, upconv_forward, stream_decode_step_batched,
+    VocoderStreamState, upconv_forward, stream_decode_block_batched,
 )
 
 Params = dict[str, Any]
@@ -51,42 +51,66 @@ def stream_block(
     depth_topk: int = 10,
     depth_temperature: float = 0.75,
 ):
-    """Decode+vocode `block` frames in one program.
+    """Decode `block` frames with the LM, then vocode them ALL in one
+    grouped pass (vocoder weights read once per block, not per frame —
+    the per-frame vocoder pass was the 16-stream serving bottleneck,
+    PERF.md round 2 part 2).
 
     Returns (state, vstate, next_frame, emitted, packed) where packed is
-    (block, B, chunk_samples + tail_samples + 1) float32:
-    [middle | tail | eos_flag] per step — ONE host fetch per block.
+    (B, block*chunk + block*tail + block) float32 per stream:
+    [middles 0..K-1 | cut-tails 0..K-1 | eos flags 0..K-1] — ONE host
+    fetch per block. tails[j] closes a stream whose last live frame is j;
+    eos[j] marks input frame j as the all-zero EOS frame
+    (fireredtts2.py:178).
     """
     vo_dtype = vstate.istft_cache.dtype
 
-    def step(carry, t):
-        state, vstate, frame, emitted = carry
+    def lm_step(carry, t):
+        state, frame = carry
         is_eos = jnp.all(frame == 0, axis=-1)                     # (B,)
-
-        # vocode current frame (batched-style emission: middle+tail)
-        codes = frame[:, :, None].transpose(1, 0, 2)              # (nq, B, 1)
-        feats = rvq_decode(codec_params["rvq"], codec_cfg.rvq, codes)
-        up = upconv_forward(codec_params["upsample"], codec_cfg.upsample_stride,
-                            feats.astype(vo_dtype))
-        middle, tail, vstate = stream_decode_step_batched(
-            codec_params["acoustic_decoder"], codec_cfg.acoustic_decoder,
-            up, vstate, is_first=(emitted == 0))
-        emitted = emitted + (~is_eos).astype(jnp.int32)
-
-        # next LM frame
         tokens, mask = build_step_frame(llm_cfg, frame)
         valid = jnp.ones((frame.shape[0], 1), jnp.bool_)
         state, next_frame = lm_generate_frame(
             lm_params, llm_cfg, state, tokens, mask, valid,
             jax.random.fold_in(key, t_base + t),
             temperature, topk, depth_topk, depth_temperature)
+        return (state, next_frame), (frame, is_eos)
 
-        packed = jnp.concatenate(
-            [middle.astype(jnp.float32), tail.astype(jnp.float32),
-             is_eos.astype(jnp.float32)[:, None]], axis=-1)
-        return (state, vstate, next_frame, emitted), packed
+    (state, frame), (frames_seq, eos_seq) = jax.lax.scan(
+        lm_step, (state, frame), jnp.arange(block, dtype=jnp.int32))
 
-    (state, vstate, frame, emitted), packed = jax.lax.scan(
-        step, (state, vstate, frame, emitted),
-        jnp.arange(block, dtype=jnp.int32))
+    # Grouped vocode: G tokens per backbone pass (weight reads / G). G is
+    # capped by batch size — the backbone's (B, heads, S, T_max) attention
+    # scores grow with S = 8G, and full-block grouping at B=16 measurably
+    # REGRESSED from memory pressure (PERF.md round 2 part 2).
+    B = frame.shape[0]
+    G = max(1, min(block, 64 // max(B, 1)))
+    while block % G:
+        G -= 1
+    n_groups = block // G
+    codes = frames_seq.transpose(2, 1, 0)                         # (nq, B, K)
+    feats = rvq_decode(codec_params["rvq"], codec_cfg.rvq, codes)
+    up = upconv_forward(codec_params["upsample"], codec_cfg.upsample_stride,
+                        feats.astype(vo_dtype))                   # (B, 4K, D)
+    up_groups = up.reshape(B, n_groups, 4 * G, -1).transpose(1, 0, 2, 3)
+
+    def vo_step(carry, xs):
+        vstate, first = carry
+        up_g = xs
+        middle, tails, vstate = stream_decode_block_batched(
+            codec_params["acoustic_decoder"], codec_cfg.acoustic_decoder,
+            up_g, vstate, is_first=first)
+        return (vstate, jnp.zeros_like(first)), (middle, tails)
+
+    (vstate, _), (middles, tails) = jax.lax.scan(
+        vo_step, (vstate, emitted == 0), up_groups)
+    emitted = emitted + block
+
+    # middles: (n_groups, B, G*cs) -> (B, K*cs); tails: (n_groups, G, B, ts)
+    # -> (B, K*ts), cut order j = 0..K-1.
+    middle = middles.transpose(1, 0, 2).reshape(B, -1)
+    tails_flat = tails.transpose(2, 0, 1, 3).reshape(B, -1)
+    packed = jnp.concatenate(
+        [middle.astype(jnp.float32), tails_flat.astype(jnp.float32),
+         eos_seq.astype(jnp.float32).T], axis=-1)
     return state, vstate, frame, emitted, packed

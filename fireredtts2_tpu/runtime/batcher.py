@@ -315,7 +315,9 @@ class ContinuousBatcher:
                 block=K, temperature=jnp.asarray(self.temps)[:, None],
                 topk=jnp.asarray(self.topks))
             step_counter += K
-            pk = np.asarray(packed)        # ONE fetch: (K, B, cs+ts+1)
+            # ONE fetch: (B, K*cs + K*ts + K) = [middles | cut-tails | eos]
+            # per stream (models/pipeline.py).
+            pk = np.asarray(packed)
             now = time.perf_counter()
             self.policy.record(K, now - t_block)
 
@@ -324,22 +326,23 @@ class ContinuousBatcher:
             # host bottleneck past 8 streams, PERF.md round 2): a stream
             # accepts frames up to its first EOS flag / its frame cap, as
             # one contiguous audio chunk.
-            eos = pk[:, :, -1] > 0.5                 # (K, B)
+            eos = pk[:, K * (cs + ts):] > 0.5        # (B, K)
             for b in active:
                 slot = self.slots[b]
                 if not slot.active:
                     continue
-                hit_eos = bool(eos[:, b].any())
-                n_eos = int(np.argmax(eos[:, b])) if hit_eos else K
+                hit_eos = bool(eos[b].any())
+                n_eos = int(np.argmax(eos[b])) if hit_eos else K
                 n = min(n_eos, slot.max_frames - slot.frames_done)
                 capped = n < n_eos or slot.frames_done + n >= slot.max_frames
                 if n > 0:
-                    audio = pk[:n, b, :cs].reshape(-1)
+                    audio = pk[b, :n * cs]
                     if slot.frames_done == 0:
                         audio = audio[self._lead:]
                         if slot.handle.first_packet_s is None:
                             slot.handle.first_packet_s = now - slot.handle._t0
-                    slot.last_tail = pk[n - 1, b, cs:cs + ts]
+                    slot.last_tail = pk[b, K * cs + (n - 1) * ts:
+                                        K * cs + n * ts]
                     slot.frames_done += n
                     try:
                         slot.handle.chunks.put_nowait(audio.copy())
