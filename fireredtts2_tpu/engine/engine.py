@@ -512,7 +512,11 @@ class FireRedTTS2Engine:
                 n_emitted += n
                 yield span.astype(np.float32)
             g += K
-            block = min(block * 2, self.config.stream_block_cap)
+            # Ladder 1 -> 4 -> 16 (cap): same block sizes as the batcher's
+            # policy ladder, so cold serving compiles 3 block programs
+            # instead of 5 — each fused-kernel program costs minutes of
+            # Mosaic compile on a cold cache.
+            block = min(block * 4, self.config.stream_block_cap)
             if g >= max_len or stop:
                 break
             # Power-of-2 block sizes only (a handful of compiled programs);
