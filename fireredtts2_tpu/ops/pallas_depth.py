@@ -12,13 +12,14 @@ Weight placement is a static PLAN per MLP matmul family:
 - ``r4``: int4 packed nibbles, resident; dequantized in VMEM per use with
   the float-math trick proven in ops/pallas_int4.py (Mosaic: no vector
   shl), in quarter-matrix chunks to bound the unpacked temporary.
-- ``s8``: int8, STREAMED from HBM per step in half-matrix chunks behind a
-  double buffer (for what residency cannot fit).
+- ``s8``: int8, STREAMED from HBM per step in lane-aligned chunks behind
+  a ring of buffers; chunk size and ring depth come from a VMEM budget
+  estimate (big chunks when they fit — fewer DMAs measured faster).
 
 The attention projections (wq/wk/wv/wo, 22 MB int8) are always resident.
-Measured on v5e (tools/devtime.py, flagship qwen-200m, B=1): XLA int8
-loop 7.40 ms/frame -> fused gate=r4,up=s8,down=s8 6.65 ms/frame; heavier
-residency cuts the remaining per-step streaming (PERF.md round 2).
+Measured on v5e (tools/devtime.py, flagship qwen-200m): XLA int8 loop
+7.40 ms/frame -> fused gate=r8,up=s8,down=s8 6.5 at B=1, and 14.0 -> 9.85
+at B=8; the full design-fact table is in PERF.md (round 2, part 2).
 
 In-kernel math mirrors models/lm/model.py::_depth_decode exactly:
 - the reference's S=2 prefill ([backbone h, embed(c0)]) is computed as two
