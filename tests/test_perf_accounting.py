@@ -63,3 +63,35 @@ def test_measure_device_ms_runs_tiny():
     ms = measure_lm_device_ms_per_frame(params, TINY, frames=4, bucket=16,
                                         repeats=1)
     assert ms > 0
+
+
+def test_fused_depth_plan_weight_bytes():
+    """HBM accounting under the fused depth-chain kernel: resident tensors
+    count once per frame, streamed tensors once per micro-step."""
+    import dataclasses
+
+    from fireredtts2_tpu.config import LLMConfig
+    from fireredtts2_tpu.runtime.perf import (
+        depth_frame_weight_bytes, lm_frame_cost)
+
+    base = LLMConfig(backbone_flavor="tiny", decoder_flavor="tiny-deep",
+                     audio_num_codebooks=4)
+    assert depth_frame_weight_bytes(base) is None  # XLA loop: default path
+
+    cfg = dataclasses.replace(base, fused_depth_plan="gate=r8,up=s8,down=s8")
+    dec = cfg.decoder
+    L, D, I = dec.num_layers, dec.embed_dim, dec.intermediate_dim
+    attn = L * (D * dec.num_heads * dec.head_dim * 2
+                + D * dec.num_kv_heads * dec.head_dim * 2)
+    mlp = L * D * I
+    ncb = cfg.audio_num_codebooks
+    want = attn + mlp + 2 * mlp * ncb  # gate resident, up+down streamed
+    assert depth_frame_weight_bytes(cfg) == want
+
+    r4 = dataclasses.replace(base, fused_depth_plan="gate=r4,up=r4,down=r4")
+    assert depth_frame_weight_bytes(r4) == attn + 3 * mlp * 0.5
+
+    # lm_frame_cost picks the fused accounting up automatically.
+    c_plain = lm_frame_cost(base, depth_bytes_per_param=1.0)
+    c_fused = lm_frame_cost(cfg, depth_bytes_per_param=1.0)
+    assert c_fused.weight_bytes < c_plain.weight_bytes
