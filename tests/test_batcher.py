@@ -50,7 +50,7 @@ def test_batched_stream_matches_single_engine(greedy_engine, batcher):
     assert h.first_packet_s is not None and h.first_packet_s > 0
 
 
-def test_concurrent_streams_are_independent(batcher):
+def test_concurrent_streams_are_independent(greedy_engine):
     """Slot independence: identical texts in different slots of the SAME
     batch must produce identical audio (matmul rows are independent and
     greedy ignores RNG); a different text must produce different audio.
@@ -59,14 +59,24 @@ def test_concurrent_streams_are_independent(batcher):
     here — batch-size-dependent matmul tiling can flip near-tie greedy
     argmaxes, as in any batched serving system (the B=1-active case is
     covered by test_batched_stream_matches_single_engine).
+
+    Uses a dedicated batcher and submits BEFORE start(): joint admission is
+    what the invariant is about — a running worker may otherwise admit the
+    first twin a block before the rest (staggered twins see different batch
+    compositions per step, where tiling flips are fair game).
     """
+    batcher = ContinuousBatcher(greedy_engine, max_streams=4, topk=1)
     same = ["twin stream text", "twin stream text", "twin stream text"]
     handles = [batcher.submit(t, "[S1]", max_audio_length_ms=480)
                for t in same]
     other = batcher.submit("completely different words", "[S1]",
                            max_audio_length_ms=480)
-    got = [_collect(h) for h in handles]
-    got_other = _collect(other)
+    batcher.start()
+    try:
+        got = [_collect(h) for h in handles]
+        got_other = _collect(other)
+    finally:
+        batcher.stop()
 
     assert got[0].shape == got[1].shape == got[2].shape
     np.testing.assert_allclose(got[0], got[1], rtol=2e-3, atol=5e-4)
@@ -107,5 +117,21 @@ def test_per_request_sampling_config(batcher, greedy_engine):
     h_greedy = batcher.submit(text, "[S1]", topk=1, max_audio_length_ms=640)
     _collect(h_wide)
     got = _collect(h_greedy)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
+def test_mid_block_frame_cap_is_exact(greedy_engine, batcher):
+    """A frame cap landing INSIDE a decode block (3 frames: ladder runs
+    block=1 then block=4, so the cap cuts the 4-frame block after 2) must
+    yield exactly the single-engine capped audio — validates the packed-span
+    fan-out slicing (runtime/batcher.py: n = min(n_eos, remaining))."""
+    text, speaker = "hello batch", "[S1]"
+    want = greedy_engine.generate(text, speaker, [],
+                                  max_audio_length_ms=240, topk=1)
+
+    h = batcher.submit(text, speaker, max_audio_length_ms=240)
+    got = _collect(h)
+
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
