@@ -244,3 +244,31 @@ def test_websocket_rejects_hostile_text():
     msg = asyncio.run(scenario())
     assert msg["type"] == "error"
     assert "security" in msg["error"] or "screening" in msg["error"]
+
+
+def test_stats_includes_batcher_and_recommendation_telemetry():
+    """stats() must surface the continuous-batching telemetry and the
+    recommendation engine's output (runtime/policy.py — the reference's
+    PerformanceOptimizationEngine capability,
+    advanced_performance_monitor.py:673-939) without needing a socket."""
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.monitor import reset_performance_monitor
+    from fireredtts2_tpu.serve.server import WebSocketTTSServer
+
+    reset_performance_monitor()
+    engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    server = WebSocketTTSServer(engine, port=18799, max_streams=2)
+    try:
+        out = server.stats()
+        assert out["active_streams"] == 0
+        assert out["queue_depth"] == 0
+        assert out["chunk_drops"] == 0
+        pol = out["block_policy"]
+        assert set(pol) == {"wall_ms_per_block", "rtt_ms", "frame_cost_ms"}
+        assert pol["rtt_ms"] is None  # no blocks observed yet
+        assert isinstance(out["recommendations"], list)
+        for r in out["recommendations"]:
+            assert {"severity", "code", "message", "action"} <= set(r)
+    finally:
+        server.service.batcher.stop()
