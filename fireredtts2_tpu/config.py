@@ -118,6 +118,14 @@ class LLMConfig:
     # "gate=r4,up=s8,down=s8" (r8 = resident int8, r4 = resident int4,
     # s8 = streamed int8). Empty = disabled (XLA depth loop).
     fused_depth_plan: str = ""
+    # Speculative (Jacobi / lookahead) depth decode: iterate a parallel
+    # 16-position teacher-forcing forward instead of 15 sequential steps,
+    # accepting the longest self-consistent prefix each round. Exactly
+    # reproduces the sequential path's tokens (deterministic-noise replay);
+    # rounds needed shrink with model confidence, so HBM weight traffic
+    # drops from 15 reads to ~rounds reads per frame on trained weights.
+    # Opt-in; ignored when fused_depth_plan is active.
+    speculative_depth: bool = False
 
     @property
     def backbone(self) -> TransformerConfig:

@@ -119,6 +119,87 @@ def frame_hidden(params: Params, cfg: LLMConfig, tokens: Array,
     return (embeds * tokens_mask[..., None].astype(embeds.dtype)).sum(-2).astype(dtype)
 
 
+def depth_decode_jacobi(params: Params, cfg: LLMConfig, last_h: Array,
+                        c0: Array, key: Array, depth_topk: int,
+                        depth_temperature: float,
+                        init: Optional[Array] = None,
+                        ) -> tuple[Array, Array]:
+    """Speculative depth decode via Jacobi / lookahead iteration.
+
+    Instead of 15 sequential single-token steps (llm.py:317-328), run the
+    16-position depth transformer in parallel TEACHER-FORCING mode on a
+    guessed token vector, re-sample every position with the SAME
+    deterministic per-position noise the sequential path uses
+    (fold_in(key, i)), and accept the longest prefix where the guess is
+    self-consistent. Each round verifies at least one more token, so this
+    terminates in <= ncb-1 rounds and returns EXACTLY the tokens the
+    sequential path samples — acceptance only changes how many parallel
+    rounds (i.e. how many HBM weight reads) it takes. Sequential decode is
+    bandwidth-bound at small batch: a 16-position forward costs ~1 weight
+    read, so frames that verify in r rounds read depth weights r times
+    instead of 15.
+
+    Returns (samples (B, ncb) int32, rounds () int32 — parallel forwards
+    executed; 1 means the init guess was already the model's own chain).
+    """
+    dec_cfg = cfg.decoder
+    ncb = cfg.audio_num_codebooks
+    B = last_h.shape[0]
+    dtype = last_h.dtype
+    proj = params["projection"]
+    heads = params["audio_head"]                       # (ncb-1, D_dec, V)
+    offs = jnp.arange(ncb - 1, dtype=jnp.int32) * cfg.audio_vocab_size
+    pos = jnp.broadcast_to(jnp.arange(ncb, dtype=jnp.int32)[None], (B, ncb))
+    attn = jnp.broadcast_to(mask_ops.causal_mask(ncb)[None], (B, ncb, ncb))
+    # Per-position sampling keys — identical to the sequential path's
+    # fold_in(key, i) for codebook i.
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(1, ncb, dtype=jnp.int32))
+    ipos = jnp.arange(1, ncb, dtype=jnp.int32)[None]   # (1, ncb-1)
+
+    def forward(tok):
+        """One parallel pass: sampled token for every position 1..ncb-1,
+        each conditioned on the CURRENT guess of the positions before it
+        (same input layout as the loss path, lm_loss above)."""
+        c_emb = params["audio_embeddings"][tok[:, :ncb - 1] + offs].astype(dtype)
+        dec_in = jnp.concatenate(
+            [last_h[:, None, :], c_emb], axis=1) @ proj
+        dec_h, _ = transformer_forward(params["decoder"], dec_cfg, dec_in,
+                                       pos, attn)
+        logits = jnp.einsum("nsd,sdv->nsv", dec_h[:, 1:, :].astype(jnp.float32),
+                            heads.astype(jnp.float32))
+        return jax.vmap(
+            lambda lg, k: sample_topk(lg, depth_topk, depth_temperature, k),
+            in_axes=(1, 0), out_axes=1)(logits, keys)  # (B, ncb-1)
+
+    def cond(carry):
+        _, p, r = carry
+        return jnp.any(p < ncb - 1) & (r < ncb)
+
+    def body(carry):
+        tok, p, r = carry
+        sampled = forward(tok)
+        # Positions <= p are verified: their inputs are true, so `sampled`
+        # reproduces them. The first position > p where the OLD guess
+        # disagrees is corrected by this round's sample (its inputs were
+        # all verified/matching) and becomes the new frontier.
+        match = tok[:, 1:] == sampled                  # (B, ncb-1)
+        blocked = (~match) & (ipos > p[:, None])
+        has = blocked.any(axis=1)
+        first = jnp.argmax(blocked, axis=1).astype(jnp.int32) + 1
+        new_p = jnp.where(has, first, ncb - 1)
+        tok = tok.at[:, 1:].set(
+            jnp.where(ipos <= p[:, None], tok[:, 1:], sampled))
+        return tok, jnp.maximum(p, new_p), r + 1
+
+    tok0 = jnp.zeros((B, ncb), jnp.int32).at[:, 0].set(c0)
+    if init is not None:
+        tok0 = tok0.at[:, 1:].set(init)
+    tok, _, rounds = jax.lax.while_loop(
+        cond, body, (tok0, jnp.zeros((B,), jnp.int32), jnp.int32(0)))
+    return tok, rounds
+
+
 def _depth_decode(params: Params, cfg: LLMConfig, last_h: Array, c0: Array,
                   key: Array, depth_topk: int, depth_temperature: float) -> Array:
     """Sample codebooks 1..N-1 with the depth transformer (fresh 16-slot
@@ -134,6 +215,10 @@ def _depth_decode(params: Params, cfg: LLMConfig, last_h: Array, c0: Array,
             params["depth_chain"], cfg, last_h, c0, key,
             depth_topk=depth_topk, depth_temperature=depth_temperature,
             plan=cfg.fused_depth_plan)
+    if cfg.speculative_depth:
+        samples, _ = depth_decode_jacobi(params, cfg, last_h, c0, key,
+                                         depth_topk, depth_temperature)
+        return samples
     dec_cfg = cfg.decoder
     ncb = cfg.audio_num_codebooks
     B = last_h.shape[0]

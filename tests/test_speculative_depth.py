@@ -1,0 +1,100 @@
+"""Speculative (Jacobi / lookahead) depth decode vs the sequential loop.
+
+depth_decode_jacobi (models/lm/model.py) replaces the 15 sequential depth
+steps (reference llm.py:317-328) with iterated parallel teacher-forcing
+passes + deterministic-noise replay. Acceptance only changes HOW MANY
+rounds run — the returned tokens must equal the sequential path's exactly
+(f32 on CPU: both paths attend over the same 16 slots in the same order).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fireredtts2_tpu.config import LLMConfig, tiny_engine_config
+from fireredtts2_tpu.models.lm.model import (
+    _depth_decode, depth_decode_jacobi, init_lm_params,
+)
+
+
+def _tiny_cfg(**kw):
+    return LLMConfig(backbone_flavor="tiny", decoder_flavor="tiny-deep",
+                     text_vocab_size=300, audio_vocab_size=64,
+                     audio_num_codebooks=4, max_seq_len=256, dtype="float32",
+                     **kw)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _tiny_cfg()
+    params = init_lm_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B = 3
+    last_h = jax.random.normal(jax.random.PRNGKey(1),
+                               (B, cfg.backbone.embed_dim), jnp.float32)
+    c0 = jax.random.randint(jax.random.PRNGKey(2), (B,), 0,
+                            cfg.audio_vocab_size)
+    return cfg, params, last_h, c0
+
+
+@pytest.mark.parametrize("seed", [3, 7, 11])
+def test_sampled_tokens_match_sequential(setup, seed):
+    cfg, params, last_h, c0 = setup
+    key = jax.random.PRNGKey(seed)
+    seq = _depth_decode(params, cfg, last_h, c0, key, 10, 0.75)
+    jac, rounds = depth_decode_jacobi(params, cfg, last_h, c0, key, 10, 0.75)
+    assert (seq == jac).all(), (seq.tolist(), jac.tolist())
+    assert (jac[:, 0] == c0).all()
+    assert 1 <= int(rounds) <= cfg.audio_num_codebooks
+
+
+def test_greedy_matches_sequential(setup):
+    cfg, params, last_h, c0 = setup
+    key = jax.random.PRNGKey(5)
+    seq = _depth_decode(params, cfg, last_h, c0, key, 1, 0.75)
+    jac, _ = depth_decode_jacobi(params, cfg, last_h, c0, key, 1, 0.75)
+    assert (seq == jac).all()
+
+
+def test_perfect_init_verifies_in_one_round(setup):
+    """Feeding the true chain as the initial guess must verify everything
+    with a single parallel pass — the mechanism behind the speedup: a good
+    draft means ~1 weight read instead of 15."""
+    cfg, params, last_h, c0 = setup
+    key = jax.random.PRNGKey(9)
+    truth = _depth_decode(params, cfg, last_h, c0, key, 10, 0.75)
+    jac, rounds = depth_decode_jacobi(params, cfg, last_h, c0, key, 10, 0.75,
+                                      init=truth[:, 1:])
+    assert int(rounds) == 1
+    assert (jac == truth).all()
+
+
+def test_rounds_bounded_by_chain_length(setup):
+    """Worst case (adversarial init) still terminates within ncb rounds and
+    still returns the true chain."""
+    cfg, params, last_h, c0 = setup
+    key = jax.random.PRNGKey(13)
+    truth = _depth_decode(params, cfg, last_h, c0, key, 10, 0.75)
+    bad = (truth[:, 1:] + 1) % cfg.audio_vocab_size
+    jac, rounds = depth_decode_jacobi(params, cfg, last_h, c0, key, 10, 0.75,
+                                      init=bad)
+    assert (jac == truth).all()
+    assert int(rounds) <= cfg.audio_num_codebooks
+
+
+def test_config_routing_is_transparent():
+    """cfg.speculative_depth=True must not change generated audio: engines
+    with and without the flag produce identical waveforms for one seed."""
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    base = tiny_engine_config()
+    spec = dataclasses.replace(
+        base, llm=dataclasses.replace(base.llm, speculative_depth=True))
+    text, speaker = "speculative depth check", "[S1]"
+    a = FireRedTTS2Engine(config=base, seed=0).generate(
+        text, speaker, [], max_audio_length_ms=400)
+    b = FireRedTTS2Engine(config=spec, seed=0).generate(
+        text, speaker, [], max_audio_length_ms=400)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
