@@ -201,7 +201,8 @@ def depth_decode_jacobi(params: Params, cfg: LLMConfig, last_h: Array,
 
 
 def _depth_decode(params: Params, cfg: LLMConfig, last_h: Array, c0: Array,
-                  key: Array, depth_topk: int, depth_temperature: float) -> Array:
+                  key: Array, depth_topk: int, depth_temperature: float,
+                  spec_init: Optional[Array] = None) -> Array:
     """Sample codebooks 1..N-1 with the depth transformer (fresh 16-slot
     cache; reference resets it every frame, llm.py:317).
 
@@ -217,7 +218,8 @@ def _depth_decode(params: Params, cfg: LLMConfig, last_h: Array, c0: Array,
             plan=cfg.fused_depth_plan)
     if cfg.speculative_depth:
         samples, _ = depth_decode_jacobi(params, cfg, last_h, c0, key,
-                                         depth_topk, depth_temperature)
+                                         depth_topk, depth_temperature,
+                                         init=spec_init)
         return samples
     dec_cfg = cfg.decoder
     ncb = cfg.audio_num_codebooks
@@ -321,8 +323,15 @@ def lm_generate_frame(
     key_c0, key_depth = jax.random.split(key)
     c0 = sample_topk(c0_logits, topk, temperature, key_c0)
 
+    # Speculative init: the PREVIOUS frame's depth chain (this step's input
+    # columns 1..ncb-1). RVQ codes are temporally correlated, so it's a
+    # free draft — init only affects Jacobi round count, never the tokens.
+    ncb = cfg.audio_num_codebooks
+    spec_init = (jnp.clip(tokens[:, -1, 1:ncb], 0, cfg.audio_vocab_size - 1)
+                 if cfg.speculative_depth else None)
     samples = _depth_decode(params, cfg, last_h, c0, key_depth,
-                            depth_topk, depth_temperature)
+                            depth_topk, depth_temperature,
+                            spec_init=spec_init)
 
     new_state = LMState(
         cache_k=cache["k"], cache_v=cache["v"],

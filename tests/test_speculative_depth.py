@@ -98,3 +98,30 @@ def test_config_routing_is_transparent():
     b = FireRedTTS2Engine(config=spec, seed=0).generate(
         text, speaker, [], max_audio_length_ms=400)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frame_routing_with_prev_frame_init():
+    """lm_generate_frame threads the previous frame's chain as the Jacobi
+    init (a free temporal draft) — tokens must still equal the sequential
+    path's exactly."""
+    from fireredtts2_tpu.models.lm.model import (
+        init_lm_state, lm_generate_frame)
+
+    cfg = _tiny_cfg()
+    cfg_spec = _tiny_cfg(speculative_depth=True)
+    params = init_lm_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+
+    B, S = 2, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(11),
+                                (B, S, cfg.num_columns), 1, 60)
+    tmask = jnp.ones((B, S, cfg.num_columns), bool)
+    valid = jnp.ones((B, S), bool)
+    kf = jax.random.PRNGKey(12)
+
+    st = init_lm_state(cfg, B, jnp.float32)
+    _, frame_seq = lm_generate_frame(params, cfg, st, tokens, tmask,
+                                     valid, kf)
+    st = init_lm_state(cfg_spec, B, jnp.float32)
+    _, frame_jac = lm_generate_frame(params, cfg_spec, st, tokens, tmask,
+                                     valid, kf)
+    assert (frame_seq == frame_jac).all()
