@@ -25,12 +25,26 @@ def _build_engine(args):
     from fireredtts2_tpu.engine import FireRedTTS2Engine
     from fireredtts2_tpu.config import tiny_engine_config
 
+    # Serving perf knobs -> LLMConfig overrides (PERF.md for what each buys;
+    # the measured serving preset is --quantize-backbone
+    # --fused-depth-plan gate=r8,up=s8,down=s8).
+    llm_overrides = {}
+    if getattr(args, "quantize_backbone", False):
+        llm_overrides["quantize_backbone"] = True
+    if getattr(args, "fused_depth_plan", None):
+        llm_overrides["fused_depth_plan"] = args.fused_depth_plan
+    if getattr(args, "speculative_depth", False):
+        llm_overrides["speculative_depth"] = True
+
     if args.pretrained_dir:
         return FireRedTTS2Engine(pretrained_dir=args.pretrained_dir,
-                                 gen_type=args.gen_type)
+                                 gen_type=args.gen_type,
+                                 llm_overrides=llm_overrides or None)
     print("[warn] no --pretrained-dir: using tiny random-weight dev config",
           file=sys.stderr)
-    return FireRedTTS2Engine(config=tiny_engine_config(), gen_type=args.gen_type)
+    return FireRedTTS2Engine(config=tiny_engine_config(),
+                             gen_type=args.gen_type,
+                             llm_overrides=llm_overrides or None)
 
 
 def _cmd_generate(args):
@@ -122,6 +136,17 @@ def main(argv=None):
                    help="checkpoint dir (config_llm.json, codec.pt, ...)")
     p.add_argument("--gen-type", default="dialogue",
                    choices=["dialogue", "monologue"])
+    # Serving perf knobs (apply to every subcommand; PERF.md has the
+    # measured effect of each — the proven serving preset is
+    # --quantize-backbone --fused-depth-plan gate=r8,up=s8,down=s8).
+    p.add_argument("--quantize-backbone", action="store_true",
+                   help="weight-only int8 backbone (halves decode reads)")
+    p.add_argument("--fused-depth-plan", default=None, metavar="PLAN",
+                   help="fused Pallas depth kernel placement plan, e.g. "
+                        "gate=r8,up=s8,down=s8 (TPU only)")
+    p.add_argument("--speculative-depth", action="store_true",
+                   help="Jacobi speculative depth decode (same tokens, "
+                        "fewer weight reads when acceptance is high)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("generate", help="dialogue synthesis to a wav")

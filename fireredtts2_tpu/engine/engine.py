@@ -23,6 +23,7 @@ TPU-first engineering:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -74,15 +75,30 @@ class FireRedTTS2Engine:
         pretrained_dir: Optional[str] = None,
         gen_type: str = "dialogue",
         seed: int = 0,
+        llm_overrides: Optional[dict] = None,
+        codec_overrides: Optional[dict] = None,
     ):
+        """llm_overrides / codec_overrides: config-field overrides applied
+        on top of the checkpoint's JSON (or the given config) — the CLI
+        path for serving perf knobs, e.g. {"quantize_backbone": True,
+        "fused_depth_plan": "gate=r8,up=s8,down=s8"}."""
         assert gen_type in ("monologue", "dialogue")
         self.gen_type = gen_type
 
+        if config is not None and (llm_overrides or codec_overrides):
+            config = dataclasses.replace(
+                config,
+                llm=dataclasses.replace(config.llm, **(llm_overrides or {})),
+                codec=dataclasses.replace(config.codec,
+                                          **(codec_overrides or {})))
+
         if pretrained_dir is not None:
             llm_cfg = llm_config_from_json(
-                os.path.join(pretrained_dir, "config_llm.json"))
+                os.path.join(pretrained_dir, "config_llm.json"),
+                **(llm_overrides or {}))
             codec_cfg = codec_config_from_json(
-                os.path.join(pretrained_dir, "config_codec.json"))
+                os.path.join(pretrained_dir, "config_codec.json"),
+                **(codec_overrides or {}))
             config = EngineConfig(llm=llm_cfg, codec=codec_cfg, gen_type=gen_type)
             self.config = config
             from fireredtts2_tpu.runtime.checkpoint import (

@@ -125,3 +125,13 @@ def test_frame_routing_with_prev_frame_init():
     _, frame_jac = lm_generate_frame(params, cfg_spec, st, tokens, tmask,
                                      valid, kf)
     assert (frame_seq == frame_jac).all()
+
+
+def test_engine_llm_overrides():
+    """Engine applies llm_overrides on top of a given config (the CLI's
+    path for serving perf knobs, __main__.py)."""
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    e = FireRedTTS2Engine(config=tiny_engine_config(), seed=0,
+                          llm_overrides={"speculative_depth": True})
+    assert e.config.llm.speculative_depth is True
