@@ -126,6 +126,12 @@ class LLMConfig:
     # drops from 15 reads to ~rounds reads per frame on trained weights.
     # Opt-in; ignored when fused_depth_plan is active.
     speculative_depth: bool = False
+    # MTP-style trainable draft head (models/lm/model.py:init_draft_head):
+    # predicts the whole depth chain in one shot as the Jacobi init, and
+    # adds draft_loss_weight x CE to lm_loss for finetuning it. Tokens are
+    # unchanged either way (the draft only changes verify-round count).
+    depth_draft_head: bool = False
+    draft_loss_weight: float = 0.1
 
     @property
     def backbone(self) -> TransformerConfig:

@@ -73,7 +73,39 @@ def init_lm_params(key: Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
             (cfg.audio_num_codebooks - 1) * cfg.audio_vocab_size,
         ).reshape(dec.embed_dim, cfg.audio_num_codebooks - 1, cfg.audio_vocab_size)
          .transpose(1, 0, 2),   # (ncb-1, D_dec, V_audio)
+        **({"depth_draft": init_draft_head(jax.random.fold_in(key, 99),
+                                           cfg, dtype)}
+           if cfg.depth_draft_head else {}),
     }
+
+
+def init_draft_head(key: Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
+    """MTP-style draft head for speculative depth decode (PAPERS.md, arXiv
+    2410.13839): one trunk from [last_h, embed(c0)] plus per-position
+    offsets, decoded through the EXISTING audio_head stack — ~3M params,
+    read once per frame. Grafts onto a loaded checkpoint for finetuning
+    (train with cfg.depth_draft_head=True; lm_loss adds the aux CE)."""
+    bb, dec = cfg.backbone, cfg.decoder
+    k1, _ = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(2 * bb.embed_dim)
+    return {
+        "trunk": jax.random.uniform(k1, (2 * bb.embed_dim, dec.embed_dim),
+                                    jnp.float32, -bound, bound).astype(dtype),
+        "pos": jnp.zeros((cfg.audio_num_codebooks - 1, dec.embed_dim), dtype),
+    }
+
+
+def draft_depth_tokens(params: Params, cfg: LLMConfig, last_h: Array,
+                       c0: Array) -> Array:
+    """Greedy draft of codebooks 1..ncb-1 in ONE parallel shot (B, ncb-1):
+    the Jacobi init when a trained depth_draft head is present."""
+    dh = params["depth_draft"]
+    e0 = embed_audio(params, cfg, 0, c0).astype(last_h.dtype)
+    h = jnp.concatenate([last_h, e0], axis=-1) @ dh["trunk"]   # (B, D_dec)
+    hp = h[:, None, :] + dh["pos"][None]                       # (B, ncb-1, D)
+    logits = jnp.einsum("nsd,sdv->nsv", hp.astype(jnp.float32),
+                        params["audio_head"].astype(jnp.float32))
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
 KV_ALIGN = 512  # slab capacity alignment (= Pallas decode-kernel DMA tile)
@@ -217,6 +249,9 @@ def _depth_decode(params: Params, cfg: LLMConfig, last_h: Array, c0: Array,
             depth_topk=depth_topk, depth_temperature=depth_temperature,
             plan=cfg.fused_depth_plan)
     if cfg.speculative_depth:
+        if "depth_draft" in params:
+            # Trained MTP draft beats the previous-frame guess.
+            spec_init = draft_depth_tokens(params, cfg, last_h, c0)
         samples, _ = depth_decode_jacobi(params, cfg, last_h, c0, key,
                                          depth_topk, depth_temperature,
                                          init=spec_init)
@@ -608,5 +643,20 @@ def lm_loss(params: Params, cfg: LLMConfig, tokens: Array, tokens_mask: Array,
     loss = 2.0 * ((1.0 - w) * c0_loss + w * depth_loss)
     if cfg.use_text_loss:
         loss = loss + 0.01 * text_loss
-    return {"loss": loss, "text_loss": text_loss,
-            "c0_loss": c0_loss, "depth_loss": depth_loss}
+    out = {"loss": loss, "text_loss": text_loss,
+           "c0_loss": c0_loss, "depth_loss": depth_loss}
+
+    # Auxiliary MTP draft-head CE on the same supervised subset (teaches the
+    # one-shot draft used as the Jacobi init, speculative depth decode).
+    if "depth_draft" in params:
+        dh = params["depth_draft"]
+        e0 = (params["audio_embeddings"][sub_frame[:, 0]]).astype(dtype)
+        trunk = jnp.concatenate([sub_h.astype(dtype), e0],
+                                axis=-1) @ dh["trunk"]
+        hp = trunk[:, None, :] + dh["pos"][None]
+        draft_logits = jnp.einsum("nsd,sdv->nsv", hp.astype(jnp.float32),
+                                  params["audio_head"].astype(jnp.float32))
+        draft_loss = _masked_ce(draft_logits, dep_targets, dep_w)
+        out["draft_loss"] = draft_loss
+        out["loss"] = loss + cfg.draft_loss_weight * draft_loss
+    return out

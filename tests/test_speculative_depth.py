@@ -135,3 +135,65 @@ def test_engine_llm_overrides():
     e = FireRedTTS2Engine(config=tiny_engine_config(), seed=0,
                           llm_overrides={"speculative_depth": True})
     assert e.config.llm.speculative_depth is True
+
+
+def test_draft_head_init_and_exact_tokens():
+    """A depth_draft head changes only the Jacobi INIT — frame tokens must
+    still equal the sequential path's exactly (untrained draft = bad
+    guesses = more rounds, same output)."""
+    from fireredtts2_tpu.models.lm.model import (
+        draft_depth_tokens, init_lm_state, lm_generate_frame)
+
+    cfg = _tiny_cfg()
+    cfg_draft = _tiny_cfg(speculative_depth=True, depth_draft_head=True)
+    params_d = init_lm_params(jax.random.PRNGKey(0), cfg_draft, jnp.float32)
+    assert "depth_draft" in params_d
+    params = {k: v for k, v in params_d.items() if k != "depth_draft"}
+
+    B, S = 2, 8
+    tokens = jax.random.randint(jax.random.PRNGKey(21),
+                                (B, S, cfg.num_columns), 1, 60)
+    tmask = jnp.ones((B, S, cfg.num_columns), bool)
+    valid = jnp.ones((B, S), bool)
+    kf = jax.random.PRNGKey(22)
+
+    st = init_lm_state(cfg, B, jnp.float32)
+    _, frame_seq = lm_generate_frame(params, cfg, st, tokens, tmask,
+                                     valid, kf)
+    st = init_lm_state(cfg_draft, B, jnp.float32)
+    _, frame_drafted = lm_generate_frame(params_d, cfg_draft, st, tokens,
+                                         tmask, valid, kf)
+    assert (frame_seq == frame_drafted).all()
+
+    h = jax.random.normal(jax.random.PRNGKey(23),
+                          (B, cfg.backbone.embed_dim), jnp.float32)
+    c0 = jnp.zeros((B,), jnp.int32)
+    d = draft_depth_tokens(params_d, cfg_draft, h, c0)
+    assert d.shape == (B, cfg.audio_num_codebooks - 1)
+
+
+def test_draft_loss_trains():
+    """lm_loss with the draft head emits draft_loss, folds it into the
+    total, and its gradient reaches the draft trunk."""
+    from fireredtts2_tpu.models.lm.model import lm_loss
+
+    cfg = _tiny_cfg(depth_draft_head=True)
+    params = init_lm_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, S, C = 2, 10, cfg.num_columns
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, S, C), 1, 40)
+    tmask = jnp.ones((B, S, C), bool)
+
+    def total(p):
+        out = lm_loss(p, cfg, tokens, tmask, jax.random.PRNGKey(2),
+                      depth_subset=4)
+        return out["loss"], out
+
+    (loss, out), grads = jax.value_and_grad(total, has_aux=True)(params)
+    assert jnp.isfinite(out["draft_loss"])
+    base = 2.0 * ((1 - cfg.decoder_loss_weight) * out["c0_loss"]
+                  + cfg.decoder_loss_weight * out["depth_loss"]) \
+        + 0.01 * out["text_loss"]
+    assert jnp.allclose(loss, base + cfg.draft_loss_weight * out["draft_loss"],
+                        rtol=1e-6)
+    g = grads["depth_draft"]["trunk"]
+    assert jnp.abs(g).max() > 0
