@@ -197,3 +197,24 @@ def test_draft_loss_trains():
                         rtol=1e-6)
     g = grads["depth_draft"]["trunk"]
     assert jnp.abs(g).max() > 0
+
+
+def test_jacobi_on_int8_quantized_decoder():
+    """cfg.quantize_depth + speculative: both paths run the SAME
+    int8-transparent transformer_forward, so tokens must still match."""
+    from fireredtts2_tpu.models.lm.transformer import (
+        quantize_transformer_int8)
+
+    cfg = _tiny_cfg()
+    params = init_lm_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params_q = dict(params, decoder=quantize_transformer_int8(
+        params["decoder"]))
+    B = 3
+    last_h = jax.random.normal(jax.random.PRNGKey(31),
+                               (B, cfg.backbone.embed_dim), jnp.float32)
+    c0 = jax.random.randint(jax.random.PRNGKey(32), (B,), 0,
+                            cfg.audio_vocab_size)
+    key = jax.random.PRNGKey(33)
+    seq = _depth_decode(params_q, cfg, last_h, c0, key, 10, 0.75)
+    jac, _ = depth_decode_jacobi(params_q, cfg, last_h, c0, key, 10, 0.75)
+    assert (seq == jac).all()
