@@ -218,3 +218,25 @@ def test_jacobi_on_int8_quantized_decoder():
     seq = _depth_decode(params_q, cfg, last_h, c0, key, 10, 0.75)
     jac, _ = depth_decode_jacobi(params_q, cfg, last_h, c0, key, 10, 0.75)
     assert (seq == jac).all()
+
+
+def test_stream_equals_batch_with_speculative_depth():
+    """The streaming==batch invariant must hold under the speculative flag
+    (the Jacobi while_loop runs inside the fused stream blocks' scan)."""
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    base = tiny_engine_config()
+    cfg = dataclasses.replace(
+        base, llm=dataclasses.replace(base.llm, speculative_depth=True))
+    text, speaker = "stream speculative", "[S1]"
+
+    e1 = FireRedTTS2Engine(config=cfg, seed=123)
+    chunks = list(e1.generate_stream(text, speaker, [],
+                                     max_audio_length_ms=480))
+    streamed = np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    e2 = FireRedTTS2Engine(config=cfg, seed=123)
+    batch = e2.generate(text, speaker, [], max_audio_length_ms=480)
+
+    assert streamed.shape == batch.shape
+    np.testing.assert_allclose(streamed, batch, rtol=1e-3, atol=1e-4)
