@@ -23,7 +23,7 @@ FRAMES = 100
 
 
 def build(quantize_depth: bool, quantize_backbone: bool,
-          depth_bits: int = 8, fused_plan: str = ""):
+          depth_bits: int = 8, fused_plan: str = "", speculative: bool = False):
     from fireredtts2_tpu.config import LLMConfig
     from fireredtts2_tpu.models.lm.model import (
         init_lm_params, init_lm_state, lm_generate_loop)
@@ -33,7 +33,7 @@ def build(quantize_depth: bool, quantize_backbone: bool,
     cfg = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
                     text_vocab_size=152_000, audio_vocab_size=2051,
                     audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16",
-                    fused_depth_plan=fused_plan)
+                    fused_depth_plan=fused_plan, speculative_depth=speculative)
     params = init_lm_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     if fused_plan:
         from fireredtts2_tpu.ops.pallas_depth import enable_fused_depth
@@ -49,10 +49,11 @@ def build(quantize_depth: bool, quantize_backbone: bool,
 
 def run_variant(name: str, pallas: bool, int8_depth: bool, int8_backbone: bool,
                 batch: int = 1, bucket: int = 128, depth_bits: int = 8,
-                fused_plan: str = "", depth_topk: int = 10) -> float:
+                fused_plan: str = "", depth_topk: int = 10,
+                speculative: bool = False) -> float:
     os.environ["FRTTS2_PALLAS"] = "1" if pallas else "0"
     cfg, params, init_lm_state, lm_generate_loop = build(
-        int8_depth, int8_backbone, depth_bits, fused_plan)
+        int8_depth, int8_backbone, depth_bits, fused_plan, speculative)
 
     B, L = batch, bucket
     key = jax.random.PRNGKey(1)
@@ -108,6 +109,13 @@ VARIANTS = {
                          fused_plan="gate=r4,up=s8,down=s8", depth_topk=1),
     "int8all-k1": dict(pallas=False, int8_depth=True, int8_backbone=True,
                        depth_topk=1),
+    # Speculative (Jacobi) depth decode: rounds ~ worst case on random
+    # weights, so this bounds the spec path's cost floor; trained weights
+    # are the real measurement (tools/spec_depth_rounds.py --ckpt).
+    "spec-int8": dict(pallas=False, int8_depth=True, int8_backbone=True,
+                      speculative=True),
+    "spec-bf16": dict(pallas=False, int8_depth=False, int8_backbone=False,
+                      speculative=True),
 }
 
 
