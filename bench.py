@@ -1,98 +1,248 @@
-"""Headline benchmark: first-packet latency + realtime factor of streaming
+"""Headline benchmark: first-packet latency + realtime factors of streaming
 synthesis on the flagship model (qwen-1.5b backbone, 16-codebook 12.5 Hz
-codec, bf16), single chip.
+codec, bf16 + int8 backbone + fused depth-chain Pallas kernel), single chip.
 
 Baseline: the reference reports "as low as 140 ms" first-packet latency on
 an NVIDIA L20 (reference README.md:30; BASELINE.md). vs_baseline is
 baseline_ms / our_ms (>1 = faster than the reference's number).
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ..., "extra": {...}}
+
+Outage hardening (VERDICT r2 #1 — round 2's artifact was lost to a transient
+axon-tunnel failure): this file is a PARENT orchestrator that never imports
+jax. It (a) probes the TPU backend in a throwaway subprocess with bounded
+retry/backoff (a failed backend init is cached process-wide by jax, so the
+probe must not share the parent's process), (b) runs the measurement stages
+in a WORKER subprocess (`bench.py --worker`) that appends one JSON line per
+completed stage to a results file, and (c) on worker death respawns it with
+the completed stages skipped. Whatever stages finished make it into the
+final line (missing ones are null) — a mid-run tunnel blip costs a stage,
+not the artifact.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
 
 BASELINE_FIRST_PACKET_MS = 140.0
+STAGES = ("fpl", "offline", "batched8", "batched16", "device")
+_RETRYABLE_RC = 17
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE", "DEADLINE_EXCEEDED", "RESOURCE_EXHAUSTED", "INTERNAL",
+    "Unable to initialize backend", "axon", "socket", "Connection",
+    "connection", "timed out", "ABORTED",
+)
 
 
-def main() -> None:
+def _is_transient(msg: str) -> bool:
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+# ---------------------------------------------------------------------------
+# Parent: probe / spawn / merge. No jax imports at this level.
+# ---------------------------------------------------------------------------
+
+
+def _probe_backend(timeout_s: float = 240.0) -> bool:
+    """Run one tiny device matmul in a throwaway subprocess; True if the
+    chip answered. np.asarray (not block_until_ready) per CLAUDE.md: scalar
+    results can return before the relay finishes."""
+    code = ("import jax, numpy as np; x = jax.numpy.ones((8, 128));"
+            "print(float(np.asarray(x @ x.T)[0][0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_backend(deadline: float) -> bool:
+    backoff = 20.0
+    while True:
+        if _probe_backend():
+            return True
+        if time.time() + backoff >= deadline:
+            return False
+        print(f"[bench] backend unavailable; retrying in {backoff:.0f}s",
+              file=sys.stderr)
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 120.0)
+
+
+def main() -> int:
+    deadline = time.time() + float(os.environ.get("BENCH_DEADLINE_S", 2700))
+    results_path = os.environ.get("BENCH_RESULTS", "/tmp/frtts2_bench_stages.jsonl")
+    try:
+        os.unlink(results_path)
+    except FileNotFoundError:
+        pass
+
+    done: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    respawns = 0
+    while len(done) + len(errors) < len(STAGES) and respawns < 6:
+        if not _wait_for_backend(deadline):
+            errors.setdefault("backend", "TPU backend unavailable until deadline")
+            break
+        budget = deadline - time.time()
+        if budget < 60:
+            break
+        skip = ",".join(list(done) + list(errors))
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--results", results_path]
+        if skip:
+            cmd += ["--skip", skip]
+        try:
+            r = subprocess.run(cmd, timeout=min(budget, 2400))
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        _merge(results_path, done, errors)
+        if rc == 0:
+            break
+        respawns += 1
+        print(f"[bench] worker exited rc={rc}; respawn {respawns}",
+              file=sys.stderr)
+        time.sleep(15)
+
+    _merge(results_path, done, errors)
+    fpl = done.get("fpl", {})
+    b8, b16 = done.get("batched8", {}), done.get("batched16", {})
+    fp_ms = fpl.get("fpl_ms")
+    extra = {
+        "realtime_factor": fpl.get("rtf"),
+        "frames": fpl.get("frames"),
+        "offline_rtf": done.get("offline", {}).get("offline_rtf"),
+        "batched_streams": 8 if b8 else None,
+        "batched_aggregate_rtf": b8.get("aggregate_rtf"),
+        "batched_per_stream_min_rtf": b8.get("per_stream_min_rtf"),
+        "streams16_aggregate_rtf": b16.get("aggregate_rtf"),
+        "streams16_per_stream_min_rtf": b16.get("per_stream_min_rtf"),
+        "backend": fpl.get("backend"),
+        **done.get("device", {}),
+    }
+    if errors:
+        extra["stage_errors"] = errors
+    print(json.dumps({
+        "metric": "first_packet_latency_ms_streaming_flagship",
+        "value": round(fp_ms, 2) if fp_ms else None,
+        "unit": "ms",
+        "vs_baseline": (round(BASELINE_FIRST_PACKET_MS / fp_ms, 3)
+                        if fp_ms else None),
+        "extra": extra,
+    }))
+    return 0 if fp_ms else 1
+
+
+def _merge(path: str, done: dict, errors: dict) -> None:
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "data" in rec:
+                done[rec["stage"]] = rec["data"]
+                errors.pop(rec["stage"], None)
+            elif rec["stage"] not in done:
+                errors[rec["stage"]] = rec.get("error", "?")
+
+
+# ---------------------------------------------------------------------------
+# Worker: builds the engine once, runs remaining stages, appends one JSON
+# line per stage. Exits 17 on a transient (tunnel) failure so the parent
+# respawns; a non-transient stage failure is recorded and skipped.
+# ---------------------------------------------------------------------------
+
+
+def worker(results_path: str, skip: set[str]) -> int:
     import jax
 
     from fireredtts2_tpu.config import EngineConfig, LLMConfig, CodecConfig
     from fireredtts2_tpu.engine import FireRedTTS2Engine
 
+    def emit(stage: str, data=None, error=None):
+        with open(results_path, "a") as f:
+            rec = {"stage": stage}
+            if data is not None:
+                rec["data"] = data
+            if error is not None:
+                rec["error"] = error
+            f.write(json.dumps(rec) + "\n")
+
     # Serving configuration: int8 backbone + the fused depth-chain Pallas
-    # kernel (whole 15-step depth decode in ONE pallas_call, gate proj
-    # VMEM-resident, up/down streamed). Measured LM floor on v5e: 12.1
-    # (bf16) -> 7.4 (int8 XLA loop) -> 6.5 ms/frame (fused kernel) —
-    # tools/devtime.py, PERF.md. The vocoder stays bf16: int8 there
-    # measured SLOWER at batch under XLA (B=8 offline 36.5 -> 27.3 — the
-    # int4-under-XLA lesson again), so quantize_vocoder ships opt-in only.
+    # kernel (whole 15-step depth decode in ONE pallas_call). Measured LM
+    # floor on v5e: 12.1 (bf16) -> 7.4 (int8 XLA loop) -> 6.5 ms/frame
+    # (fused kernel) — tools/devtime.py, PERF.md. Vocoder stays bf16
+    # (int8 there measured SLOWER at batch under XLA).
     llm = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
                     text_vocab_size=152_000, audio_vocab_size=2051,
                     audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16",
                     quantize_backbone=True,
                     fused_depth_plan="gate=r8,up=s8,down=s8")
     codec = CodecConfig(dtype="bfloat16")
-    cfg = EngineConfig(llm=llm, codec=codec)
-    engine = FireRedTTS2Engine(config=cfg, seed=0)
-
+    engine = FireRedTTS2Engine(config=EngineConfig(llm=llm, codec=codec),
+                               seed=0)
     text = ("Hello there, welcome to the show. Today we are going to talk "
             "about streaming text to speech on tensor processing units.")
 
+    stage_fns = {
+        "fpl": lambda: _stage_fpl(engine, text, jax),
+        "offline": lambda: {"offline_rtf": round(_bench_offline(engine, text), 2)},
+        "batched8": lambda: _bench_batched(engine, 8),
+        "batched16": lambda: _bench_batched(engine, 16),
+        "device": lambda: _bench_device(engine, llm),
+    }
+    for stage in STAGES:
+        if stage in skip:
+            continue
+        try:
+            emit(stage, data=stage_fns[stage]())
+        except Exception as e:  # noqa: BLE001 — must classify and keep going
+            msg = f"{type(e).__name__}: {e}"
+            emit(stage, error=msg)
+            if _is_transient(msg):
+                print(f"[bench-worker] transient failure in {stage}: {msg}",
+                      file=sys.stderr)
+                return _RETRYABLE_RC
+            import traceback
+            traceback.print_exc()
+    return 0
+
+
+def _stage_fpl(engine, text: str, jax) -> dict:
     def run(n_frames: int):
         t0 = time.perf_counter()
-        samples = 0
-        chunks = 0
+        samples = chunks = 0
         for chunk in engine.generate_stream(text, "[S1]", [],
                                             max_audio_length_ms=n_frames * 80):
             samples += chunk.shape[0]
             chunks += 1
-        wall = time.perf_counter() - t0
-        return engine._first_packet_s, samples, wall, chunks
+        return engine._first_packet_s, samples, time.perf_counter() - t0, chunks
 
-    # Warmup: compiles prefill bucket + all block sizes (1..block cap).
-    run(50)
-    # Measure (50 frames = 4 s of audio; long enough for the block
-    # schedule to reach its cap so steady-state RTF is visible). Min of 3:
+    run(50)  # compiles prefill bucket + all block sizes
+    # 50 frames = 4 s of audio (block schedule reaches its cap). Min of 3:
     # the tunneled host link has ±25% wall-clock noise.
     runs = [run(50) for _ in range(3)]
-    fp_ms = min(r[0] for r in runs) * 1000.0
-    audio_s = max(r[1] for r in runs) / 24_000.0
-    rtf = audio_s / min(r[2] for r in runs)  # >1 = faster than realtime
-    chunks = runs[0][3]
-
-    # Multi-stream throughput: aggregate realtime factor with the
-    # continuous batcher (the serving configuration).
-    agg_rtf, n_streams = _bench_batched(engine)
-
-    # Offline (non-streaming) single-utterance throughput.
-    off_rtf = _bench_offline(engine, text)
-
-    # Device-time + utilization accounting (runtime/perf.py): the tunnel's
-    # ±25% wall-clock noise cannot hide a device-time regression because the
-    # whole-utterance program is ONE dispatch.
-    perf = _bench_device(engine, llm)
-    perf["offline_rtf"] = round(off_rtf, 2)
-
-    print(json.dumps({
-        "metric": "first_packet_latency_ms_streaming_flagship",
-        "value": round(fp_ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_FIRST_PACKET_MS / fp_ms, 3),
-        "extra": {"realtime_factor": round(rtf, 2),
-                  "batched_streams": n_streams,
-                  "batched_aggregate_rtf": round(agg_rtf, 2),
-                  "frames": chunks, "backend": jax.default_backend(),
-                  **perf},
-    }))
+    return {
+        "fpl_ms": round(min(r[0] for r in runs) * 1000.0, 2),
+        "rtf": round(max(r[1] for r in runs) / 24_000.0
+                     / min(r[2] for r in runs), 2),
+        "frames": runs[0][3],
+        "backend": jax.default_backend(),
+    }
 
 
 def _bench_offline(engine, text: str) -> float:
@@ -111,14 +261,9 @@ def _bench_device(engine, llm_cfg) -> dict:
     """Measured LM device ms/frame + analytic MFU/MBU + budget check
     against perf_budget.json (fails loudly in the JSON, not the exit code:
     the driver records the line either way)."""
-    import os
-
     from fireredtts2_tpu.runtime.perf import (
         measure_lm_device_ms_per_frame, utilization)
 
-    # Depth HBM accounting comes from the fused plan when set
-    # (runtime/perf.py:depth_frame_weight_bytes); dq only matters for the
-    # XLA-loop fallback.
     dq = 1.0 if (engine.config.llm.quantize_depth
                  or engine.config.llm.fused_depth_plan) else 2.0
     bq = 1.0 if engine.config.llm.quantize_backbone else 2.0
@@ -143,10 +288,10 @@ def _bench_device(engine, llm_cfg) -> dict:
     return out
 
 
-def _bench_batched(engine, n_streams: int = 8, n_frames: int = 50):
-    """Aggregate realtime factor across concurrent batched streams."""
-    import numpy as np
-
+def _bench_batched(engine, n_streams: int, n_frames: int = 50) -> dict:
+    """Aggregate + per-stream-min realtime factor across concurrent batched
+    streams (production-side timestamps on StreamHandle, so a slow consumer
+    loop cannot distort per-stream numbers)."""
     from fireredtts2_tpu.runtime.batcher import ContinuousBatcher
 
     batcher = ContinuousBatcher(engine, max_streams=n_streams)
@@ -155,8 +300,7 @@ def _bench_batched(engine, n_streams: int = 8, n_frames: int = 50):
         texts = [f"Stream number {i}: a short benchmark sentence about "
                  f"tensor processing units and speech synthesis."
                  for i in range(n_streams)]
-        # warmup (compiles batched steps + burst-sized slot prefill: a
-        # simultaneous submit admits as ONE batched prefill program)
+        # warmup (compiles batched steps + burst-sized slot prefill)
         warm = [batcher.submit(t, "[S1]", max_audio_length_ms=4 * 80)
                 for t in texts]
         for h in warm:
@@ -170,10 +314,24 @@ def _bench_batched(engine, n_streams: int = 8, n_frames: int = 50):
             for c in h:
                 total_samples += len(c)
         wall = time.perf_counter() - t0
-        return (total_samples / 24_000.0) / wall, n_streams
+        per_stream = [h.samples / 24_000.0 / h.finished_s
+                      for h in handles if h.finished_s]
+        return {
+            "aggregate_rtf": round((total_samples / 24_000.0) / wall, 2),
+            "per_stream_min_rtf": (round(min(per_stream), 3)
+                                   if per_stream else None),
+            "n_streams": n_streams,
+        }
     finally:
         batcher.stop()
 
 
 if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        args = sys.argv[sys.argv.index("--worker"):]
+        results = args[args.index("--results") + 1]
+        skip = set()
+        if "--skip" in args:
+            skip = set(args[args.index("--skip") + 1].split(","))
+        sys.exit(worker(results, skip))
     sys.exit(main())

@@ -104,7 +104,8 @@ def _cmd_serve(args):
     print(f"serving: ws://0.0.0.0:{args.ws_port}  http://0.0.0.0:{args.http_port}/health")
     serve(engine, ws_port=args.ws_port, http_port=args.http_port,
           session_dir=args.session_dir, max_streams=args.max_streams,
-          voice_dir=args.voice_dir, responder=responder)
+          voice_dir=args.voice_dir, responder=responder,
+          require_auth=args.require_auth)
 
 
 def _cmd_qa(args):
@@ -178,6 +179,9 @@ def main(argv=None):
                    help="voice-profile store dir (enables /api/v1/voices)")
     s.add_argument("--profiler-port", type=int, default=0,
                    help="expose a live jax.profiler gRPC endpoint (0 = off)")
+    s.add_argument("--require-auth", action="store_true",
+                   help="demand Bearer tokens on WS TTS + /api/v1 REST "
+                        "(secret via FRTTS2_TOKEN_SECRET)")
     s.add_argument("--llm-primary", default="rule_based",
                    choices=["rule_based", "local", "openai"],
                    help="primary conversation-LLM backend")

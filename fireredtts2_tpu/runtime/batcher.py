@@ -51,6 +51,12 @@ class StreamHandle:
     chunks: "queue.Queue[Optional[np.ndarray]]" = field(
         default_factory=lambda: queue.Queue(maxsize=256))
     first_packet_s: Optional[float] = None
+    # Production-side accounting (set by the batcher, independent of how
+    # fast the client drains the queue): wall seconds submit -> last chunk
+    # PRODUCED, and total samples produced. Per-stream realtime factor for
+    # serving telemetry is (samples / 24_000) / finished_s.
+    finished_s: Optional[float] = None
+    samples: int = 0
     error: Optional[Exception] = None
 
     def __iter__(self):
@@ -265,6 +271,8 @@ class ContinuousBatcher:
         if slot.handle is not None:
             if slot.frames_done > 0 and slot.last_tail is not None:
                 slot.handle.chunks.put(slot.last_tail)
+                slot.handle.samples += len(slot.last_tail)
+            slot.handle.finished_s = time.perf_counter() - slot.handle._t0
             slot.handle.chunks.put(None)
         slot.active = False
         slot.handle = None
@@ -346,6 +354,7 @@ class ContinuousBatcher:
                     slot.frames_done += n
                     try:
                         slot.handle.chunks.put_nowait(audio.copy())
+                        slot.handle.samples += len(audio)
                     except queue.Full:
                         slot.handle.error = RuntimeError(
                             "client too slow; dropped")

@@ -207,6 +207,23 @@ def measure_lm_device_ms_per_frame(params, cfg: LLMConfig, frames: int = 100,
     return best * 1000.0 / frames
 
 
+def load_perf_budget() -> dict[str, Any]:
+    """perf_budget.json from the repo root (or $FRTTS2_PERF_BUDGET).
+    Keys: lm_device_ms_per_frame (bench.py regression gate),
+    block_frame_cost_ms (live serving frame-cost alarm, serve/server.py
+    stats()). Missing file -> {} (all budget checks disabled)."""
+    import json
+    import os
+
+    path = os.environ.get("FRTTS2_PERF_BUDGET") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "perf_budget.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 import contextlib
 
 

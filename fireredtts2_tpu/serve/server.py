@@ -204,14 +204,20 @@ class WebSocketTTSServer:
     """asyncio WebSocket server speaking the reference's message protocol."""
 
     def __init__(self, engine, host: str = "0.0.0.0", port: int = 8765,
-                 session_dir: Optional[str] = None, max_streams: int = 1):
+                 session_dir: Optional[str] = None, max_streams: int = 1,
+                 security=None):
         self.host, self.port = host, port
         self.service = (BatchedTTSService(engine, max_streams)
                         if max_streams > 1 else TTSService(engine))
         self.sessions = SessionManager(persist_dir=session_dir)
         self.monitor = get_performance_monitor()
         from fireredtts2_tpu.serve.security import create_security_system
-        self.security = create_security_system()
+        # One SecuritySystem guards BOTH transports: the WS path screens in
+        # _handle_tts; the REST handler (HealthHTTPServer) shares this same
+        # instance (reference routes REST through verify_token +
+        # SecurityMiddleware, api_interfaces.py:227, security_system.py:651).
+        self.security = security if security is not None \
+            else create_security_system()
         self.clients: dict[str, any] = {}
         self._server = None
         self.started = time.time()
@@ -348,6 +354,7 @@ class WebSocketTTSServer:
             out["queue_depth"] = batcher.pending.qsize()
             out["chunk_drops"] = batcher.chunk_drops
             out["block_policy"] = batcher.policy.snapshot()
+        from fireredtts2_tpu.runtime.perf import load_perf_budget
         from fireredtts2_tpu.runtime.policy import RecommendationEngine
 
         rec_stats = dict(out)
@@ -356,8 +363,20 @@ class WebSocketTTSServer:
         if dev.get("bytes_limit"):
             rec_stats["hbm_used_fraction"] = (
                 dev.get("bytes_in_use", 0) / dev["bytes_limit"])
-        out["recommendations"] = [
-            r.to_dict() for r in RecommendationEngine().evaluate(rec_stats)]
+        # Live aggregate RTF: per-request RTF median x live streams — the
+        # input the "overcommitted" rule watches. Live per-frame cost comes
+        # from the block policy's fitted frame_cost (LM + vocoder + fetch),
+        # budgeted by perf_budget.json:block_frame_cost_ms — the input the
+        # "device_regression" rule watches.
+        active = rec_stats.get("active_streams")
+        if active and rec_stats.get("rtf_p50") is not None:
+            rec_stats["aggregate_rtf"] = rec_stats["rtf_p50"] * active
+        policy_snap = rec_stats.get("block_policy") or {}
+        if policy_snap.get("frame_cost_ms") is not None:
+            rec_stats["device_ms_per_frame"] = policy_snap["frame_cost_ms"]
+        out["recommendations"] = [r.to_dict() for r in RecommendationEngine(
+            device_budget_ms=load_perf_budget().get("block_frame_cost_ms"),
+        ).evaluate(rec_stats)]
         return out
 
 
@@ -393,6 +412,13 @@ class HealthHTTPServer:
         responder = responder or ResponderChain([RuleBasedResponder()])
         statuses: dict[str, dict] = {}
         statuses_lock = threading.Lock()
+        security = ws_server.security
+        # Request-body cap: largest legitimate body is a voice-create with
+        # hex PCM16 (2 bytes/char overhead) — 32 MB covers ~8 min of 16 kHz
+        # mono, far past the prompt-duration cap below. Anything bigger is
+        # a memory-DoS attempt and gets 413 before the read.
+        MAX_BODY_BYTES = 32 * 1024 * 1024
+        MAX_PROMPT_SECONDS = 60.0
 
         def track(request_id: str, **kw) -> None:
             with statuses_lock:
@@ -435,13 +461,21 @@ class HealthHTTPServer:
             return result["audio"], result["err"]
 
         def decode_audio_payload(req: dict) -> np.ndarray:
-            """hex/base64 PCM16 (+sample_rate) -> float32 mono 16 kHz."""
+            """hex/base64 PCM16 (+sample_rate) -> float32 mono 16 kHz.
+            Duration-capped: an SSL prompt encode costs a 32-layer whisper
+            forward per 6 s window, so unbounded uploads are a compute-DoS
+            (reference caps uploads too, security_system.py:159-227)."""
             if "data_b64" in req:
                 raw = base64.b64decode(req["data_b64"])
             else:
                 raw = bytes.fromhex(req.get("data", ""))
             audio = pcm16_to_f32(raw)
             sr = int(req.get("sample_rate", 16_000))
+            if not 4_000 <= sr <= 192_000:
+                raise ValueError("unsupported sample_rate")
+            if len(audio) > MAX_PROMPT_SECONDS * sr:
+                raise ValueError(
+                    f"reference audio too long (> {MAX_PROMPT_SECONDS:.0f} s)")
             if sr != 16_000:
                 audio = resample(audio, sr, 16_000)
             return audio
@@ -458,15 +492,43 @@ class HealthHTTPServer:
             def _body(self) -> Optional[dict]:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    self._json(400, {"error": "invalid content-length"})
+                    return None
+                if n > MAX_BODY_BYTES:
+                    self._json(413, {"error": f"body too large "
+                                              f"(> {MAX_BODY_BYTES} bytes)"})
+                    return None
+                try:
                     return json.loads(self.rfile.read(n) or b"{}")
                 except (ValueError, json.JSONDecodeError):
                     self._json(400, {"error": "invalid json"})
                     return None
 
+            def _guard(self) -> bool:
+                """Auth + rate limit for /api/v1 routes, sharing the WS
+                path's SecuritySystem (reference verify_token +
+                SecurityMiddleware, api_interfaces.py:227). Sends the error
+                response itself when the request is rejected."""
+                auth = self.headers.get("Authorization", "")
+                token = (auth[7:].strip() if auth.startswith("Bearer ")
+                         else self.headers.get("X-API-Key"))
+                subject = security.auth.verify(token) if token else None
+                client = subject or self.client_address[0]
+                check = security.check_request(client, "ok", token=token)
+                if check.ok:
+                    return True
+                code = (401 if check.reason == "unauthorized"
+                        else 429 if "rate limit" in check.reason else 400)
+                self._json(code, {"error": check.reason})
+                return False
+
             # ------------------------------------------------------- GET
 
             def do_GET(self):
                 parts = [p for p in self.path.split("?")[0].split("/") if p]
+                if parts[:2] == ["api", "v1"] and not self._guard():
+                    return
                 if self.path == "/health":
                     self._json(200, {"status": "healthy",
                                      "uptime_s": time.time() - ws_server.started})
@@ -513,6 +575,8 @@ class HealthHTTPServer:
 
             def do_POST(self):
                 parts = [p for p in self.path.split("?")[0].split("/") if p]
+                if parts[:2] == ["api", "v1"] and not self._guard():
+                    return
                 if self.path == "/api/v1/tts/generate":
                     self._tts(streaming=False)
                 elif self.path in ("/api/v1/tts/generate-streaming",
@@ -542,6 +606,8 @@ class HealthHTTPServer:
 
             def do_DELETE(self):
                 parts = [p for p in self.path.split("?")[0].split("/") if p]
+                if parts[:2] == ["api", "v1"] and not self._guard():
+                    return
                 if parts[:3] == ["api", "v1", "voices"] and len(parts) == 4 \
                         and voices:
                     ok = voices.delete(parts[3])
@@ -674,8 +740,8 @@ class HealthHTTPServer:
                     return
                 try:
                     audio = decode_audio_payload(req)
-                except ValueError:
-                    self._json(400, {"error": "invalid audio payload"})
+                except ValueError as e:
+                    self._json(400, {"error": f"invalid audio payload: {e}"})
                     return
                 if audio.size < 1600:           # >= 0.1 s of 16 kHz audio
                     self._json(400, {"error": "reference audio too short"})
@@ -733,13 +799,30 @@ class HealthHTTPServer:
 
 def serve(engine, ws_port: int = 8765, http_port: int = 8080,
           session_dir: Optional[str] = None, max_streams: int = 1,
-          voice_dir: Optional[str] = None, responder=None) -> None:
+          voice_dir: Optional[str] = None, responder=None,
+          require_auth: bool = False) -> None:
     """Blocking entry point: WebSocket TTS + HTTP REST. max_streams > 1
     serves concurrent requests through the continuous batcher; voice_dir
     enables the /api/v1/voices CRUD; responder backs the conversations API
-    (build one with serve.llm.build_responder_chain)."""
+    (build one with serve.llm.build_responder_chain). require_auth demands
+    a Bearer token (security.TokenAuthenticator.issue) on WS TTS requests
+    and every /api/v1 REST route; the issued-token secret is printed once
+    at startup unless FRTTS2_TOKEN_SECRET is set."""
+    security = None
+    if require_auth:
+        import os
+
+        from fireredtts2_tpu.serve.security import (
+            TokenAuthenticator, create_security_system)
+
+        secret = os.environ.get("FRTTS2_TOKEN_SECRET")
+        auth = TokenAuthenticator(secret.encode() if secret else None)
+        security = create_security_system(auth=auth, require_auth=True)
+        if not secret:
+            print("serve: auth required; example token:",
+                  security.auth.issue("operator"))
     server = WebSocketTTSServer(engine, port=ws_port, session_dir=session_dir,
-                                max_streams=max_streams)
+                                max_streams=max_streams, security=security)
     health = HealthHTTPServer(server, port=http_port, voice_dir=voice_dir,
                               responder=responder)
 
