@@ -24,6 +24,7 @@ TPU-first engineering:
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 import time
@@ -56,10 +57,18 @@ from fireredtts2_tpu.utils.audio_io import load_prompt_audio_16k, resample
 
 @dataclass
 class Segment:
-    """One conversational segment (reference llm/utils.py:13-17)."""
+    """One conversational segment (reference llm/utils.py:13-17).
+
+    audio_tokens/audio_tokens_mask: optional PRE-ENCODED (T, ncols) frames
+    for `audio` (engine.encode_prompt_tokens). When set, the engine skips
+    the 32-layer SSL + RVQ encode entirely — the per-voice prompt cache
+    (SURVEY §7 "cacheable per voice profile"; the reference re-encodes on
+    every call, fireredtts2/fireredtts2.py:90-115)."""
     speaker: str
     text: str
     audio: np.ndarray  # (T,) float32 @16 kHz
+    audio_tokens: Optional[np.ndarray] = None
+    audio_tokens_mask: Optional[np.ndarray] = None
 
 
 def _dtype_of(name: str):
@@ -164,6 +173,10 @@ class FireRedTTS2Engine:
         self._ncols = self.config.llm.num_columns
         self._key = jax.random.PRNGKey(seed + 17)
         self._first_packet_s: Optional[float] = None  # last stream's FPL
+        # Prompt-audio token cache (see _tokenize_audio).
+        from collections import OrderedDict
+        self._audio_token_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self.encode_calls = 0
 
         # ---- compiled functions (cfg objects are hashable -> static) ----
         llm_cfg, codec_cfg = self.config.llm, self.config.codec
@@ -242,7 +255,21 @@ class FireRedTTS2Engine:
 
     def _tokenize_audio(self, audio16k: np.ndarray
                         ) -> tuple[np.ndarray, np.ndarray]:
-        """Encode prompt audio to frames + EOS frame (fireredtts2.py:90-115)."""
+        """Encode prompt audio to frames + EOS frame (fireredtts2.py:90-115).
+
+        Content-hash LRU cached: a dialogue re-tokenizes its prompt
+        segments for EVERY utterance, and clone requests reuse one stored
+        voice — the 32-layer SSL encode is by far the dominant per-request
+        cost for repeated prompts, and its tokens are deterministic
+        (fp32 argmin RVQ, tests/test_parity_codec.py). `encode_calls`
+        counts true encodes (cache misses) for tests + telemetry."""
+        key = hashlib.sha1(
+            np.ascontiguousarray(audio16k, np.float32).tobytes()).hexdigest()
+        hit = self._audio_token_cache.get(key)
+        if hit is not None:
+            self._audio_token_cache.move_to_end(key)
+            return hit
+        self.encode_calls += 1
         codes, tlen = codec_encode(self.codec_params, self.config.codec,
                                    audio16k[None, :], encode_fn=self._encode_fn)
         tokens = codes[0, :, :tlen[0]]                   # (nq, T)
@@ -251,11 +278,23 @@ class FireRedTTS2Engine:
         mask = np.zeros((T, self._ncols), bool)
         frame[:T - 1, :-1] = tokens.T
         mask[:, :-1] = True                              # EOS frame is masked too
+        self._audio_token_cache[key] = (frame, mask)
+        while len(self._audio_token_cache) > 64:
+            self._audio_token_cache.popitem(last=False)
         return frame, mask
+
+    def encode_prompt_tokens(self, audio16k: np.ndarray
+                             ) -> tuple[np.ndarray, np.ndarray]:
+        """Public prompt pre-encode: (T, ncols) frames + mask for
+        Segment.audio_tokens / VoiceProfile storage (serve/voices.py)."""
+        return self._tokenize_audio(audio16k)
 
     def _tokenize_segment(self, seg: Segment) -> tuple[np.ndarray, np.ndarray]:
         tf, tm = self._tokenize_text_segment(seg.text, seg.speaker)
-        af, am = self._tokenize_audio(seg.audio)
+        if seg.audio_tokens is not None:
+            af, am = seg.audio_tokens, seg.audio_tokens_mask
+        else:
+            af, am = self._tokenize_audio(seg.audio)
         return np.concatenate([tf, af]), np.concatenate([tm, am])
 
     def _build_prompt(self, context: List[Segment], text: Optional[str],
@@ -580,20 +619,29 @@ class FireRedTTS2Engine:
 
     def generate_monologue(self, text: str, prompt_wav: Optional[str] = None,
                            prompt_text: Optional[str] = None,
-                           temperature: float = 0.75, topk: int = 20) -> np.ndarray:
+                           temperature: float = 0.75, topk: int = 20,
+                           prompt_tokens: Optional[tuple] = None) -> np.ndarray:
         """Long-form monologue, optional voice clone
-        (reference fireredtts2.py:405-459)."""
-        if prompt_wav is not None:
+        (reference fireredtts2.py:405-459).
+
+        prompt_tokens: optional pre-encoded (frames, mask) for the clone
+        prompt (encode_prompt_tokens / VoiceProfile store) — skips the SSL
+        encode AND the wav load entirely; prompt_wav may then be None."""
+        if prompt_wav is not None or prompt_tokens is not None:
             assert prompt_text is not None
             prompt_text = clean_text(prompt_text)
             text = clean_text(text)
+            prompt_audio = (np.zeros(0, np.float32) if prompt_wav is None
+                            else load_prompt_audio_16k(prompt_wav))
+            pt_frames, pt_mask = (prompt_tokens if prompt_tokens is not None
+                                  else (None, None))
             pieces: list[np.ndarray] = []
             for chunk in split_text(text, 400):
                 chunk = clean_text(chunk)
                 merged = prompt_text[:-1] + "," + chunk  # (fireredtts2.py:424)
                 prompt_seg = Segment(
-                    speaker="[S1]", text=merged,
-                    audio=load_prompt_audio_16k(prompt_wav))
+                    speaker="[S1]", text=merged, audio=prompt_audio,
+                    audio_tokens=pt_frames, audio_tokens_mask=pt_mask)
                 # retry until >18 frames (fireredtts2.py:431-439)
                 for _ in range(8):
                     gen = self.generate_single([prompt_seg], temperature, topk)

@@ -75,13 +75,17 @@ class TTSRequest:
     mode: str = "dialogue"          # "dialogue" | "monologue_clone"
     prompt_wav: Optional[str] = None
     prompt_text: Optional[str] = None
+    # Pre-encoded prompt frames from the voice store (voices.prompt_tokens):
+    # lets repeat clone requests skip the per-request SSL encode.
+    prompt_tokens: Optional[tuple] = None
 
 
 def _run_clone(engine, req: "TTSRequest") -> np.ndarray:
     """Monologue voice clone via the engine's reference-parity path."""
     return engine.generate_monologue(
         req.text, prompt_wav=req.prompt_wav, prompt_text=req.prompt_text,
-        temperature=req.temperature, topk=req.topk)
+        temperature=req.temperature, topk=req.topk,
+        prompt_tokens=req.prompt_tokens)
 
 
 class BatchedTTSService:
@@ -716,6 +720,7 @@ class HealthHTTPServer:
                     topk=int(req.get("top_k", 20)), streaming=False,
                     mode="monologue_clone", prompt_wav=p.wav_path,
                     prompt_text=p.reference_text,
+                    prompt_tokens=voices.prompt_tokens(p.profile_id),
                     on_chunk=lambda c: None, on_done=on_done))
                 if not done.wait(timeout=600):
                     self._json(504, {"error": "generation timed out"})
@@ -750,7 +755,10 @@ class HealthHTTPServer:
                     name=name, reference_text=ref_text, audio16k=audio,
                     metadata={k: req[k] for k in
                               ("language", "gender", "age_range",
-                               "description") if k in req})
+                               "description") if k in req},
+                    # Pre-encode the prompt ONCE at create time; clone
+                    # requests then ride the stored tokens (VERDICT r2 #4).
+                    encoder=ws_server.service.engine.encode_prompt_tokens)
                 self._json(200, {"profile_id": p.profile_id, "name": p.name,
                                  "quality": p.quality})
 

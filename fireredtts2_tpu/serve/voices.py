@@ -30,6 +30,11 @@ class VoiceProfile:
     created_at: float
     quality: dict = field(default_factory=dict)
     metadata: dict = field(default_factory=dict)
+    # Pre-encoded RVQ prompt frames (.npz with "frames"/"mask"), written at
+    # create time when an encoder is given: clone requests then skip the
+    # 32-layer SSL encode (SURVEY §7; the reference re-encodes per call,
+    # fireredtts2/fireredtts2.py:90-115).
+    tokens_path: Optional[str] = None
 
 
 def score_reference_audio(audio16k: np.ndarray, sample_rate: int = 16_000) -> dict:
@@ -72,12 +77,17 @@ class VoiceProfileManager:
         self.profile_dir = profile_dir
         os.makedirs(profile_dir, exist_ok=True)
         self._profiles: dict[str, VoiceProfile] = {}
+        self._token_cache: dict[str, tuple] = {}
         self._load_all()
 
     def create_profile(self, name: str, reference_text: str,
                        wav_path: Optional[str] = None,
                        audio16k: Optional[np.ndarray] = None,
-                       metadata: Optional[dict] = None) -> VoiceProfile:
+                       metadata: Optional[dict] = None,
+                       encoder=None) -> VoiceProfile:
+        """encoder: optional callable audio16k -> (frames, mask)
+        (engine.encode_prompt_tokens). When given, the prompt encode runs
+        ONCE here and its tokens persist with the profile."""
         assert (wav_path is None) != (audio16k is None), \
             "give exactly one of wav_path / audio16k"
         if wav_path is not None:
@@ -85,14 +95,33 @@ class VoiceProfileManager:
         pid = uuid.uuid4().hex
         stored_wav = os.path.join(self.profile_dir, f"{pid}.wav")
         save_wav(stored_wav, audio16k, 16_000)
+        tokens_path = None
+        if encoder is not None:
+            frames, mask = encoder(audio16k)
+            tokens_path = os.path.join(self.profile_dir, f"{pid}.npz")
+            np.savez(tokens_path, frames=frames, mask=mask)
         profile = VoiceProfile(
             profile_id=pid, name=name, reference_text=reference_text,
             wav_path=stored_wav, created_at=time.time(),
             quality=score_reference_audio(audio16k),
-            metadata=metadata or {})
+            metadata=metadata or {}, tokens_path=tokens_path)
         self._profiles[pid] = profile
         self._save(profile)
         return profile
+
+    def prompt_tokens(self, profile_id: str
+                      ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+        """(frames, mask) stored at create time, or None. Cached in memory
+        after first load."""
+        p = self.get(profile_id)
+        if p is None or not p.tokens_path or not os.path.exists(p.tokens_path):
+            return None
+        hit = self._token_cache.get(profile_id)
+        if hit is None:
+            with np.load(p.tokens_path) as z:
+                hit = (z["frames"], z["mask"])
+            self._token_cache[profile_id] = hit
+        return hit
 
     def get(self, profile_id: str) -> Optional[VoiceProfile]:
         return self._profiles.get(profile_id)
@@ -110,7 +139,10 @@ class VoiceProfileManager:
         p = self._profiles.pop(profile_id, None)
         if p is None:
             return False
-        for path in (p.wav_path, self._json_path(profile_id)):
+        self._token_cache.pop(profile_id, None)
+        for path in (p.wav_path, self._json_path(profile_id), p.tokens_path):
+            if not path:
+                continue
             try:
                 os.remove(path)
             except FileNotFoundError:
