@@ -63,8 +63,9 @@ class TranscriptionResult:
 @dataclass
 class ASRConfig:
     """Decoding knobs (reference ASRConfig, whisper_asr.py:37-54; beam/
-    best-of are torch-package search options — the TPU path is greedy,
-    the reference's own default temperature=0.0)."""
+    best-of are torch-package search options — the TPU path is greedy plus
+    the reference's actual quality mechanism: a temperature-fallback ladder
+    retried when the transcript is weak, whisper_asr.py:124-200)."""
     model_size: str = "large-v3"
     language: Optional[str] = None       # None = auto-detect
     task: str = "transcribe"
@@ -73,6 +74,26 @@ class ASRConfig:
     logprob_threshold: float = -1.0
     max_new_tokens: int = 224
     condition_on_previous_text: bool = True
+    # Fallback ladder: retried in order when avg logprob is below
+    # logprob_threshold or the text is degenerate-repetitive
+    # (compression_ratio above threshold) — openai whisper transcribe
+    # semantics. Empty tuple = pure greedy. The traced-temperature decode
+    # means every rung reuses ONE compiled program.
+    fallback_temperatures: tuple = (0.2, 0.4, 0.6, 0.8, 1.0)
+    compression_ratio_threshold: float = 2.4
+    seed: int = 0
+
+
+def _compression_ratio(text: str) -> float:
+    """len(utf8)/len(zlib(utf8)) — degenerate repetition compresses well
+    (openai whisper's repetition detector; reference relies on the same
+    mechanism through the torch package)."""
+    import zlib
+
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 Detokenizer = Callable[[List[int]], str]
@@ -121,15 +142,17 @@ class WhisperASR:
         self._n_samples = cfg.max_source_positions * 2 * 160
 
         self._decode = jax.jit(
-            lambda p, mel, mel_len, prompt: asr_greedy_decode(
+            lambda p, mel, mel_len, prompt, temp, key: asr_greedy_decode(
                 p, cfg, mel, mel_len, prompt,
-                max_new=self.config.max_new_tokens))
+                max_new=self.config.max_new_tokens,
+                temperature=temp, key=key))
         self._lang = jax.jit(
             lambda p, mel, mel_len: asr_detect_language(p, cfg, mel, mel_len))
 
         self.total_transcriptions = 0
         self.total_processing_time = 0.0
         self.average_processing_time = 0.0
+        self.decode_calls = 0  # ladder telemetry (tests + stats)
 
         if warmup:
             self._warmup()
@@ -183,23 +206,51 @@ class WhisperASR:
 
     # ------------------------------------------------------------------ API
 
+    def _decode_once(self, mel, mel_len, prompt, temperature: float,
+                     attempt: int) -> tuple[list, float, float]:
+        """One decode at a given ladder temperature -> (ids, avg_lp,
+        no_speech). Deterministic per (seed, attempt)."""
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.config.seed), attempt)
+        res = self._decode(self.params, mel, mel_len, prompt,
+                           jnp.float32(temperature), key)
+        self.decode_calls += 1
+        n = int(res.n_tokens[0])
+        ids = [int(t) for t in np.asarray(res.tokens[0][:n])]
+        avg_lp = float(res.sum_logprob[0]) / max(n + 1, 1)
+        return ids, avg_lp, float(res.no_speech_prob[0])
+
     def transcribe(self, audio_data: np.ndarray, sample_rate: int = 16_000,
                    language: Optional[str] = None) -> TranscriptionResult:
-        """Greedy transcription (reference whisper_asr.py:124-226)."""
+        """Transcription with the temperature-fallback ladder (reference
+        whisper_asr.py:124-226 / openai whisper transcribe): greedy first;
+        when the transcript is weak (avg logprob below logprob_threshold)
+        or degenerate-repetitive (compression ratio above threshold) —
+        and the audio is NOT just silence — retry at rising temperatures,
+        accepting the first decode that clears the gates."""
         t0 = time.time()
         lang = language or self.config.language
         try:
             audio = self._preprocess_audio(audio_data, sample_rate)
             mel, mel_len = self._mel(audio)
             prompt = jnp.asarray(self._prompt_ids(lang))
-            res = self._decode(self.params, mel, mel_len, prompt)
 
-            n = int(res.n_tokens[0])
-            ids = [int(t) for t in np.asarray(res.tokens[0][:n])]
-            avg_lp = float(res.sum_logprob[0]) / max(n + 1, 1)
-            no_speech = float(res.no_speech_prob[0])
+            ladder = ((self.config.temperature,)
+                      + tuple(t for t in self.config.fallback_temperatures
+                              if t > self.config.temperature))
+            used_temp = ladder[0]
+            for attempt, temp in enumerate(ladder):
+                ids, avg_lp, no_speech = self._decode_once(
+                    mel, mel_len, prompt, temp, attempt)
+                used_temp = temp
+                text = self.detokenize(ids) if ids else ""
+                is_silence = no_speech > self.config.no_speech_threshold
+                weak = avg_lp < self.config.logprob_threshold
+                degenerate = (_compression_ratio(text)
+                              > self.config.compression_ratio_threshold)
+                if is_silence or not (weak or degenerate):
+                    break  # silence is final; a clean transcript is final
 
-            text = self.detokenize(ids) if ids else ""
             # no-speech gate (openai whisper decode semantics): silence if
             # p(nospeech) is high AND the transcript logprob is weak.
             if (no_speech > self.config.no_speech_threshold
@@ -214,8 +265,9 @@ class WhisperASR:
 
             confidence = float(np.clip(np.exp(avg_lp), 0.0, 1.0)) if ids else 0.0
             seg = {"id": 0, "start": 0.0, "end": len(audio) / 16_000,
-                   "text": text, "tokens": ids, "temperature": 0.0,
-                   "avg_logprob": avg_lp, "compression_ratio": 0.0,
+                   "text": text, "tokens": ids, "temperature": used_temp,
+                   "avg_logprob": avg_lp,
+                   "compression_ratio": _compression_ratio(text),
                    "no_speech_prob": no_speech}
             return TranscriptionResult(
                 text=text.strip(), confidence=confidence,
@@ -255,6 +307,7 @@ class WhisperASR:
     def get_performance_stats(self) -> Dict[str, Any]:
         return {
             "total_transcriptions": self.total_transcriptions,
+            "decode_calls": self.decode_calls,
             "average_processing_time_ms": self.average_processing_time,
             "total_processing_time_ms": self.total_processing_time,
             "model_name": self.model_name,

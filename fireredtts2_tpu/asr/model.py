@@ -268,22 +268,43 @@ class GreedyResult(NamedTuple):
 
 def asr_greedy_decode(params: Params, cfg: WhisperASRModelConfig,
                       mel: Array, mel_len: Array, prompt: Array,
-                      max_new: int, suppress_blank_id: int = -1) -> GreedyResult:
-    """Whole-utterance greedy transcription as ONE jitted program.
+                      max_new: int, suppress_blank_id: int = -1,
+                      temperature: Array | float = 0.0,
+                      key: Optional[Array] = None) -> GreedyResult:
+    """Whole-utterance transcription as ONE jitted program.
 
     Args:
         mel: (B, T_mel, n_mels); mel_len: (B,); prompt: (B, P) forced
         tokens (e.g. [sot, lang, transcribe, notimestamps]); max_new:
         STATIC output budget.
+        temperature: TRACED scalar — 0.0 is greedy (argmax); > 0 samples
+        softmax(logits/T). Traced so the whole temperature-fallback ladder
+        (reference whisper_asr.py:124-200 retries at rising temperature on
+        weak transcripts) reuses one compiled program.
+        key: PRNG key for sampled decoding (required when temperature can
+        be > 0; folded by step index so decodes are reproducible).
 
-    Mirrors reference whisper transcribe with temperature=0 (greedy);
-    beam/best-of are quality knobs of the torch package, not the model —
-    greedy is the production path here (whisper_asr.py:141 temperature=0.0).
+    Mirrors reference whisper transcribe; beam/best-of are quality knobs of
+    the torch package, not the model — greedy + temperature fallback is the
+    production path here (whisper_asr.py:141).
     """
     B, P = prompt.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    temperature = jnp.asarray(temperature, jnp.float32)
     enc, enc_len = asr_encode(params, cfg, mel, mel_len)
     cross = precompute_cross_kv(params, cfg, enc)
     state = init_asr_decode_state(cfg, B, enc.dtype)
+
+    def pick(logp, t):
+        """argmax at T=0, categorical sample at T>0 (one program: the
+        branch rides a where on a traced scalar)."""
+        greedy = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        safe_t = jnp.maximum(temperature, 1e-4)
+        sampled = jax.random.categorical(
+            jax.random.fold_in(key, t), logp / safe_t, axis=-1
+        ).astype(jnp.int32)
+        return jnp.where(temperature > 0.0, sampled, greedy)
 
     logits, state = asr_decoder_forward(params, cfg, prompt, state, cross,
                                         enc_len)
@@ -292,7 +313,7 @@ def asr_greedy_decode(params: Params, cfg: WhisperASRModelConfig,
     no_speech = jax.nn.softmax(logits[:, 0], axis=-1)[:, cfg.no_speech_id]
 
     logp = jax.nn.log_softmax(logits[:, -1], axis=-1)     # (B, V)
-    tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+    tok = pick(logp, 0)
     slp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
 
     buf = jnp.full((B, max_new), cfg.eot_id, jnp.int32)
@@ -310,7 +331,7 @@ def asr_greedy_decode(params: Params, cfg: WhisperASRModelConfig,
         logits, state = asr_decoder_forward(
             params, cfg, tok[:, None], state, cross, enc_len)
         logp = jax.nn.log_softmax(logits[:, -1], axis=-1)
-        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        nxt = pick(logp, t)
         lp_t = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
         is_eot = nxt == cfg.eot_id
         live = ~done & ~is_eot
