@@ -120,11 +120,14 @@ class LLMConfig:
     fused_depth_plan: str = ""
     # Speculative (Jacobi / lookahead) depth decode: iterate a parallel
     # 16-position teacher-forcing forward instead of 15 sequential steps,
-    # accepting the longest self-consistent prefix each round. Exactly
-    # reproduces the sequential path's tokens (deterministic-noise replay);
-    # rounds needed shrink with model confidence, so HBM weight traffic
-    # drops from 15 reads to ~rounds reads per frame on trained weights.
-    # Opt-in; ignored when fused_depth_plan is active.
+    # accepting the longest self-consistent prefix each round. Reproduces
+    # the sequential path's tokens (deterministic-noise replay) when the
+    # parallel forward rounds like the incremental one — exact at f32 /
+    # same tiling; on-chip bf16 near-tie flips are expected fp noise
+    # (models/lm/model.py:depth_decode_jacobi). Rounds needed shrink with
+    # model confidence, so HBM weight traffic drops from 15 reads to
+    # ~rounds reads per frame on trained weights. Opt-in; ignored when
+    # fused_depth_plan is active.
     speculative_depth: bool = False
     # MTP-style trainable draft head (models/lm/model.py:init_draft_head):
     # predicts the whole depth chain in one shot as the Jacobi init, and

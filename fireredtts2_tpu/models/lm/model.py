@@ -164,9 +164,14 @@ def depth_decode_jacobi(params: Params, cfg: LLMConfig, last_h: Array,
     deterministic per-position noise the sequential path uses
     (fold_in(key, i)), and accept the longest prefix where the guess is
     self-consistent. Each round verifies at least one more token, so this
-    terminates in <= ncb-1 rounds and returns EXACTLY the tokens the
-    sequential path samples — acceptance only changes how many parallel
-    rounds (i.e. how many HBM weight reads) it takes. Sequential decode is
+    terminates in <= ncb-1 rounds and returns exactly the tokens the
+    sequential path samples — PROVIDED the parallel teacher-forcing
+    forward rounds identically to the incremental S=1 forward. That holds
+    at f32 / matching tiling (tests/test_speculative_depth.py); on-chip
+    bf16 matmul tiling can flip near-tie top-k boundaries (same caveat as
+    batched-vs-B=1, CLAUDE.md invariants), which is expected fp noise, not
+    a regression. Acceptance only changes how many parallel rounds (i.e.
+    how many HBM weight reads) it takes. Sequential decode is
     bandwidth-bound at small batch: a 16-position forward costs ~1 weight
     read, so frames that verify in r rounds read depth weights r times
     instead of 15.

@@ -65,14 +65,26 @@ _MLP = ("w_gate", "w_up", "w_down")
 
 
 def parse_plan(plan: str) -> dict[str, str]:
-    """"gate=r4,up=s8,down=s8" -> {"w_gate": "r4", ...}. Empty -> all r8."""
+    """"gate=r4,up=s8,down=s8" -> {"w_gate": "r4", ...}. Empty -> all r8.
+
+    This is a user-facing CLI knob (--fused-depth-plan), so malformed
+    strings get a ValueError naming the accepted grammar, not a bare
+    KeyError traceback out of engine construction."""
+    names = {"gate": "w_gate", "up": "w_up", "down": "w_down"}
+    modes = ("r8", "r4", "s8")
     out = {"w_gate": "r8", "w_up": "r8", "w_down": "r8"}
     if plan:
         for part in plan.split(","):
-            k, v = part.split("=")
-            key = {"gate": "w_gate", "up": "w_up", "down": "w_down"}[k.strip()]
-            assert v in ("r8", "r4", "s8"), v
-            out[key] = v
+            k, eq, v = part.partition("=")
+            k, v = k.strip(), v.strip()
+            if not eq or k not in names or v not in modes:
+                raise ValueError(
+                    f"bad fused-depth plan entry {part!r}: expected "
+                    f"<tensor>=<mode> with tensor in {sorted(names)} and "
+                    f"mode in {modes} (r8 = VMEM-resident int8, r4 = "
+                    f"resident int4, s8 = HBM-streamed int8), e.g. "
+                    f"'gate=r8,up=s8,down=s8'")
+            out[names[k]] = v
     return out
 
 

@@ -44,6 +44,11 @@ class BlockPolicyConfig:
     # this (a client jitter buffer must absorb one block).
     max_cadence_ms: float = 1280.0
     ewma: float = 0.3
+    # After this many steady blocks at a single K, dispatch probe blocks at
+    # a second ladder point so the wall(K) fit can form even on a replica
+    # whose admissions never queue (otherwise the policy would stay pinned
+    # at start_block forever and snapshot() would report null estimates).
+    probe_after: int = 8
 
 
 @dataclass
@@ -52,6 +57,7 @@ class AdaptiveBlockPolicy:
 
     cfg: BlockPolicyConfig = field(default_factory=BlockPolicyConfig)
     _wall_ms: dict[int, float] = field(default_factory=dict)  # per-K EWMA
+    _count: dict[int, int] = field(default_factory=dict)      # steady blocks
     _seen: set = field(default_factory=set)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
@@ -66,6 +72,7 @@ class AdaptiveBlockPolicy:
             prev = self._wall_ms.get(k)
             self._wall_ms[k] = (ms if prev is None
                                 else prev + self.cfg.ewma * (ms - prev))
+            self._count[k] = self._count.get(k, 0) + 1
 
     def estimate(self) -> Optional[tuple[float, float]]:
         """-> (rtt_ms, frame_cost_ms) least-squares fit of wall(K) = rtt +
@@ -96,7 +103,8 @@ class AdaptiveBlockPolicy:
             return self.cfg.ladder[0]
         est = self.estimate()
         if est is None:
-            return self.cfg.start_block
+            probe = self._probe_k()
+            return probe if probe is not None else self.cfg.start_block
         rtt, frame_cost = est
         best = None
         for k in self.cfg.ladder:
@@ -111,6 +119,24 @@ class AdaptiveBlockPolicy:
             best = max(k for k in self.cfg.ladder
                        if k * FRAME_MS <= self.cfg.max_cadence_ms)
         return best
+
+    def _probe_k(self) -> Optional[int]:
+        """Second ladder point to measure when only one K has data and it
+        has been steady for probe_after blocks (ADVICE r2: without this, a
+        replica with no admission pressure never forms the fit). Returns
+        the nearest in-cadence neighbor; needs two dispatches to register
+        (the first is the compile, which record() discards)."""
+        with self._lock:
+            if len(self._wall_ms) != 1:
+                return None
+            k0, = self._wall_ms
+            if self._count.get(k0, 0) < self.cfg.probe_after:
+                return None
+        usable = [k for k in self.cfg.ladder
+                  if k != k0 and k * FRAME_MS <= self.cfg.max_cadence_ms]
+        if not usable:
+            return None
+        return min(usable, key=lambda k: abs(k - k0))
 
     def snapshot(self) -> dict:
         est = self.estimate()

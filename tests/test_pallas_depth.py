@@ -49,6 +49,15 @@ def test_parse_plan():
         "w_gate": "r4", "w_up": "r8", "w_down": "s8"}
 
 
+@pytest.mark.parametrize("bad", ["gate:r8", "proj=r8", "gate=r9",
+                                 "gate", "up=,down=s8"])
+def test_parse_plan_rejects_malformed_with_clear_error(bad):
+    """--fused-depth-plan is a CLI knob: malformed strings must raise a
+    ValueError naming the grammar, not a bare KeyError (ADVICE r2)."""
+    with pytest.raises(ValueError, match="gate.*up.*|expected"):
+        parse_plan(bad)
+
+
 @pytest.mark.parametrize("plan", PLANS)
 def test_sampled_tokens_match_xla(setup, plan):
     cfg, params, last_h, c0 = setup

@@ -56,6 +56,29 @@ def test_choose_pending_and_throughput_modes():
     assert p.choose(pending=False, active=1) == 16
 
 
+def test_probe_second_ladder_point_without_admission_pressure():
+    """ADVICE r2: with admissions never queueing, the policy must still
+    dispatch probe blocks at a second K so the wall(K) fit forms."""
+    cfg = BlockPolicyConfig(ladder=(1, 4, 16), start_block=4, probe_after=8)
+    p = AdaptiveBlockPolicy(cfg)
+    p.record(4, 0.120)  # compile, discarded
+    # steady blocks at start_block only -> pinned at 4 until probe_after
+    for _ in range(7):
+        p.record(4, 0.050)
+        assert p.choose(pending=False, active=2) == 4
+    p.record(4, 0.050)  # 8th steady block
+    probe = p.choose(pending=False, active=2)
+    assert probe == 1   # nearest in-cadence neighbor of 4
+    # the probe K's first record is its compile; keep probing until it lands
+    p.record(probe, 0.090)
+    assert p.choose(pending=False, active=2) == probe
+    p.record(probe, 0.045)
+    # two distinct K measured -> the fit exists and choose() uses it
+    assert p.estimate() is not None
+    assert p.snapshot()["rtt_ms"] is not None
+    assert p.choose(pending=False, active=2) in cfg.ladder
+
+
 def test_recommendation_rules_fire():
     eng = RecommendationEngine(fpl_warn_ms=200.0, device_budget_ms=8.0)
     recs = eng.evaluate({
