@@ -131,6 +131,14 @@ def _cmd_bench(args):
     bench.main()
 
 
+def _cmd_convert(args):
+    if not args.pretrained_dir:
+        sys.exit("convert requires --pretrained-dir")
+    from fireredtts2_tpu.runtime.convert import main as convert_main
+
+    sys.exit(convert_main(args))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="fireredtts2_tpu")
     p.add_argument("--pretrained-dir", default=None,
@@ -198,6 +206,17 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="headline benchmark (prints JSON)")
     b.set_defaults(fn=_cmd_bench)
+
+    c = sub.add_parser(
+        "convert",
+        help="torch checkpoint dir -> Orbax JAX trees + golden parity smoke "
+             "(the real-checkpoint bring-up drill; docs/deployment.md)")
+    c.add_argument("--out", default=None,
+                   help="Orbax output dir (default <pretrained-dir>/jax)")
+    c.add_argument("--fidelity", action="store_true",
+                   help="also run the WER/CER fidelity harness on the "
+                        "converted engine")
+    c.set_defaults(fn=_cmd_convert)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -108,7 +108,18 @@ class FireRedTTS2Engine:
             codec_cfg = codec_config_from_json(
                 os.path.join(pretrained_dir, "config_codec.json"),
                 **(codec_overrides or {}))
-            config = EngineConfig(llm=llm_cfg, codec=codec_cfg, gen_type=gen_type)
+            # Engine limits follow the checkpoint's LM: max_seq_len from
+            # config_llm.json, prefill buckets trimmed so every bucket
+            # leaves >= 28 decode slots (3100 - 3072, the reference's own
+            # headroom, fireredtts2.py:166-171).
+            default_buckets = EngineConfig.prefill_buckets
+            buckets = tuple(b for b in default_buckets
+                            if b <= llm_cfg.max_seq_len - 28) \
+                or (max(32, llm_cfg.max_seq_len // 2),)
+            config = EngineConfig(llm=llm_cfg, codec=codec_cfg,
+                                  gen_type=gen_type,
+                                  max_seq_len=llm_cfg.max_seq_len,
+                                  prefill_buckets=buckets)
             self.config = config
             from fireredtts2_tpu.runtime.checkpoint import (
                 load_lm_checkpoint, load_codec_checkpoint, find_hf_whisper_dir,
@@ -124,8 +135,17 @@ class FireRedTTS2Engine:
                 os.path.join(pretrained_dir, "codec.pt"), codec_cfg,
                 _dtype_of(codec_cfg.dtype),
                 hf_whisper_dir=find_hf_whisper_dir(pretrained_dir))
-            self.tokenizer = load_tokenizer(
-                os.path.join(pretrained_dir, "Qwen2.5-1.5B"))
+            tok_dir = os.path.join(pretrained_dir, "Qwen2.5-1.5B")
+            # Byte fallback when the Qwen tokenizer isn't shipped next to
+            # the weights (dev fixtures, the convert drill) — loud, since
+            # real text quality needs the real tokenizer.
+            if not os.path.isdir(tok_dir):
+                import logging
+                logging.getLogger(__name__).warning(
+                    "no Qwen2.5-1.5B tokenizer dir under %s; using the "
+                    "byte fallback tokenizer", pretrained_dir)
+                tok_dir = None
+            self.tokenizer = load_tokenizer(tok_dir)
         else:
             assert config is not None, "need a config or a pretrained_dir"
             self.config = config

@@ -1,0 +1,179 @@
+"""One-command real-checkpoint drill (VERDICT r2 #8).
+
+`python -m fireredtts2_tpu convert --pretrained-dir DIR` runs the whole
+bring-up for a reference checkpoint layout
+(reference fireredtts2/fireredtts2.py:16-43: config_llm.json,
+config_codec.json, llm_pretrain.pt / llm_posttrain.pt, codec.pt, optional
+HF whisper-large-v3 checkout for the frozen SSL encoder):
+
+1. convert every torch pickle to our stacked JAX trees
+   (runtime/checkpoint.py) and persist them with Orbax under DIR/jax/
+   (torch becomes a one-time cost);
+2. greedy token-parity smoke: deterministic codec-encode tokens of a fixed
+   chirp + topk-1 LM frames for a fixed prompt, compared against
+   DIR/goldens.json (recorded on the first run — e.g. from the torch
+   reference environment — and validated on every later run/platform);
+3. optional fidelity-harness report (serve/qa.py WER/CER + spectral
+   speaker similarity) on the converted engine.
+
+The moment real weights are reachable, validation is a single run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+
+LM_CKPTS = ("llm_posttrain.pt", "llm_pretrain.pt")
+
+
+def _chirp(seconds: float, sr: int) -> np.ndarray:
+    """Deterministic 200->1200 Hz chirp — the golden codec input."""
+    t = np.arange(int(seconds * sr)) / sr
+    f = 200.0 + (1200.0 - 200.0) * t / max(t[-1], 1e-9)
+    return (0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def _golden_codec_tokens(codec_params, codec_cfg) -> list[int]:
+    import jax
+    import jax.numpy as jnp
+
+    from fireredtts2_tpu.models.codec.model import codec_encode, encode_window
+
+    audio = _chirp(1.0, codec_cfg.input_sample_rate)
+    fn = jax.jit(lambda a, l: encode_window(codec_params, codec_cfg, a, l))
+    codes, tlen = codec_encode(codec_params, codec_cfg, audio[None, :],
+                               encode_fn=fn)
+    return [int(x) for x in
+            np.asarray(codes[0, :, : int(tlen[0])]).reshape(-1)]
+
+
+def _golden_lm_frames(lm_params, llm_cfg) -> list[list[int]]:
+    """topk=1 decode of a fixed prompt: deterministic regardless of key."""
+    import jax
+    import jax.numpy as jnp
+
+    from fireredtts2_tpu.models.lm.model import init_lm_state, lm_generate_loop
+
+    S, C = 16, llm_cfg.num_columns
+    tokens = np.zeros((1, S, C), np.int32)
+    tokens[0, :, -1] = (np.arange(1, S + 1) * 7) % llm_cfg.text_vocab_size
+    mask = np.zeros((1, S, C), bool)
+    mask[0, :, -1] = True
+    valid = np.ones((1, S), bool)
+    dtype = jnp.bfloat16 if llm_cfg.dtype == "bfloat16" else jnp.float32
+    state = init_lm_state(llm_cfg, 1, dtype)
+    _, buf, n = jax.jit(
+        lambda p, st: lm_generate_loop(
+            p, llm_cfg, st, jnp.asarray(tokens), jnp.asarray(mask),
+            jnp.asarray(valid), jax.random.PRNGKey(0), max_frames=8,
+            frame_cap=jnp.int32(8), temperature=1.0, topk=1,
+            depth_topk=1))(lm_params, state)
+    return np.asarray(buf[0, : int(n[0])]).astype(int).tolist()
+
+
+def run_convert(pretrained_dir: str, out_dir: Optional[str] = None,
+                fidelity: bool = False,
+                llm_overrides: Optional[dict] = None,
+                codec_overrides: Optional[dict] = None) -> dict[str, Any]:
+    """Convert + smoke-validate one pretrained dir. Returns a summary dict
+    with parity status per golden ("recorded" on first run, "ok"/"MISMATCH"
+    afterwards); raises FileNotFoundError on a missing required file."""
+    import jax.numpy as jnp
+
+    from fireredtts2_tpu.config import (
+        codec_config_from_json, llm_config_from_json)
+    from fireredtts2_tpu.runtime.checkpoint import (
+        find_hf_whisper_dir, load_codec_checkpoint, load_lm_checkpoint,
+        save_params)
+
+    out_dir = out_dir or os.path.join(pretrained_dir, "jax")
+    llm_cfg = llm_config_from_json(
+        os.path.join(pretrained_dir, "config_llm.json"),
+        **(llm_overrides or {}))
+    codec_cfg = codec_config_from_json(
+        os.path.join(pretrained_dir, "config_codec.json"),
+        **(codec_overrides or {}))
+    lm_dtype = jnp.bfloat16 if llm_cfg.dtype == "bfloat16" else jnp.float32
+    summary: dict[str, Any] = {"pretrained_dir": pretrained_dir,
+                               "out_dir": out_dir, "converted": [],
+                               "parity": {}}
+
+    codec_params = load_codec_checkpoint(
+        os.path.join(pretrained_dir, "codec.pt"), codec_cfg,
+        jnp.float32, hf_whisper_dir=find_hf_whisper_dir(pretrained_dir))
+    save_params(os.path.abspath(os.path.join(out_dir, "codec")), codec_params)
+    summary["converted"].append("codec.pt")
+
+    lm_trees: dict[str, Any] = {}
+    for name in LM_CKPTS:
+        path = os.path.join(pretrained_dir, name)
+        if not os.path.exists(path):
+            continue
+        lm_trees[name] = load_lm_checkpoint(path, llm_cfg, lm_dtype)
+        save_params(os.path.abspath(
+            os.path.join(out_dir, name.removesuffix(".pt"))), lm_trees[name])
+        summary["converted"].append(name)
+    if not lm_trees:
+        raise FileNotFoundError(
+            f"no LM checkpoint ({' / '.join(LM_CKPTS)}) in {pretrained_dir}")
+
+    # ---- golden token-parity smoke -------------------------------------
+    lm_name = next(n for n in LM_CKPTS if n in lm_trees)
+    goldens = {
+        "codec_tokens": _golden_codec_tokens(codec_params, codec_cfg),
+        f"lm_frames[{lm_name}]": _golden_lm_frames(lm_trees[lm_name], llm_cfg),
+    }
+    golden_path = os.path.join(pretrained_dir, "goldens.json")
+    if os.path.exists(golden_path):
+        with open(golden_path) as f:
+            want = json.load(f)
+        for key, got in goldens.items():
+            if key not in want:
+                summary["parity"][key] = "recorded"
+            elif want[key] == got:
+                summary["parity"][key] = "ok"
+            else:
+                summary["parity"][key] = "MISMATCH"
+        want.update({k: v for k, v in goldens.items() if k not in want})
+        with open(golden_path, "w") as f:
+            json.dump(want, f)
+    else:
+        with open(golden_path, "w") as f:
+            json.dump(goldens, f)
+        summary["parity"] = {k: "recorded" for k in goldens}
+    summary["parity_ok"] = all(v in ("ok", "recorded")
+                               for v in summary["parity"].values())
+
+    # ---- fidelity harness ----------------------------------------------
+    if fidelity:
+        from fireredtts2_tpu.asr import WhisperASR
+        from fireredtts2_tpu.engine import FireRedTTS2Engine
+        from fireredtts2_tpu.serve.qa import FidelityHarness
+
+        engine = FireRedTTS2Engine(
+            pretrained_dir=pretrained_dir,
+            gen_type="dialogue" if "llm_posttrain.pt" in lm_trees
+            else "monologue",
+            llm_overrides=llm_overrides, codec_overrides=codec_overrides)
+        harness = FidelityHarness(engine, WhisperASR().as_transcriber())
+        rep = harness.evaluate_utterance(
+            "The quick brown fox jumps over the lazy dog.")
+        summary["fidelity"] = {
+            "wer": rep.wer, "cer": rep.cer, "speaker_sim": rep.speaker_sim,
+        }
+    return summary
+
+
+def main(args) -> int:
+    summary = run_convert(args.pretrained_dir, out_dir=args.out,
+                          fidelity=args.fidelity,
+                          llm_overrides=getattr(args, "_llm_overrides", None),
+                          codec_overrides=getattr(args, "_codec_overrides",
+                                                  None))
+    print(json.dumps(summary, indent=2, default=str))
+    return 0 if summary["parity_ok"] else 1

@@ -32,21 +32,23 @@ DEC = TransformerConfig(vocab_size=0, num_layers=2, num_heads=2, num_kv_heads=1,
 class TorchDualModel(torch.nn.Module):
     """Reference Model layout (llm.py:86-113) over the independent qwen2."""
 
-    def __init__(self, cfg: LLMConfig):
+    def __init__(self, cfg: LLMConfig, bb: TransformerConfig = None,
+                 dec: TransformerConfig = None):
         super().__init__()
+        bb, dec = bb or BB, dec or DEC
         self.cfg = cfg
-        self.backbone = TorchQwen2(BB)
-        self.decoder = TorchQwen2(DEC)
-        self.text_embeddings = torch.nn.Embedding(cfg.text_vocab_size, BB.embed_dim)
+        self.backbone = TorchQwen2(bb)
+        self.decoder = TorchQwen2(dec)
+        self.text_embeddings = torch.nn.Embedding(cfg.text_vocab_size, bb.embed_dim)
         self.audio_embeddings = torch.nn.Embedding(
-            cfg.audio_vocab_size * cfg.audio_num_codebooks, BB.embed_dim)
-        self.projection = torch.nn.Linear(BB.embed_dim, DEC.embed_dim, bias=False)
-        self.codebook0_head = torch.nn.Linear(BB.embed_dim, cfg.audio_vocab_size,
+            cfg.audio_vocab_size * cfg.audio_num_codebooks, bb.embed_dim)
+        self.projection = torch.nn.Linear(bb.embed_dim, dec.embed_dim, bias=False)
+        self.codebook0_head = torch.nn.Linear(bb.embed_dim, cfg.audio_vocab_size,
                                               bias=False)
-        self.text_head = torch.nn.Linear(BB.embed_dim, cfg.text_vocab_size,
+        self.text_head = torch.nn.Linear(bb.embed_dim, cfg.text_vocab_size,
                                          bias=False)
         self.audio_head = torch.nn.Parameter(torch.randn(
-            cfg.audio_num_codebooks - 1, DEC.embed_dim, cfg.audio_vocab_size) * 0.1)
+            cfg.audio_num_codebooks - 1, dec.embed_dim, cfg.audio_vocab_size) * 0.1)
 
     def loss(self, tokens, tokens_mask, flat_indices):
         """Reference Model.forward (llm.py:145-272) with the depth subset
