@@ -297,69 +297,84 @@ class ContinuousBatcher:
                     break
 
     def _loop_inner(self) -> None:
-        cs, ts = self._cs, self._ts
-        step_counter = 0
+        """Double-buffered block loop (VERDICT r2 #2): dispatch block k+1
+        BEFORE fetching block k's packed output, so the tunnel transfer +
+        numpy fan-out of block k run WHILE the device computes k+1. JAX
+        dispatch is async and the device serializes in dispatch order, so
+        the donated state chain stays correct; a slot that hits EOS in
+        block k wastes its lanes in the already-in-flight k+1 (the host
+        discards them), which is the price of never idling the chip."""
+        in_flight = None   # (packed, K, active_slots, t_dispatch)
         while not self._stop.is_set():
             self._admit()
-            active = [i for i, s in enumerate(self.slots) if s.active]
-            if not active:
+            # Capture (slot, handle) pairs at DISPATCH time: a slot can be
+            # freed by the previous block's fan-out and re-admitted before
+            # this block's fan-out runs — the handle identity check keeps
+            # the old stream's stale lanes away from the new stream.
+            active = [(i, s.handle) for i, s in enumerate(self.slots)
+                      if s.active]
+            nxt = None
+            if active:
+                # Admission happens at block boundaries: short blocks while
+                # requests are waiting (fast admission), adaptively sized
+                # blocks otherwise (runtime/policy.py fits wall(K) = rtt +
+                # K*frame_cost and picks the smallest realtime K).
+                K = self.policy.choose(pending=not self.pending.empty(),
+                                       active=len(active))
+                t_block = time.perf_counter()
+                (self.lm_state, self.vo_state, self.frames, self.emitted,
+                 packed) = self._block(
+                    self.engine.lm_params, self.engine.codec_params,
+                    state=self.lm_state, vstate=self.vo_state,
+                    frame=self.frames, emitted=self.emitted,
+                    key=self._next_key(), t_base=jnp.int32(self._step_count),
+                    block=K, temperature=jnp.asarray(self.temps)[:, None],
+                    topk=jnp.asarray(self.topks))
+                self._step_count += K
+                nxt = (packed, K, active, t_block)
+            if in_flight is not None:
+                self._fan_out(*in_flight)
+            in_flight = nxt
+            if in_flight is None:
                 time.sleep(0.002)
+
+    def _fan_out(self, packed, K: int, active: list, t_block: float) -> None:
+        """Fetch one packed block — (B, K*cs + K*ts + K) = [middles |
+        cut-tails | eos] per stream (models/pipeline.py) — and fan it out
+        with ONE numpy slice and ONE queue put per stream (the
+        per-(frame, stream) python loop was the host bottleneck past 8
+        streams, PERF.md round 2): a stream accepts frames up to its first
+        EOS flag / its frame cap, as one contiguous audio chunk."""
+        cs, ts = self._cs, self._ts
+        pk = np.asarray(packed)
+        now = time.perf_counter()
+        self.policy.record(K, now - t_block)
+        eos = pk[:, K * (cs + ts):] > 0.5        # (B, K)
+        for b, handle in active:
+            slot = self.slots[b]
+            if not slot.active or slot.handle is not handle:
                 continue
-
-            # Admission happens at block boundaries: short blocks while
-            # requests are waiting (fast admission), adaptively sized
-            # blocks otherwise (runtime/policy.py fits wall(K) = rtt +
-            # K*frame_cost and picks the smallest realtime K).
-            K = self.policy.choose(pending=not self.pending.empty(),
-                                   active=len(active))
-
-            t_block = time.perf_counter()
-            (self.lm_state, self.vo_state, self.frames, self.emitted,
-             packed) = self._block(
-                self.engine.lm_params, self.engine.codec_params,
-                state=self.lm_state, vstate=self.vo_state,
-                frame=self.frames, emitted=self.emitted,
-                key=self._next_key(), t_base=jnp.int32(step_counter),
-                block=K, temperature=jnp.asarray(self.temps)[:, None],
-                topk=jnp.asarray(self.topks))
-            step_counter += K
-            # ONE fetch: (B, K*cs + K*ts + K) = [middles | cut-tails | eos]
-            # per stream (models/pipeline.py).
-            pk = np.asarray(packed)
-            now = time.perf_counter()
-            self.policy.record(K, now - t_block)
-
-            # Fan the packed block out with ONE numpy slice and ONE queue
-            # put per stream (the per-(frame, stream) python loop was the
-            # host bottleneck past 8 streams, PERF.md round 2): a stream
-            # accepts frames up to its first EOS flag / its frame cap, as
-            # one contiguous audio chunk.
-            eos = pk[:, K * (cs + ts):] > 0.5        # (B, K)
-            for b in active:
-                slot = self.slots[b]
-                if not slot.active:
-                    continue
-                hit_eos = bool(eos[b].any())
-                n_eos = int(np.argmax(eos[b])) if hit_eos else K
-                n = min(n_eos, slot.max_frames - slot.frames_done)
-                capped = n < n_eos or slot.frames_done + n >= slot.max_frames
-                if n > 0:
-                    audio = pk[b, :n * cs]
-                    if slot.frames_done == 0:
-                        audio = audio[self._lead:]
-                        if slot.handle.first_packet_s is None:
-                            slot.handle.first_packet_s = now - slot.handle._t0
-                    slot.last_tail = pk[b, K * cs + (n - 1) * ts:
-                                        K * cs + n * ts]
-                    slot.frames_done += n
-                    try:
-                        slot.handle.chunks.put_nowait(audio.copy())
-                        slot.handle.samples += len(audio)
-                    except queue.Full:
-                        slot.handle.error = RuntimeError(
-                            "client too slow; dropped")
-                        self.chunk_drops += 1
-                        self._finish(b)
-                        continue
-                if hit_eos or capped:
+            hit_eos = bool(eos[b].any())
+            n_eos = int(np.argmax(eos[b])) if hit_eos else K
+            n = min(n_eos, slot.max_frames - slot.frames_done)
+            capped = n < n_eos or slot.frames_done + n >= slot.max_frames
+            if n > 0:
+                audio = pk[b, :n * cs]
+                if slot.frames_done == 0:
+                    audio = audio[self._lead:]
+                    if slot.handle.first_packet_s is None:
+                        slot.handle.first_packet_s = now - slot.handle._t0
+                slot.last_tail = pk[b, K * cs + (n - 1) * ts:
+                                    K * cs + n * ts]
+                slot.frames_done += n
+                try:
+                    slot.handle.chunks.put_nowait(audio.copy())
+                    slot.handle.samples += len(audio)
+                except queue.Full:
+                    slot.handle.error = RuntimeError(
+                        "client too slow; dropped")
+                    self.chunk_drops += 1
                     self._finish(b)
+                    continue
+            if hit_eos or capped:
+                self._finish(b)
