@@ -92,6 +92,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _chunk_split(Ih: int, q: int) -> tuple[tuple[int, int], ...]:
+    """Cut Ih columns into q contiguous chunks of (rel_offset, width).
+
+    When Ih is whole 128-lane tiles, the TILES are split as evenly as
+    possible (widths may differ by one tile — Mosaic only needs each
+    slice 128-lane aligned, not equal). Flagship Ih = 4480 = 35 tiles:
+    q=2 -> 2304+2176, q=3 -> 1536+1536+1408. Otherwise q must divide Ih
+    exactly (tiny test dims). Raises ValueError when the cut is impossible.
+    """
+    if Ih % 128 == 0:
+        tiles = Ih // 128
+        if q > tiles:
+            raise ValueError(f"q={q} > {tiles} tiles")
+        base, extra = divmod(tiles, q)
+        widths = [(base + (1 if i < extra else 0)) * 128 for i in range(q)]
+    else:
+        if Ih % q:
+            raise ValueError(f"q={q} does not divide Ih={Ih}")
+        widths = [Ih // q] * q
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # Bundle preparation (host/setup time)
 # ---------------------------------------------------------------------------
@@ -301,7 +327,8 @@ def _kth_largest(x: Array, k: int) -> Array:
 def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
                         ncb: int, V: int, Vp: int, plan: dict[str, str],
                         topk: int, greedy: bool,
-                        eps: float, stream_sub: int = 1,
+                        eps: float,
+                        splits: tuple[tuple[int, int], ...] = ((0, 0),),
                         stream_slots: int = 2):
     r = dict(zip(names, refs))
     L, Dd = cfg.num_layers, cfg.embed_dim
@@ -319,29 +346,35 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
     tok_io = r["tok_io"]
 
     streamed = [n for n in _MLP if plan[n] == "s8"]
-    n_sub = stream_sub
-    Sw = Ih // max(n_sub, 1)
+    # splits: per-half chunk layout ((rel_off, width), ...) — widths may be
+    # UNEQUAL (whole 128-lane tiles split as evenly as q allows): flagship
+    # Ih = 35 tiles only divides by 5/7/35, but q=2 -> (18, 17) tiles and
+    # q=3 -> (12, 12, 11) cut the per-step dot count 2.5-4x vs q=5 within
+    # the same ring bytes (ring slots are sized to the widest chunk).
+    n_sub = len(splits)
     n_flat = L * 2 * n_sub  # subchunks per step per streamed tensor
 
     def sub_dma(name: str, j: int):
         """DMA flat subchunk j = ((l*2 + half)*n_sub + s) of a streamed
         tensor into its ring of stream_slots buffers. gate/up slice OUTPUT
         columns, down slices INPUT rows; slices are 128-lane aligned at
-        flagship dims (Sw = 4480 or 896). The (n_sub, slots) pair is chosen
-        by the wrapper's VMEM budget: big chunks when they fit (fewer
-        DMAs = faster), small chunks with a deeper ring when residency
-        needs the room."""
+        flagship dims. The (splits, slots) pair is chosen by the wrapper's
+        VMEM budget: big chunks when they fit (fewer DMAs = faster), small
+        chunks with a deeper ring when residency needs the room."""
         jj = j % n_flat
         l = jj // (2 * n_sub)
         half, s = (jj % (2 * n_sub)) // n_sub, jj % n_sub
-        off = half * Ih + s * Sw
+        rel, w = splits[s]
+        off = half * Ih + rel
         buf, sem = r[name + "_buf"], r[name + "_sem"]
         slot = j % stream_slots
         if name == "w_down":
-            src = r[name].at[l, pl.ds(off, Sw), :]
+            src = r[name].at[l, pl.ds(off, w), :]
+            dst = buf.at[slot, pl.ds(0, w), :]
         else:
-            src = r[name].at[l, :, pl.ds(off, Sw)]
-        return pltpu.make_async_copy(src, buf.at[slot], sem.at[slot])
+            src = r[name].at[l, :, pl.ds(off, w)]
+            dst = buf.at[slot, :, pl.ds(0, w)]
+        return pltpu.make_async_copy(src, dst, sem.at[slot])
 
     def prefetch_next(name: str, j: int, p):
         """After consuming subchunk j, refill its slot with j+slots
@@ -406,10 +439,11 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
             base = (l * 2 + half) * n_sub
             ys = []
             for s in range(n_sub):
+                _, w = splits[s]
                 sub_dma(name, base + s).wait()
                 ys.append(_dot(
-                    x2, _deq8(r[name + "_buf"][(base + s) % stream_slots],
-                              dtype)
+                    x2, _deq8(r[name + "_buf"][(base + s) % stream_slots,
+                                               :, pl.ds(0, w)], dtype)
                 ).astype(dtype))
                 # Refill AFTER the dot: chunk j+slots lands in THIS slot —
                 # starting it earlier would overwrite the operand mid-read.
@@ -439,10 +473,12 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
             base = (l * 2 + half) * n_sub
             acc = jnp.zeros((t_h.shape[0], Dd), jnp.float32)
             for s in range(n_sub):
+                rel, w = splits[s]
                 sub_dma("w_down", base + s).wait()
                 acc = acc + _dot(
-                    t_h[:, s * Sw:(s + 1) * Sw],
-                    _deq8(r["w_down_buf"][(base + s) % stream_slots], dtype))
+                    t_h[:, rel:rel + w],
+                    _deq8(r["w_down_buf"][(base + s) % stream_slots,
+                                          pl.ds(0, w), :], dtype))
                 prefetch_next("w_down", base + s, p)
             return acc
         # r4: nibble side = half; chunked input-row dequant when groups
@@ -730,26 +766,35 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
              + n_r4 * (6 << 20))
     budget = (120 << 20) - resident - fixed
     n_streamed = sum(1 for n in _MLP if p[n] == "s8")
-    tiles = Ih // 128 if Ih % 128 == 0 else 1
-    options = [(1, 2)] + [(q, s) for q in (5, 7, 35) if tiles % q == 0
-                          for s in (4, 2)]
-    stream_sub, stream_slots = options[-1] if options else (1, 2)
+    # Chunk count q need NOT divide the 128-lane tile count: _chunk_split
+    # cuts the tiles as evenly as possible (unequal widths are fine — ring
+    # slots size to the widest). Prefer the fewest chunks that fit (fewer
+    # dot issues + DMA waits per step); shallow rings for big chunks (each
+    # DMA is long), deeper rings once chunks shrink.
+    options = [(q, s) for q in (1, 2, 3, 5, 7)
+               for s in ((2, 4) if q <= 3 else (4, 2))]
+    stream_sub, stream_slots = options[-1]
     for q, s in options:
-        per = s * (Ih // q) * Dd  # int8 bytes per tensor's ring
+        try:
+            ws = _chunk_split(Ih, q)
+        except ValueError:
+            continue
+        per = s * max(w for _, w in ws) * Dd  # int8 bytes per tensor's ring
         if n_streamed * per <= max(budget, 0) and (L * 2 * q) % s == 0:
             stream_sub, stream_slots = q, s
             break
     if stream_cfg is not None:  # test/tuning override
         stream_sub, stream_slots = stream_cfg
-        assert Ih % stream_sub == 0 and (L * 2 * stream_sub) % stream_slots == 0
-    Sw = Ih // stream_sub
+        assert (L * 2 * stream_sub) % stream_slots == 0
+    splits = _chunk_split(Ih, stream_sub)
+    Wmax = max(w for _, w in splits)
 
     for n in _MLP:
         if p[n] == "s8":
-            # gate/up stream (Dd, Sw) column chunks; down streams (Sw, Dd)
-            # row chunks, each behind a stream_slots-deep ring.
-            shape = ((stream_slots, Sw, Dd) if n == "w_down"
-                     else (stream_slots, Dd, Sw))
+            # gate/up stream (Dd, <=Wmax) column chunks; down streams
+            # (<=Wmax, Dd) row chunks, each behind a stream_slots-deep ring.
+            shape = ((stream_slots, Wmax, Dd) if n == "w_down"
+                     else (stream_slots, Dd, Wmax))
             scratch.append(pltpu.VMEM(shape, jnp.int8))
             scratch.append(pltpu.SemaphoreType.DMA((stream_slots,)))
             scratch_names += [n + "_buf", n + "_sem"]
@@ -760,7 +805,7 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
         functools.partial(
             _depth_chain_kernel, names=all_names, cfg=dcfg, ncb=ncb, V=V,
             Vp=Vp, plan=p, topk=depth_topk,
-            greedy=greedy, eps=dcfg.norm_eps, stream_sub=stream_sub,
+            greedy=greedy, eps=dcfg.norm_eps, splits=splits,
             stream_slots=stream_slots),
         out_shape=jax.ShapeDtypeStruct((Bp, ncb), jnp.int32),
         in_specs=in_specs,

@@ -152,6 +152,51 @@ def test_engine_stream_equals_batch_with_fused_plan():
     np.testing.assert_allclose(streamed, batch, rtol=1e-3, atol=1e-4)
 
 
+def test_chunk_split_tiles():
+    """Flagship Ih = 4480 = 35 lane tiles: q no longer needs to divide the
+    tile count — q=2/3 cut the per-step dot count 2.5-4x vs q=5 within the
+    same ring bytes (VERDICT r2 #3: the ~2.4 ms issue overhead lever)."""
+    from fireredtts2_tpu.ops.pallas_depth import _chunk_split
+
+    assert _chunk_split(4480, 2) == ((0, 2304), (2304, 2176))
+    assert _chunk_split(4480, 3) == ((0, 1536), (1536, 1536), (3072, 1408))
+    assert _chunk_split(4480, 5) == tuple((i * 896, 896) for i in range(5))
+    assert _chunk_split(32, 2) == ((0, 16), (16, 16))
+    with pytest.raises(ValueError):
+        _chunk_split(32, 3)
+
+
+def test_stream_ring_nonuniform_split_exact(monkeypatch):
+    """Unequal chunk widths (tile split, ring slots sized to the widest)
+    must stay token-exact vs the XLA path at f32."""
+    from fireredtts2_tpu import config as C
+    from fireredtts2_tpu.config import TransformerConfig
+
+    monkeypatch.setitem(C.FLAVORS, "nu-bb", TransformerConfig(
+        vocab_size=0, num_layers=1, num_heads=2, num_kv_heads=1,
+        embed_dim=64, intermediate_dim=128, max_seq_len=64))
+    monkeypatch.setitem(C.FLAVORS, "nu-dec", TransformerConfig(
+        vocab_size=0, num_layers=2, num_heads=2, num_kv_heads=1,
+        embed_dim=128, intermediate_dim=768, max_seq_len=64))
+    cfg = LLMConfig(backbone_flavor="nu-bb", decoder_flavor="nu-dec",
+                    text_vocab_size=300, audio_vocab_size=64,
+                    audio_num_codebooks=4, max_seq_len=64, dtype="float32")
+    params = init_lm_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    last_h = jax.random.normal(jax.random.PRNGKey(4),
+                               (2, cfg.backbone.embed_dim), jnp.float32)
+    c0 = jax.random.randint(jax.random.PRNGKey(5), (2,), 0,
+                            cfg.audio_vocab_size)
+    plan = "gate=s8,up=s8,down=s8"
+    bundle = prepare_depth_chain(params, cfg, plan)
+    params_q = dict(params, decoder=bundle["xla_decoder"])
+    key = jax.random.PRNGKey(31)
+    xla = _depth_decode(params_q, cfg, last_h, c0, key, 10, 0.75)
+    # Ih = 384 = 3 tiles; q=2 -> widths (256, 128): genuinely non-uniform
+    fused = fused_depth_decode(bundle, cfg, last_h, c0, key, 10, 0.75,
+                               plan=plan, interpret=True, stream_cfg=(2, 2))
+    assert (xla == fused).all()
+
+
 @pytest.mark.parametrize("stream_cfg", [(2, 2), (2, 4), (4, 2), (4, 4)])
 def test_stream_ring_configs_exact(setup, stream_cfg):
     """The streamed-chunk ring (any chunk count / ring depth) must compute
