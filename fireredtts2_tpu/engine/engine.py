@@ -204,20 +204,23 @@ class FireRedTTS2Engine:
 
         def _prefill_block(lm_params, codec_params, state, vstate, tokens,
                            tokens_mask, valid, key, block,
-                           temperature, topk, depth_topk, depth_temperature):
+                           temperature, topk, depth_topk, depth_temperature,
+                           real_len=None):
             """Prefill + the first `block` stream frames fused into ONE
             device program: the first-packet path pays a single dispatch
             instead of prefill-then-block (each host<->device round trip
             costs ~30 ms through a tunneled TPU). Key folding matches the
             unfused path exactly: prefill samples frame 0 with
             fold_in(key, 0), the block samples frame t with fold_in(key, t).
+            real_len: append-prefill mode for incremental streaming
+            dialogue (right-padded window; models/lm/model.py).
             """
             state, frame = lm_generate_frame(
                 params=lm_params, cfg=llm_cfg, state=state, tokens=tokens,
                 tokens_mask=tokens_mask, valid=valid,
                 key=jax.random.fold_in(key, 0), temperature=temperature,
                 topk=topk, depth_topk=depth_topk,
-                depth_temperature=depth_temperature)
+                depth_temperature=depth_temperature, real_len=real_len)
             emitted = jnp.zeros((tokens.shape[0],), jnp.int32)
             return stream_block(
                 lm_params, codec_params, llm_cfg, codec_cfg, state, vstate,
@@ -232,6 +235,9 @@ class FireRedTTS2Engine:
             partial(lm_generate_loop, cfg=llm_cfg),
             static_argnames=("max_frames", "topk", "depth_topk"),
             donate_argnames=("state",))
+        # Incremental-dialogue rewind (models/lm/model.py:rewind_lm_state).
+        from fireredtts2_tpu.models.lm.model import rewind_lm_state
+        self._rewind_fn = jax.jit(rewind_lm_state, donate_argnames=("state",))
         # Bound to the engine's codec params: codec_encode calls it as
         # encode_fn(audio_batch, lengths).
         self._encode_fn = jax.jit(
@@ -608,9 +614,22 @@ class FireRedTTS2Engine:
                           prompt_wav_list: Optional[List[str]] = None,
                           prompt_text_list: Optional[List[str]] = None,
                           temperature: float = 0.9, topk: int = 20,
-                          max_utterance_ms: float = 30_000) -> np.ndarray:
+                          max_utterance_ms: float = 30_000,
+                          incremental: bool = True) -> np.ndarray:
         """Multi-speaker dialogue -> (n,) float32 @24 kHz
-        (reference fireredtts2.py:345-403)."""
+        (reference fireredtts2.py:345-403).
+
+        incremental=True (default) keeps the KV state alive across
+        utterances and append-prefills only each utterance's NEW tokens —
+        O(new) prefill work per utterance instead of re-prefilling the
+        whole growing conversation (the reference re-prefills everything,
+        fireredtts2.py:379-386). GREEDY decode matches the re-prefill path
+        sample-for-sample (tests/test_incremental_dialogue.py — slab
+        content/positions are identical); sampled decode draws from the
+        same distribution but absolute RoPE positions differ between the
+        layouts, so fp near-tie flips are possible — the same equivalence
+        class as batched-vs-B=1 (CLAUDE.md invariants). Set False for the
+        exact reference-shaped path."""
         prompt_segments: list[Segment] = []
         text_list = process_text_list(text_list)
         if prompt_wav_list is not None:
@@ -620,6 +639,11 @@ class FireRedTTS2Engine:
                 speaker = ptext[:4]
                 assert speaker in SPEAKER_TAGS, speaker
                 prompt_segments.append(self.prepare_prompt(ptext, speaker, wav))
+
+        if incremental:
+            return self._generate_dialogue_incremental(
+                text_list, prompt_segments, temperature, topk,
+                max_utterance_ms)
 
         generated: list[Segment] = []
         storage: list[np.ndarray] = []
@@ -636,6 +660,194 @@ class FireRedTTS2Engine:
             generated.append(Segment(speaker=speaker, text=utterance, audio=audio16))
             storage.append(audio24)
         return np.concatenate(storage) if storage else np.zeros((0,), np.float32)
+
+    def _generate_dialogue_incremental(self, text_list: list[str],
+                                       prompt_segments: list[Segment],
+                                       temperature: float, topk: int,
+                                       max_utterance_ms: float) -> np.ndarray:
+        """KV-persistent dialogue decode.
+
+        Per utterance i the append window holds ONLY the new tokens:
+        [codec tokens of utterance i-1's audio (re-encoded at 16 kHz, the
+        reference's own feedback loop) + text of utterance i]; the first
+        window additionally carries the prompt segments. Windows are
+        RIGHT-padded into the prefill buckets and the LM state rewinds
+        over both the pad slots and the decode-era KV (the re-encoded
+        audio tokens replace the sampled frames, exactly like the
+        reference's rebuilt prompt), so slab content and positions match
+        the re-prefill path token for token."""
+        from fireredtts2_tpu.models.lm.model import rewind_lm_state
+
+        cfg = self.config.llm
+        dtype = _dtype_of(cfg.dtype)
+        state = init_lm_state(cfg, 1, dtype)
+        utt_cap = int(max_utterance_ms / 80)
+        pos = 0
+        storage: list[np.ndarray] = []
+        audio_piece: Optional[tuple[np.ndarray, np.ndarray]] = None
+        for i, text in enumerate(text_list):
+            speaker, utterance = text[:4], text[4:]
+            assert speaker in SPEAKER_TAGS, speaker
+            pieces: list[tuple[np.ndarray, np.ndarray]] = []
+            if i == 0:
+                pieces += [self._tokenize_segment(s) for s in prompt_segments]
+            elif audio_piece is not None:
+                pieces.append(audio_piece)
+            pieces.append(self._tokenize_text_segment(utterance, speaker))
+            win = np.concatenate([p[0] for p in pieces])
+            wmask = np.concatenate([p[1] for p in pieces])
+            L = win.shape[0]
+            bucket = self._bucket(L)
+            if pos + bucket > self.max_seq_len:
+                raise ValueError(
+                    f"dialogue context overflow at utterance {i}: "
+                    f"{pos} + {bucket} > {self.max_seq_len} (reference "
+                    f"raises the same way, fireredtts2.py:166-171)")
+            tokens = np.zeros((1, bucket, self._ncols), np.int32)
+            mask = np.zeros((1, bucket, self._ncols), bool)
+            valid = np.zeros((1, bucket), bool)
+            tokens[0, :L] = win          # RIGHT-padded: content left-aligned
+            mask[0, :L] = wmask
+            valid[0, :L] = True
+
+            cap = min(utt_cap, self.max_seq_len - (pos + L) - 1)
+            state, buf, n_frames = self._gen_loop_fn(
+                self.lm_params, state=state, tokens=jnp.asarray(tokens),
+                tokens_mask=jnp.asarray(mask), valid=jnp.asarray(valid),
+                key=self._next_key(), max_frames=utt_cap,
+                frame_cap=jnp.int32(cap), temperature=temperature, topk=topk,
+                depth_topk=self.config.depth_topk,
+                depth_temperature=self.config.depth_temperature,
+                real_len=jnp.asarray([L], jnp.int32))
+            n = int(np.asarray(n_frames)[0])
+            audio24 = self._decode_tokens(np.asarray(buf[0, :n]))
+            storage.append(audio24)
+
+            # Rewind over the decode-era KV; the next window re-appends the
+            # utterance as RE-ENCODED codec tokens (feedback parity with
+            # fireredtts2.py:389-394).
+            pos += L
+            state = self._rewind_fn(state, jnp.asarray([pos], jnp.int32))
+            audio16 = resample(audio24, self.output_sample_rate,
+                               self.sample_rate)
+            audio_piece = self._tokenize_audio(audio16)
+        return (np.concatenate(storage) if storage
+                else np.zeros((0,), np.float32))
+
+    def generate_dialogue_stream(self, text_list: List[str],
+                                 prompt_wav_list: Optional[List[str]] = None,
+                                 prompt_text_list: Optional[List[str]] = None,
+                                 temperature: float = 0.9, topk: int = 20,
+                                 max_utterance_ms: float = 30_000,
+                                 ) -> Iterator[tuple[int, np.ndarray]]:
+        """STREAMING incremental dialogue: yields (utterance_index, ~80 ms
+        audio chunk) pairs as each utterance decodes, with the KV state
+        persisting across utterances (O(new) prefill per turn). The
+        reference has no dialogue streaming at all (its streaming sketch
+        was commented out, fireredtts2.py:259-343, and its dialogue path
+        re-prefills everything per turn, :379-386).
+
+        Per utterance: one fused append-prefill + first-block dispatch
+        (lowest first-packet latency), then the K-frame block ladder; at
+        utterance end the state rewinds over decode-era KV and the audio
+        re-enters as codec tokens (the reference's own feedback loop)."""
+        text_list = process_text_list(text_list)
+        prompt_segments: list[Segment] = []
+        if prompt_wav_list is not None:
+            assert prompt_text_list is not None
+            for wav, ptext in zip(prompt_wav_list, prompt_text_list):
+                speaker = ptext[:4]
+                assert speaker in SPEAKER_TAGS, speaker
+                prompt_segments.append(self.prepare_prompt(ptext, speaker, wav))
+
+        cfg = self.config.llm
+        state = init_lm_state(cfg, 1, _dtype_of(cfg.dtype))
+        utt_cap = int(max_utterance_ms / 80)
+        pos = 0
+        self._first_packet_s = None
+        t_start = time.perf_counter()
+        audio_piece: Optional[tuple[np.ndarray, np.ndarray]] = None
+        cs, ts = self._chunk_samples, self._tail_samples
+        kw = dict(temperature=temperature, topk=topk,
+                  depth_topk=self.config.depth_topk,
+                  depth_temperature=self.config.depth_temperature)
+
+        for i, text in enumerate(text_list):
+            speaker, utterance = text[:4], text[4:]
+            assert speaker in SPEAKER_TAGS, speaker
+            pieces: list[tuple[np.ndarray, np.ndarray]] = []
+            if i == 0:
+                pieces += [self._tokenize_segment(s) for s in prompt_segments]
+            elif audio_piece is not None:
+                pieces.append(audio_piece)
+            pieces.append(self._tokenize_text_segment(utterance, speaker))
+            win = np.concatenate([p[0] for p in pieces])
+            wmask = np.concatenate([p[1] for p in pieces])
+            L = win.shape[0]
+            bucket = self._bucket(L)
+            if pos + bucket > self.max_seq_len:
+                raise ValueError(
+                    f"dialogue context overflow at utterance {i}: "
+                    f"{pos} + {bucket} > {self.max_seq_len}")
+            tokens = np.zeros((1, bucket, self._ncols), np.int32)
+            mask = np.zeros((1, bucket, self._ncols), bool)
+            valid = np.zeros((1, bucket), bool)
+            tokens[0, :L], mask[0, :L] = win, wmask
+            valid[0, :L] = True
+
+            max_len = min(utt_cap, self.max_seq_len - (pos + L) - 1)
+            vstate = stream_decode_init(self.config.codec, 1,
+                                        _dtype_of(self.config.codec.dtype))
+            utt_key = self._next_key()
+            utt_chunks: list[np.ndarray] = []
+            n_emitted, g, block = 0, 0, 1
+            last_tail: Optional[np.ndarray] = None
+            state, vstate, frame, emitted, packed = self._prefill_block_fn(
+                self.lm_params, self.codec_params, state=state, vstate=vstate,
+                tokens=jnp.asarray(tokens), tokens_mask=jnp.asarray(mask),
+                valid=jnp.asarray(valid), key=utt_key, block=block,
+                real_len=jnp.asarray([L], jnp.int32), **kw)
+            while True:
+                pk = np.asarray(packed)[0]
+                K = block
+                eos = pk[K * (cs + ts):] > 0.5
+                n = min(int(np.argmax(eos)) if eos.any() else K, max_len - g)
+                stop = n < K
+                if n > 0:
+                    span = pk[:n * cs]
+                    if n_emitted == 0:
+                        span = span[self._lead_samples:]
+                        if self._first_packet_s is None:
+                            self._first_packet_s = \
+                                time.perf_counter() - t_start
+                    last_tail = pk[K * cs + (n - 1) * ts: K * cs + n * ts]
+                    n_emitted += n
+                    chunk = span.astype(np.float32)
+                    utt_chunks.append(chunk)
+                    yield i, chunk
+                g += K
+                block = min(block * 4, self.config.stream_block_cap)
+                if g >= max_len or stop:
+                    break
+                state, vstate, frame, emitted, packed = self._block_fn(
+                    self.lm_params, self.codec_params, state=state,
+                    vstate=vstate, frame=frame, emitted=emitted, key=utt_key,
+                    t_base=jnp.int32(g + 1), block=block, **kw)
+            if n_emitted > 0 and last_tail is not None:
+                tail = last_tail.astype(np.float32)
+                utt_chunks.append(tail)
+                yield i, tail
+
+            # close the utterance: rewind over decode KV, feed the audio
+            # back as codec tokens for the next window
+            pos += L
+            state = self._rewind_fn(state, jnp.asarray([pos], jnp.int32))
+            if i + 1 < len(text_list):
+                audio24 = (np.concatenate(utt_chunks) if utt_chunks
+                           else np.zeros(0, np.float32))
+                audio16 = resample(audio24, self.output_sample_rate,
+                                   self.sample_rate)
+                audio_piece = self._tokenize_audio(audio16)
 
     def generate_monologue(self, text: str, prompt_wav: Optional[str] = None,
                            prompt_text: Optional[str] = None,

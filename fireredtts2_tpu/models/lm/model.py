@@ -317,12 +317,22 @@ def lm_generate_frame(
     topk: int | Array = 20,
     depth_topk: int = 10,
     depth_temperature: float = 0.75,
+    real_len: Optional[Array] = None,
 ) -> tuple[LMState, Array]:
     """One AR step: consume a token window, sample the next frame.
 
     Covers prefill (S = prompt bucket, content RIGHT-ALIGNED / left-padded)
     and decode (S=1). Mirrors reference generate_frame semantics
     (fireredtts2/llm/llm.py:274-330) with bucketed batching.
+
+    real_len: when given, the window is RIGHT-padded instead (content
+    left-aligned, real_len (B,) real slots): the frame samples from slot
+    real_len-1 and pos advances by real_len only — the next window then
+    OVERWRITES the pad slots, keeping slab positions contiguous with no
+    interior gaps. This is the append-prefill used by incremental dialogue
+    (engine: KV persists across utterances instead of re-prefilling the
+    whole conversation — greedy-exact vs the re-prefill path,
+    tests/test_incremental_dialogue.py).
 
     Returns (new_state, sampled (B, ncb) int32).
     """
@@ -357,7 +367,13 @@ def lm_generate_frame(
         params["backbone"], bb_cfg, h, positions_b, attn, cache, state.pos,
         live_window=(live_start, live_end))
 
-    last_h = h_out[:, -1, :]  # right-aligned content ⇒ newest real token
+    if real_len is None:
+        last_h = h_out[:, -1, :]  # right-aligned content ⇒ newest real token
+        last_tok = tokens[:, -1]
+    else:
+        idx = (real_len - 1).astype(jnp.int32)
+        last_h = jnp.take_along_axis(h_out, idx[:, None, None], axis=1)[:, 0]
+        last_tok = jnp.take_along_axis(tokens, idx[:, None, None], axis=1)[:, 0]
     c0_logits = (last_h.astype(jnp.float32)
                  @ params["codebook0_head"].astype(jnp.float32))
     key_c0, key_depth = jax.random.split(key)
@@ -367,7 +383,7 @@ def lm_generate_frame(
     # columns 1..ncb-1). RVQ codes are temporally correlated, so it's a
     # free draft — init only affects Jacobi round count, never the tokens.
     ncb = cfg.audio_num_codebooks
-    spec_init = (jnp.clip(tokens[:, -1, 1:ncb], 0, cfg.audio_vocab_size - 1)
+    spec_init = (jnp.clip(last_tok[:, 1:ncb], 0, cfg.audio_vocab_size - 1)
                  if cfg.speculative_depth else None)
     samples = _depth_decode(params, cfg, last_h, c0, key_depth,
                             depth_topk, depth_temperature,
@@ -375,9 +391,25 @@ def lm_generate_frame(
 
     new_state = LMState(
         cache_k=cache["k"], cache_v=cache["v"],
-        slot_valid=slot_valid, pos=state.pos + S,
+        slot_valid=slot_valid,
+        pos=state.pos + (S if real_len is None
+                         else real_len.astype(jnp.int32)),
     )
     return new_state, samples
+
+
+def rewind_lm_state(state: LMState, pos: Array) -> LMState:
+    """Roll every stream back to absolute position pos (B,): slots at and
+    beyond pos are invalidated (their K/V stays — masking hides it until
+    the next append window overwrites). Incremental dialogue uses this to
+    replace decode-era KV with the re-encoded audio tokens of the finished
+    utterance (engine._generate_dialogue_incremental)."""
+    idx = jnp.arange(state.slot_valid.shape[1], dtype=jnp.int32)
+    return LMState(
+        cache_k=state.cache_k, cache_v=state.cache_v,
+        slot_valid=state.slot_valid & (idx[None, :] < pos[:, None]),
+        pos=pos.astype(jnp.int32),
+    )
 
 
 def reset_lm_slot(state: LMState, b: Array) -> LMState:
@@ -474,12 +506,16 @@ def lm_generate_loop(
     topk: int | Array = 20,
     depth_topk: int = 10,
     depth_temperature: float = 0.75,
+    real_len: Optional[Array] = None,
 ) -> tuple[LMState, Array, Array]:
     """Whole-utterance AR generation as ONE device program.
 
     Prefill + a lax.while_loop over decode frames with per-stream EOS
     (all-zero frame, fireredtts2.py:178). This is the batch path: a single
     dispatch replaces the reference's one-python-step-per-80ms loop.
+
+    real_len: append mode — the prompt window is RIGHT-padded and the KV
+    state is NOT fresh (incremental dialogue; see lm_generate_frame).
 
     Returns (state, frames (B, max_frames, ncb) int32 zero-padded after each
     stream's EOS, n_frames (B,) int32 — EOS frame excluded).
@@ -490,7 +526,8 @@ def lm_generate_loop(
     kwargs = dict(temperature=temperature, topk=topk, depth_topk=depth_topk,
                   depth_temperature=depth_temperature)
     state, frame = lm_generate_frame(params, cfg, state, tokens, tokens_mask,
-                                     valid, jax.random.fold_in(key, 0), **kwargs)
+                                     valid, jax.random.fold_in(key, 0),
+                                     real_len=real_len, **kwargs)
 
     buf = jnp.zeros((B, max_frames, ncb), jnp.int32)
     n_frames = jnp.zeros((B,), jnp.int32)
