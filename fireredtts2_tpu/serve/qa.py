@@ -82,7 +82,8 @@ class QAPipeline:
 
     def run_all(self) -> list[ScenarioResult]:
         out = []
-        for name in ("basic_tts", "streaming", "dialogue", "error_recovery"):
+        for name in ("basic_tts", "streaming", "dialogue",
+                     "dialogue_streaming", "error_recovery"):
             out.append(self.run(name))
         return out
 
@@ -124,6 +125,24 @@ class QAPipeline:
         rep = validate_audio_output(audio, self.engine.output_sample_rate, self.th)
         assert rep.passed, f"dialogue gates failed: {rep.failures}"
         return f"{rep.metrics['duration_s']:.2f}s"
+
+    def _scenario_dialogue_streaming(self) -> str:
+        """Chunked incremental dialogue (engine.generate_dialogue_stream):
+        both utterances must emit chunks and the whole waveform must pass
+        the audio gates."""
+        per_utt: dict[int, int] = {}
+        chunks = []
+        for i, c in self.engine.generate_dialogue_stream(
+                ["[S1]Hello.", "[S2]Hi."], max_utterance_ms=1600):
+            per_utt[i] = per_utt.get(i, 0) + 1
+            chunks.append(c)
+        assert set(per_utt) == {0, 1}, f"missing utterances: {per_utt}"
+        total = np.concatenate(chunks)
+        rep = validate_audio_output(total, self.engine.output_sample_rate,
+                                    self.th)
+        assert rep.passed, f"dialogue-stream gates failed: {rep.failures}"
+        return (f"{rep.metrics['duration_s']:.2f}s, "
+                f"chunks per utterance {dict(sorted(per_utt.items()))}")
 
     def _scenario_error_recovery(self) -> str:
         # hostile input must raise/deny cleanly, then a normal request works
