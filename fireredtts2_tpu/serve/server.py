@@ -35,7 +35,10 @@ from fireredtts2_tpu.serve.monitor import get_performance_monitor
 from fireredtts2_tpu.serve.sessions import SessionManager
 
 
-# Message types (capability set of reference websocket_server.py:25-61)
+# Message types (capability set of reference websocket_server.py:25-61,
+# plus generate_dialogue — streaming multi-speaker dialogue over one
+# socket, which the reference's serving layer never offered)
+MSG_DIALOGUE_REQUEST = "generate_dialogue"
 MSG_SESSION_START = "session_start"
 MSG_SESSION_END = "session_end"
 MSG_TTS_REQUEST = "generate_speech"
@@ -72,9 +75,12 @@ class TTSRequest:
     # honors the caller's max length per request, fireredtts2.py:131-143)
     # Voice cloning (reference gradio_demo.py:153-198 monologue clone,
     # enhanced_gradio_demo.py:245-340 dialogue with prompt audio):
-    mode: str = "dialogue"          # "dialogue" | "monologue_clone"
+    mode: str = "dialogue"  # "dialogue" | "monologue_clone" | "dialogue_stream"
     prompt_wav: Optional[str] = None
     prompt_text: Optional[str] = None
+    # dialogue_stream mode: the utterance list ([S1]/[S2]-prefixed);
+    # on_chunk then receives (utterance_index, chunk) pairs.
+    text_list: Optional[list] = None
     # Pre-encoded prompt frames from the voice store (voices.prompt_tokens):
     # lets repeat clone requests skip the per-request SSL encode.
     prompt_tokens: Optional[tuple] = None
@@ -86,6 +92,19 @@ def _run_clone(engine, req: "TTSRequest") -> np.ndarray:
         req.text, prompt_wav=req.prompt_wav, prompt_text=req.prompt_text,
         temperature=req.temperature, topk=req.topk,
         prompt_tokens=req.prompt_tokens)
+
+
+def _run_dialogue_stream(engine, req: "TTSRequest") -> np.ndarray:
+    """Streaming incremental dialogue (engine.generate_dialogue_stream):
+    chunks flow to on_chunk as (utterance_index, chunk) while decoding."""
+    total: list[np.ndarray] = []
+    for i, chunk in engine.generate_dialogue_stream(
+            list(req.text_list or []), temperature=req.temperature,
+            topk=req.topk, max_utterance_ms=req.max_audio_length_ms):
+        total.append(chunk)
+        if req.streaming:
+            req.on_chunk((i, chunk))
+    return np.concatenate(total) if total else np.zeros(0, np.float32)
 
 
 class BatchedTTSService:
@@ -103,14 +122,18 @@ class BatchedTTSService:
         self.batcher.start()
 
     def submit(self, req: TTSRequest) -> None:
-        if req.mode == "monologue_clone":
-            # Clone jobs run against the engine directly (JAX dispatch is
-            # thread-safe; state buffers are per-caller) — they are rare,
-            # long, and not batchable with live dialogue streams.
-            def clone():
+        if req.mode in ("monologue_clone", "dialogue_stream"):
+            # Clone / dialogue jobs run against the engine directly (JAX
+            # dispatch is thread-safe; state buffers are per-caller) —
+            # they are stateful or long, and not batchable with live
+            # single-utterance streams.
+            run = (_run_clone if req.mode == "monologue_clone"
+                   else _run_dialogue_stream)
+
+            def job():
                 self.monitor.start_inference(req.request_id)
                 try:
-                    audio = _run_clone(self.engine, req)
+                    audio = run(self.engine, req)
                     self.monitor.end_inference(
                         req.request_id,
                         audio_seconds=len(audio) / self.engine.output_sample_rate)
@@ -119,7 +142,7 @@ class BatchedTTSService:
                     self.monitor.end_inference(req.request_id, error=True)
                     req.on_done(None, e)
 
-            threading.Thread(target=clone, daemon=True).start()
+            threading.Thread(target=job, daemon=True).start()
             return
 
         def consume():
@@ -179,6 +202,8 @@ class TTSService:
             try:
                 if req.mode == "monologue_clone":
                     audio = _run_clone(self.engine, req)
+                elif req.mode == "dialogue_stream":
+                    audio = _run_dialogue_stream(self.engine, req)
                 elif req.streaming:
                     total = []
                     for chunk in self.engine.generate_stream(
@@ -263,6 +288,8 @@ class WebSocketTTSServer:
                                   "stats": self.stats()})
         elif mtype == MSG_TTS_REQUEST:
             await self._handle_tts(ws, client_id, msg, loop)
+        elif mtype == MSG_DIALOGUE_REQUEST:
+            await self._handle_dialogue(ws, client_id, msg, loop)
         else:
             await self._send(ws, {"type": MSG_ERROR,
                                   "error": f"unknown message type: {mtype}"})
@@ -328,6 +355,67 @@ class WebSocketTTSServer:
                         self.sessions.add_turn(
                             session_id, "assistant", text,
                             audio_duration_s=resp["duration_s"])
+                break
+
+    async def _handle_dialogue(self, ws, client_id: str, msg: dict,
+                               loop) -> None:
+        """Streaming multi-speaker dialogue over one socket: audio_chunk
+        messages carry an `utterance` index; KV persists across turns on
+        the engine side (generate_dialogue_stream)."""
+        text_list = msg.get("text_list")
+        if (not isinstance(text_list, list) or not text_list
+                or not all(isinstance(t, str) and t.strip()
+                           for t in text_list)):
+            await self._send(ws, {"type": MSG_ERROR,
+                                  "error": "text_list (non-empty list of "
+                                           "[S1]-prefixed strings) required"})
+            return
+        check = self.security.check_request(client_id, " ".join(text_list),
+                                            token=msg.get("token"))
+        if not check.ok:
+            await self._send(ws, {"type": MSG_ERROR, "error": check.reason})
+            return
+        request_id = msg.get("request_id") or uuid.uuid4().hex
+        out_q: asyncio.Queue = asyncio.Queue()
+
+        def on_chunk(pair) -> None:
+            loop.call_soon_threadsafe(out_q.put_nowait, ("chunk", pair))
+
+        def on_done(audio, err) -> None:
+            loop.call_soon_threadsafe(out_q.put_nowait, ("done", (audio, err)))
+
+        self.service.submit(TTSRequest(
+            request_id=request_id, text="", speaker="[S1]",
+            temperature=float(msg.get("temperature", 0.9)),
+            topk=int(msg.get("top_k", 20)), streaming=True,
+            max_audio_length_ms=float(msg.get("max_utterance_ms", 30_000)),
+            mode="dialogue_stream", text_list=[str(t) for t in text_list],
+            on_chunk=on_chunk, on_done=on_done))
+        await self._send(ws, {"type": MSG_TTS_STARTED,
+                              "request_id": request_id,
+                              "utterances": len(text_list)})
+        seq = 0
+        sr = self.service.engine.output_sample_rate
+        while True:
+            kind, payload = await out_q.get()
+            if kind == "chunk":
+                utt, chunk = payload
+                await self._send(ws, {
+                    "type": MSG_AUDIO_CHUNK, "request_id": request_id,
+                    "utterance": int(utt), "seq": seq, "sample_rate": sr,
+                    "format": "pcm16", "data": pcm16_hex(chunk)})
+                seq += 1
+            else:
+                audio, err = payload
+                if err is not None:
+                    await self._send(ws, {"type": MSG_ERROR,
+                                          "request_id": request_id,
+                                          "error": str(err)})
+                else:
+                    await self._send(ws, {
+                        "type": MSG_TTS_COMPLETE, "request_id": request_id,
+                        "chunks": seq, "utterances": len(text_list),
+                        "duration_s": len(audio) / sr})
                 break
 
     # -- lifecycle

@@ -221,6 +221,52 @@ def test_websocket_server_batched_concurrent():
         assert chunks >= 1 and dur > 0
 
 
+def test_websocket_streaming_dialogue():
+    """generate_dialogue over WS: audio_chunk messages carry per-utterance
+    indices; complete reports both utterances (KV-persistent dialogue on
+    the engine side — no reference counterpart)."""
+    import websockets
+
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.server import WebSocketTTSServer
+
+    engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18768)
+
+    async def scenario():
+        await server.start()
+        try:
+            async with websockets.connect("ws://127.0.0.1:18768") as ws:
+                # bad payload first
+                await ws.send(json.dumps({"type": "generate_dialogue",
+                                          "text_list": []}))
+                bad = json.loads(await asyncio.wait_for(ws.recv(), 60))
+                await ws.send(json.dumps({
+                    "type": "generate_dialogue",
+                    "text_list": ["[S1]Hello there.", "[S2]Hi back."],
+                    "max_utterance_ms": 1600}))
+                utts, chunks = set(), 0
+                while True:
+                    msg = json.loads(await asyncio.wait_for(ws.recv(), 600))
+                    if msg["type"] == "audio_chunk":
+                        chunks += 1
+                        utts.add(msg["utterance"])
+                        assert len(bytes.fromhex(msg["data"])) > 0
+                    elif msg["type"] == "generation_complete":
+                        return bad, msg, utts, chunks
+                    elif msg["type"] == "error":
+                        raise AssertionError(msg)
+        finally:
+            await server.stop()
+
+    bad, complete, utts, chunks = asyncio.run(scenario())
+    assert bad["type"] == "error"
+    assert utts == {0, 1}
+    assert complete["utterances"] == 2 and complete["chunks"] == chunks
+    assert complete["duration_s"] > 0
+
+
 def test_websocket_rejects_hostile_text():
     import websockets
 
