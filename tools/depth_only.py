@@ -3,6 +3,10 @@ JUST the fused kernel call, vs the XLA depth loop. Locates where the
 LM frame budget actually goes (tools/devtime.py measures the whole LM).
 
 Usage: PYTHONPATH=/root/.axon_site:. python tools/depth_only.py [plan] [B...]
+       [sc=Q,S]    # force the streamed-chunk split (chunks per half, ring
+                   # slots) instead of the VMEM-budget auto-choice — the
+                   # round-3 A/B knob for non-uniform tile splits:
+                   # sc=1,2 sc=2,2 sc=3,2 sc=5,4 (old default)
 """
 
 from __future__ import annotations
@@ -24,6 +28,12 @@ REPEAT = 20  # frames per timed dispatch (scan amortizes launch overhead)
 
 def main() -> None:
     args = sys.argv[1:]
+    stream_cfg = None
+    for a in list(args):
+        if a.startswith("sc="):
+            q, s = a[3:].split(",")
+            stream_cfg = (int(q), int(s))
+            args.remove(a)
     plan = next((a for a in args if "=" in a), "gate=r8,up=s8,down=s8")
     batches = [int(a) for a in args if a.isdigit()] or [1, 8]
     cfg = LLMConfig(backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
@@ -53,7 +63,7 @@ def main() -> None:
 
         for name, weights, fn in (
             ("fused", bundle, loop(lambda w, h, c, k: fused_depth_decode(
-                w, cfg, h, c, k, plan=plan))),
+                w, cfg, h, c, k, plan=plan, stream_cfg=stream_cfg))),
             ("xla", params_q, loop(lambda w, h, c, k: _depth_decode(
                 w, cfg, h, c, k, 10, 0.75))),
         ):
@@ -65,7 +75,8 @@ def main() -> None:
                 t0 = time.perf_counter()  # any relay-side async shortcuts
                 np.asarray(fn(weights, last_h, c0, jnp.int32(rep * 1000)))
                 best = min(best, time.perf_counter() - t0)
-            print(f"{plan:24s} B={B:2d} {name:5s}: "
+            sc = f" sc={stream_cfg[0]},{stream_cfg[1]}" if stream_cfg else ""
+            print(f"{plan:24s}{sc} B={B:2d} {name:5s}: "
                   f"{best * 1000 / REPEAT:6.2f} ms/frame (depth only)",
                   flush=True)
 

@@ -1,0 +1,34 @@
+#!/bin/sh
+# Round-3 on-chip measurement sequence (run when the axon tunnel is up).
+# Usage: sh tools/onchip_r3.sh [quick]
+#   quick = skip the stream-cfg sweep and bench, just the headline A/Bs.
+# Writes a timestamped log to /tmp/onchip_r3.log; the chip must be free
+# (never run concurrently with pytest or another chip process).
+set -x
+cd "$(dirname "$0")/.."
+LOG=/tmp/onchip_r3.log
+: > "$LOG"
+
+run() { echo "== $*" | tee -a "$LOG"; timeout 1800 "$@" 2>&1 | tail -20 | tee -a "$LOG"; }
+
+# 1. Depth-kernel split A/B (VERDICT r2 #3): old (5,4) baseline vs the
+#    new non-uniform splits. Expect (3,2)/(2,2) to cut the ~2.4 ms issue
+#    overhead; auto-chooser now picks (3,2).
+run python tools/depth_only.py gate=r8,up=s8,down=s8 1 8 sc=5,4
+run python tools/depth_only.py gate=r8,up=s8,down=s8 1 8 sc=3,2
+if [ "$1" != quick ]; then
+  run python tools/depth_only.py gate=r8,up=s8,down=s8 1 8 sc=2,2
+  run python tools/depth_only.py gate=r8,up=s8,down=s8 1 8 sc=1,2
+fi
+
+# 2. Kernel still bit-deterministic + sane vs XLA under the new splits.
+run python tools/depth_kernel_check.py "gate=r8,up=s8,down=s8"
+
+# 3. Whole-LM device time under the serving config (budget: 7.0 ms B=1).
+run python tools/devtime.py fused-r8 -b1,8
+
+# 4. Full headline bench (outage-hardened; writes the one-line JSON).
+if [ "$1" != quick ]; then
+  run python bench.py
+fi
+echo "done; log at $LOG"
