@@ -73,7 +73,14 @@ class ASRConfig:
     no_speech_threshold: float = 0.6
     logprob_threshold: float = -1.0
     max_new_tokens: int = 224
+    # Text conditioning (<|startofprev|> tokens before the SOT block):
+    # enabled once prev_window tokens of context exist — the window is
+    # STATIC so conditioning costs exactly ONE extra compiled decode
+    # program, not a recompile per context length (TPU-first shape
+    # discipline; the reference's torch path pays no such constraint,
+    # whisper_asr.py condition_on_previous_text).
     condition_on_previous_text: bool = True
+    prev_window: int = 32
     # Fallback ladder: retried in order when avg logprob is below
     # logprob_threshold or the text is degenerate-repetitive
     # (compression_ratio above threshold) — openai whisper transcribe
@@ -142,10 +149,11 @@ class WhisperASR:
         self._n_samples = cfg.max_source_positions * 2 * 160
 
         self._decode = jax.jit(
-            lambda p, mel, mel_len, prompt, temp, key: asr_greedy_decode(
+            lambda p, mel, mel_len, prompt, temp, key, sot: asr_greedy_decode(
                 p, cfg, mel, mel_len, prompt,
                 max_new=self.config.max_new_tokens,
-                temperature=temp, key=key))
+                temperature=temp, key=key, sot_index=sot),
+            static_argnums=(6,))
         self._lang = jax.jit(
             lambda p, mel, mel_len: asr_detect_language(p, cfg, mel, mel_len))
 
@@ -194,26 +202,39 @@ class WhisperASR:
         mel_len = jnp.asarray([max(n_real // 160, 2)], jnp.int32)
         return mel.transpose(0, 2, 1), mel_len
 
-    def _prompt_ids(self, language: Optional[str]) -> np.ndarray:
+    def _prompt_ids(self, language: Optional[str],
+                    prev_ids: Optional[list] = None) -> np.ndarray:
+        """Forced decoder prompt: [<|startofprev|> + last prev_window
+        context tokens]? + <|startoftranscript|> [+ lang] + task +
+        <|notimestamps|> (openai whisper prompt layout). prev_ids are used
+        only when at least prev_window are available, keeping the prompt
+        shape static (see ASRConfig)."""
         cfg = self.model_cfg
-        ids = [cfg.sot_id]
+        ids: list = []
+        W = self.config.prev_window
+        if (prev_ids is not None and self.config.condition_on_previous_text
+                and len(prev_ids) >= W > 0):
+            ids += [cfg.sot_prev_id] + [int(t) for t in prev_ids[-W:]]
+        sot_index = len(ids)
+        ids.append(cfg.sot_id)
         if language is not None and language in LANGUAGES[:cfg.num_languages]:
             ids.append(cfg.first_language_id + LANGUAGES.index(language))
         task_id = (cfg.translate_id if self.config.task == "translate"
                    else cfg.transcribe_id)
         ids += [task_id, cfg.no_timestamps_id]
-        return np.asarray([ids], np.int32)
+        return np.asarray([ids], np.int32), sot_index
 
     # ------------------------------------------------------------------ API
 
     def _decode_once(self, mel, mel_len, prompt, temperature: float,
-                     attempt: int) -> tuple[list, float, float]:
+                     attempt: int, sot_index: int = 0
+                     ) -> tuple[list, float, float]:
         """One decode at a given ladder temperature -> (ids, avg_lp,
         no_speech). Deterministic per (seed, attempt)."""
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.config.seed), attempt)
         res = self._decode(self.params, mel, mel_len, prompt,
-                           jnp.float32(temperature), key)
+                           jnp.float32(temperature), key, sot_index)
         self.decode_calls += 1
         n = int(res.n_tokens[0])
         ids = [int(t) for t in np.asarray(res.tokens[0][:n])]
@@ -221,19 +242,37 @@ class WhisperASR:
         return ids, avg_lp, float(res.no_speech_prob[0])
 
     def transcribe(self, audio_data: np.ndarray, sample_rate: int = 16_000,
-                   language: Optional[str] = None) -> TranscriptionResult:
+                   language: Optional[str] = None,
+                   initial_prompt_ids: Optional[list] = None
+                   ) -> TranscriptionResult:
         """Transcription with the temperature-fallback ladder (reference
         whisper_asr.py:124-226 / openai whisper transcribe): greedy first;
         when the transcript is weak (avg logprob below logprob_threshold)
         or degenerate-repetitive (compression ratio above threshold) —
         and the audio is NOT just silence — retry at rising temperatures,
-        accepting the first decode that clears the gates."""
+        accepting the first decode that clears the gates.
+
+        initial_prompt_ids: context tokens for <|startofprev|>
+        conditioning (used once >= ASRConfig.prev_window are available —
+        static prompt shape; StreamingWhisperASR feeds its rolling
+        transcript here when condition_on_previous_text is on)."""
         t0 = time.time()
         lang = language or self.config.language
+        # Config errors raise loudly (they are caller bugs, not transient
+        # transcription failures the broad handler below should eat).
+        prompt_np, sot_index = self._prompt_ids(lang, initial_prompt_ids)
+        if (prompt_np.shape[1] + self.config.max_new_tokens
+                > self.model_cfg.max_target_positions):
+            raise ValueError(
+                f"prompt ({prompt_np.shape[1]}) + max_new_tokens "
+                f"({self.config.max_new_tokens}) exceeds "
+                f"max_target_positions "
+                f"({self.model_cfg.max_target_positions}); lower "
+                f"ASRConfig.prev_window or max_new_tokens")
         try:
             audio = self._preprocess_audio(audio_data, sample_rate)
             mel, mel_len = self._mel(audio)
-            prompt = jnp.asarray(self._prompt_ids(lang))
+            prompt = jnp.asarray(prompt_np)
 
             ladder = ((self.config.temperature,)
                       + tuple(t for t in self.config.fallback_temperatures
@@ -241,7 +280,7 @@ class WhisperASR:
             used_temp = ladder[0]
             for attempt, temp in enumerate(ladder):
                 ids, avg_lp, no_speech = self._decode_once(
-                    mel, mel_len, prompt, temp, attempt)
+                    mel, mel_len, prompt, temp, attempt, sot_index)
                 used_temp = temp
                 text = self.detokenize(ids) if ids else ""
                 is_silence = no_speech > self.config.no_speech_threshold
@@ -333,6 +372,11 @@ class StreamingWhisperASR:
         self.result_queue: "queue.Queue[TranscriptionResult]" = queue.Queue(maxsize=16)
         self.audio_buffer: deque = deque()
         self.context_history: deque = deque(maxlen=5)
+        # Rolling token context for <|startofprev|> conditioning (fed back
+        # into the decoder prompt once ASRConfig.prev_window tokens exist
+        # — previously context_history was collected but never conditioned
+        # on; the reference's condition_on_previous_text actually does).
+        self.context_tokens: deque = deque(maxlen=4 * asr.config.prev_window)
         self.is_streaming = False
         self._thread: Optional[threading.Thread] = None
 
@@ -380,10 +424,15 @@ class StreamingWhisperASR:
             for _ in range(self.chunk_size - self.overlap_size):
                 if self.audio_buffer:
                     self.audio_buffer.popleft()
-            res = self.asr.transcribe(data, self.sample_rate)
+            prev = (list(self.context_tokens)
+                    if self.asr.config.condition_on_previous_text else None)
+            res = self.asr.transcribe(data, self.sample_rate,
+                                      initial_prompt_ids=prev)
             res.is_final = False
             if res.text.strip():
                 self.context_history.append(res)
+                for seg in res.segments:
+                    self.context_tokens.extend(seg.get("tokens", ()))
                 try:
                     self.result_queue.put(res, timeout=0.1)
                 except queue.Full:

@@ -55,6 +55,7 @@ class WhisperASRModelConfig:
     translate_id: int = 50_359         # <|translate|>
     no_timestamps_id: int = 50_364     # <|notimestamps|>
     no_speech_id: int = 50_362         # <|nospeech|>
+    sot_prev_id: int = 50_361          # <|startofprev|> (text conditioning)
     first_language_id: int = 50_259    # <|en|>; languages are contiguous
     num_languages: int = 100
 
@@ -67,7 +68,7 @@ TINY_ASR = WhisperASRModelConfig(
     n_mels=16, vocab_size=64, encoder_layers=2, decoder_layers=2,
     num_heads=2, embed_dim=32, ffn_dim=64, max_source_positions=32,
     max_target_positions=24, sot_id=60, eot_id=59, transcribe_id=58,
-    translate_id=57, no_timestamps_id=56, no_speech_id=55,
+    translate_id=57, no_timestamps_id=56, no_speech_id=55, sot_prev_id=54,
     first_language_id=40, num_languages=8)
 
 
@@ -270,7 +271,8 @@ def asr_greedy_decode(params: Params, cfg: WhisperASRModelConfig,
                       mel: Array, mel_len: Array, prompt: Array,
                       max_new: int, suppress_blank_id: int = -1,
                       temperature: Array | float = 0.0,
-                      key: Optional[Array] = None) -> GreedyResult:
+                      key: Optional[Array] = None,
+                      sot_index: int = 0) -> GreedyResult:
     """Whole-utterance transcription as ONE jitted program.
 
     Args:
@@ -309,8 +311,10 @@ def asr_greedy_decode(params: Params, cfg: WhisperASRModelConfig,
     logits, state = asr_decoder_forward(params, cfg, prompt, state, cross,
                                         enc_len)
     # p(no-speech) at the SOT position (openai whisper decoding.py reads the
-    # same logit before sampling begins).
-    no_speech = jax.nn.softmax(logits[:, 0], axis=-1)[:, cfg.no_speech_id]
+    # same logit before sampling begins). sot_index > 0 when the prompt
+    # carries <|startofprev|> conditioning tokens ahead of the SOT block.
+    no_speech = jax.nn.softmax(logits[:, sot_index],
+                               axis=-1)[:, cfg.no_speech_id]
 
     logp = jax.nn.log_softmax(logits[:, -1], axis=-1)     # (B, V)
     tok = pick(logp, 0)

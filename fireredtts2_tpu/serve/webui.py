@@ -150,19 +150,31 @@ $('go').onclick = () => {
   btn.disabled = true;
   $('log').textContent = '';
   const ws = new WebSocket(`ws://${location.hostname}:__WS_PORT__`);
-  let playAt = 0, t0 = performance.now(), first = true;
+  let playAt = 0, t0 = performance.now(), first = true, lastUtt = -1;
   ws.onopen = () => {
-    ws.send(JSON.stringify({type: 'generate_speech',
-      text: $('text').value,
-      temperature: parseFloat($('temp').value),
-      top_k: parseInt($('topk').value),
-      streaming: true}));
-    log('request sent');
+    // Multiple [S1]/[S2] tags -> the KV-persistent streaming-dialogue
+    // message (one socket round trip per whole dialogue); otherwise a
+    // plain single-utterance stream.
+    const txt = $('text').value;
+    const parts = txt.split(/(?=\[S[1-4]\])/).map(s => s.trim()).filter(Boolean);
+    const multi = parts.length > 1 && parts.every(p => /^\[S[1-4]\]/.test(p));
+    ws.send(JSON.stringify(multi
+      ? {type: 'generate_dialogue', text_list: parts,
+         temperature: parseFloat($('temp').value),
+         top_k: parseInt($('topk').value)}
+      : {type: 'generate_speech', text: txt,
+         temperature: parseFloat($('temp').value),
+         top_k: parseInt($('topk').value), streaming: true}));
+    log(multi ? `dialogue request sent (${parts.length} utterances)`
+              : 'request sent');
   };
   ws.onmessage = ev => {
     const m = JSON.parse(ev.data);
     if (m.type === 'audio_chunk') {
       if (first) { log(`first packet: ${(performance.now()-t0).toFixed(0)} ms`); first = false; }
+      if (m.utterance !== undefined && m.utterance !== lastUtt) {
+        lastUtt = m.utterance; log(`utterance ${m.utterance + 1} ...`);
+      }
       playAt = playPcm16(m.data, m.sample_rate, playAt);
     } else if (m.type === 'generation_complete') {
       log(`done: ${m.duration_s.toFixed(2)}s in ${m.chunks} chunks`);

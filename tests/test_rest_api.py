@@ -193,4 +193,5 @@ def test_demo_page_has_cloning_ui(rest):
     with urllib.request.urlopen(rest["base"] + "/demo", timeout=30) as r:
         page = r.read().decode()
     assert "voices/create" in page and "tts/clone" in page
-    assert "generate_speech" in page  # dialogue tab intact
+    assert "generate_speech" in page   # single-utterance path intact
+    assert "generate_dialogue" in page  # KV-persistent dialogue streaming
