@@ -110,6 +110,17 @@ def main() -> int:
         respawns += 1
         print(f"[bench] worker exited rc={rc}; respawn {respawns}",
               file=sys.stderr)
+        if rc in (-6, 134):
+            # SIGABRT: a killed compile can leave a TRUNCATED entry in the
+            # persistent compile cache that hard-aborts every reader
+            # (jax compilation_cache deserialization). Clear it or every
+            # respawn dies the same way (CLAUDE.md gotcha).
+            cache = os.environ.get("FIREREDTTS2_JAX_CACHE",
+                                   "/tmp/frtts2_jax_cache")
+            print(f"[bench] SIGABRT — clearing compile cache {cache}",
+                  file=sys.stderr)
+            import shutil
+            shutil.rmtree(cache, ignore_errors=True)
         time.sleep(15)
 
     _merge(results_path, done, errors)

@@ -148,6 +148,24 @@ def test_dialogue_stream_equals_batch_incremental():
     assert e2._first_packet_s is not None
 
 
+def test_incremental_dialogue_under_fused_serving_config():
+    """The serving config (fused depth-chain kernel + int8 backbone) must
+    drive the incremental dialogue path too (interpret mode on CPU)."""
+    import dataclasses
+
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    cfg = tiny_engine_config()
+    cfg = dataclasses.replace(cfg, llm=dataclasses.replace(
+        cfg.llm, fused_depth_plan="gate=r8,up=s8,down=s8",
+        quantize_backbone=True))
+    eng = FireRedTTS2Engine(config=cfg, seed=7)
+    out = eng.generate_dialogue(list(TEXTS[:2]), max_utterance_ms=1600,
+                                topk=1, incremental=True)
+    assert out.size > 0 and np.isfinite(out).all()
+
+
 def test_incremental_overflow_raises():
     from fireredtts2_tpu.config import tiny_engine_config
     from fireredtts2_tpu.engine import FireRedTTS2Engine
