@@ -337,6 +337,13 @@ class ContinuousBatcher:
             in_flight = nxt
             if in_flight is None:
                 time.sleep(0.002)
+        # Graceful stop: drain the in-flight block, then terminate every
+        # still-live stream so no consumer blocks forever on its queue.
+        if in_flight is not None:
+            self._fan_out(*in_flight)
+        for b, s in enumerate(self.slots):
+            if s.active:
+                self._finish(b)
 
     def _fan_out(self, packed, K: int, active: list, t_block: float) -> None:
         """Fetch one packed block — (B, K*cs + K*ts + K) = [middles |

@@ -121,6 +121,29 @@ def test_per_request_sampling_config(batcher, greedy_engine):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
 
 
+def test_stop_terminates_live_streams(greedy_engine):
+    """stop() mid-stream must drain the in-flight block and close every
+    live handle (None sentinel) so no consumer blocks forever on its
+    queue — the graceful-stop path at the tail of _loop_inner."""
+    batcher = ContinuousBatcher(greedy_engine, max_streams=4, topk=1)
+    batcher.start()
+    h = batcher.submit("a long stream that will be interrupted", "[S1]",
+                       max_audio_length_ms=30_000)
+    first = h.chunks.get(timeout=300)   # stream is live
+    assert first is not None
+    batcher.stop()
+    # the handle must terminate promptly: chunks until a None sentinel
+    import queue as _q
+    while True:
+        try:
+            c = h.chunks.get(timeout=30)
+        except _q.Empty:
+            pytest.fail("stream handle never closed after stop()")
+        if c is None:
+            break
+    assert h.error is None
+
+
 def test_mid_block_frame_cap_is_exact(greedy_engine, batcher):
     """A frame cap landing INSIDE a decode block (3 frames: ladder runs
     block=1 then block=4, so the cap cuts the 4-frame block after 2) must
