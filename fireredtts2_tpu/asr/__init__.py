@@ -7,7 +7,7 @@ plugs in via `WhisperASR.as_transcriber()`.
 
 from fireredtts2_tpu.asr.model import (
     WhisperASRModelConfig, TINY_ASR, init_asr_params, asr_greedy_decode,
-    asr_detect_language, asr_encode,
+    asr_beam_decode, asr_sample_best_of, asr_detect_language, asr_encode,
 )
 from fireredtts2_tpu.asr.asr import (
     ASRConfig, TranscriptionResult, WhisperASR, StreamingWhisperASR,
@@ -19,7 +19,8 @@ from fireredtts2_tpu.asr.convert import (
 
 __all__ = [
     "WhisperASRModelConfig", "TINY_ASR", "init_asr_params",
-    "asr_greedy_decode", "asr_detect_language", "asr_encode",
+    "asr_greedy_decode", "asr_beam_decode", "asr_sample_best_of",
+    "asr_detect_language", "asr_encode",
     "ASRConfig", "TranscriptionResult", "WhisperASR", "StreamingWhisperASR",
     "create_asr_interface", "LANGUAGES",
     "convert_hf_whisper", "convert_hf_whisper_encoder", "load_hf_whisper",

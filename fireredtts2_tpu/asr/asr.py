@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from fireredtts2_tpu.asr.model import (
     WhisperASRModelConfig, init_asr_params, asr_greedy_decode,
-    asr_detect_language, TINY_ASR,
+    asr_beam_decode, asr_sample_best_of, asr_detect_language, TINY_ASR,
 )
 from fireredtts2_tpu.ops.audio import whisper_mel_filters, log_mel_spectrogram
 from fireredtts2_tpu.utils.audio_io import resample
@@ -62,14 +62,21 @@ class TranscriptionResult:
 
 @dataclass
 class ASRConfig:
-    """Decoding knobs (reference ASRConfig, whisper_asr.py:37-54; beam/
-    best-of are torch-package search options — the TPU path is greedy plus
-    the reference's actual quality mechanism: a temperature-fallback ladder
-    retried when the transcript is weak, whisper_asr.py:124-200)."""
+    """Decoding knobs (reference ASRConfig, whisper_asr.py:37-54): greedy
+    plus the temperature-fallback ladder by default; beam_size enables
+    beam search on the T=0 rung and best_of enables best-of-N sampling on
+    the T>0 rungs — the same split openai whisper's transcribe applies its
+    beam_size/best_of options with (the reference's backing package)."""
     model_size: str = "large-v3"
     language: Optional[str] = None       # None = auto-detect
     task: str = "transcribe"
     temperature: float = 0.0
+    # Search width: beam_size > 1 runs asr_beam_decode (one compiled
+    # program; beams are batch rows) whenever the ladder rung is T=0;
+    # best_of > 1 decodes N independent samples per T>0 rung against one
+    # shared encoder pass and keeps the best avg-logprob candidate.
+    beam_size: int = 1
+    best_of: int = 1
     no_speech_threshold: float = 0.6
     logprob_threshold: float = -1.0
     max_new_tokens: int = 224
@@ -154,6 +161,20 @@ class WhisperASR:
                 max_new=self.config.max_new_tokens,
                 temperature=temp, key=key, sot_index=sot),
             static_argnums=(6,))
+        self._beam = jax.jit(
+            lambda p, mel, mel_len, prompt, sot: asr_beam_decode(
+                p, cfg, mel, mel_len, prompt,
+                max_new=self.config.max_new_tokens,
+                beam_size=max(self.config.beam_size, 1), sot_index=sot),
+            static_argnums=(4,))
+        self._best_of = jax.jit(
+            lambda p, mel, mel_len, prompt, temp, key, sot:
+            asr_sample_best_of(
+                p, cfg, mel, mel_len, prompt,
+                max_new=self.config.max_new_tokens,
+                best_of=max(self.config.best_of, 1),
+                temperature=temp, key=key, sot_index=sot),
+            static_argnums=(6,))
         self._lang = jax.jit(
             lambda p, mel, mel_len: asr_detect_language(p, cfg, mel, mel_len))
 
@@ -229,12 +250,20 @@ class WhisperASR:
     def _decode_once(self, mel, mel_len, prompt, temperature: float,
                      attempt: int, sot_index: int = 0
                      ) -> tuple[list, float, float]:
-        """One decode at a given ladder temperature -> (ids, avg_lp,
-        no_speech). Deterministic per (seed, attempt)."""
+        """One ladder rung -> (ids, avg_lp, no_speech). Deterministic per
+        (seed, attempt). Search width follows openai whisper's transcribe
+        split: beam search applies on T=0 rungs, best-of-N sampling on
+        T>0 rungs, plain greedy/sampling otherwise."""
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.config.seed), attempt)
-        res = self._decode(self.params, mel, mel_len, prompt,
-                           jnp.float32(temperature), key, sot_index)
+        if temperature <= 0.0 and self.config.beam_size > 1:
+            res = self._beam(self.params, mel, mel_len, prompt, sot_index)
+        elif temperature > 0.0 and self.config.best_of > 1:
+            res = self._best_of(self.params, mel, mel_len, prompt,
+                                jnp.float32(temperature), key, sot_index)
+        else:
+            res = self._decode(self.params, mel, mel_len, prompt,
+                               jnp.float32(temperature), key, sot_index)
         self.decode_calls += 1
         n = int(res.n_tokens[0])
         ids = [int(t) for t in np.asarray(res.tokens[0][:n])]

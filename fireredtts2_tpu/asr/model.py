@@ -267,36 +267,17 @@ class GreedyResult(NamedTuple):
     no_speech_prob: Array  # (B,) fp32 — p(<|nospeech|>) at the SOT step
 
 
-def asr_greedy_decode(params: Params, cfg: WhisperASRModelConfig,
-                      mel: Array, mel_len: Array, prompt: Array,
-                      max_new: int, suppress_blank_id: int = -1,
-                      temperature: Array | float = 0.0,
-                      key: Optional[Array] = None,
-                      sot_index: int = 0) -> GreedyResult:
-    """Whole-utterance transcription as ONE jitted program.
-
-    Args:
-        mel: (B, T_mel, n_mels); mel_len: (B,); prompt: (B, P) forced
-        tokens (e.g. [sot, lang, transcribe, notimestamps]); max_new:
-        STATIC output budget.
-        temperature: TRACED scalar — 0.0 is greedy (argmax); > 0 samples
-        softmax(logits/T). Traced so the whole temperature-fallback ladder
-        (reference whisper_asr.py:124-200 retries at rising temperature on
-        weak transcripts) reuses one compiled program.
-        key: PRNG key for sampled decoding (required when temperature can
-        be > 0; folded by step index so decodes are reproducible).
-
-    Mirrors reference whisper transcribe; beam/best-of are quality knobs of
-    the torch package, not the model — greedy + temperature fallback is the
-    production path here (whisper_asr.py:141).
-    """
+def _sample_loop(params: Params, cfg: WhisperASRModelConfig,
+                 cross: dict[str, Array], enc_len: Array, state: ASRDecodeState,
+                 prompt: Array, max_new: int,
+                 temperature: Array, key: Array,
+                 sot_index: int = 0) -> GreedyResult:
+    """Greedy/sampled AR decode over R prompt rows given a prepared
+    encoder context (cross KV + lengths + fresh slab state). Shared by
+    asr_greedy_decode (R = B) and asr_sample_best_of (R = B*N tiled
+    candidates — encode once, decode many)."""
     B, P = prompt.shape
-    if key is None:
-        key = jax.random.PRNGKey(0)
     temperature = jnp.asarray(temperature, jnp.float32)
-    enc, enc_len = asr_encode(params, cfg, mel, mel_len)
-    cross = precompute_cross_kv(params, cfg, enc)
-    state = init_asr_decode_state(cfg, B, enc.dtype)
 
     def pick(logp, t):
         """argmax at T=0, categorical sample at T>0 (one program: the
@@ -352,6 +333,246 @@ def asr_greedy_decode(params: Params, cfg: WhisperASRModelConfig,
     _, buf, n, sum_lp, _, _, _ = jax.lax.while_loop(cond, body, carry)
     return GreedyResult(tokens=buf, n_tokens=n, sum_logprob=sum_lp,
                         no_speech_prob=no_speech)
+
+
+def asr_greedy_decode(params: Params, cfg: WhisperASRModelConfig,
+                      mel: Array, mel_len: Array, prompt: Array,
+                      max_new: int, suppress_blank_id: int = -1,
+                      temperature: Array | float = 0.0,
+                      key: Optional[Array] = None,
+                      sot_index: int = 0) -> GreedyResult:
+    """Whole-utterance transcription as ONE jitted program.
+
+    Args:
+        mel: (B, T_mel, n_mels); mel_len: (B,); prompt: (B, P) forced
+        tokens (e.g. [sot, lang, transcribe, notimestamps]); max_new:
+        STATIC output budget.
+        temperature: TRACED scalar — 0.0 is greedy (argmax); > 0 samples
+        softmax(logits/T). Traced so the whole temperature-fallback ladder
+        (reference whisper_asr.py:124-200 retries at rising temperature on
+        weak transcripts) reuses one compiled program.
+        key: PRNG key for sampled decoding (required when temperature can
+        be > 0; folded by step index so decodes are reproducible).
+
+    Mirrors reference whisper transcribe's default temperature=0 path;
+    asr_beam_decode / asr_sample_best_of cover the reference's beam_size /
+    best_of search options (whisper_asr.py:40-41).
+    """
+    B, P = prompt.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    enc, enc_len = asr_encode(params, cfg, mel, mel_len)
+    cross = precompute_cross_kv(params, cfg, enc)
+    state = init_asr_decode_state(cfg, B, enc.dtype)
+    return _sample_loop(params, cfg, cross, enc_len, state, prompt, max_new,
+                        temperature, key, sot_index)
+
+
+def _tile_beams(cross: dict[str, Array], enc_len: Array, n: int
+                ) -> tuple[dict[str, Array], Array]:
+    """Tile the per-utterance encoder context to n rows per utterance
+    (row r = b*n + j): the encoder runs ONCE however many candidates or
+    beams decode against it."""
+    return ({k: jnp.repeat(v, n, axis=1) for k, v in cross.items()},
+            jnp.repeat(enc_len, n, axis=0))
+
+
+def asr_sample_best_of(params: Params, cfg: WhisperASRModelConfig,
+                       mel: Array, mel_len: Array, prompt: Array,
+                       max_new: int, best_of: int,
+                       temperature: Array | float,
+                       key: Optional[Array] = None,
+                       sot_index: int = 0) -> GreedyResult:
+    """best-of-N sampled transcription (reference ASRConfig.best_of,
+    whisper_asr.py:41 / openai whisper GreedyDecoder(best_of)): N
+    independent samples decode as ONE batched program against a single
+    shared encoder pass (candidates are just rows of the batch — the
+    TPU-first shape of "run it N times"), then the candidate with the best
+    length-normalized logprob wins per utterance.
+
+    Selection metric sum_logprob/(n_tokens+1) matches the service layer's
+    avg-logprob confidence gate, so the winner is exactly the candidate the
+    fallback ladder would judge strongest.
+    """
+    B, P = prompt.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    enc, enc_len = asr_encode(params, cfg, mel, mel_len)
+    cross = precompute_cross_kv(params, cfg, enc)
+    cross, enc_len = _tile_beams(cross, enc_len, best_of)
+    R = B * best_of
+    state = init_asr_decode_state(cfg, R, enc.dtype)
+    res = _sample_loop(params, cfg, cross, enc_len, state,
+                       jnp.repeat(prompt, best_of, axis=0), max_new,
+                       temperature, key, sot_index)
+    avg = (res.sum_logprob / (res.n_tokens.astype(jnp.float32) + 1.0)
+           ).reshape(B, best_of)
+    best = jnp.argmax(avg, axis=1)                       # (B,)
+    rows = jnp.arange(B) * best_of + best
+    return GreedyResult(tokens=res.tokens[rows], n_tokens=res.n_tokens[rows],
+                        sum_logprob=res.sum_logprob[rows],
+                        no_speech_prob=res.no_speech_prob[jnp.arange(B)
+                                                          * best_of])
+
+
+# ---------------------------------------------------------------------------
+# Beam search (one device program)
+# ---------------------------------------------------------------------------
+
+
+class BeamResult(NamedTuple):
+    tokens: Array          # (B, max_new) int32 best hypothesis, eot-padded
+    n_tokens: Array        # (B,) int32 — tokens before EOT
+    sum_logprob: Array     # (B,) fp32 — incl. the closing EOT's logprob
+    no_speech_prob: Array  # (B,) fp32
+    n_finished: Array      # (B,) int32 — hypotheses that closed with EOT
+
+
+def asr_beam_decode(params: Params, cfg: WhisperASRModelConfig,
+                    mel: Array, mel_len: Array, prompt: Array,
+                    max_new: int, beam_size: int,
+                    sot_index: int = 0) -> BeamResult:
+    """Beam-search transcription as ONE jitted program (reference
+    ASRConfig.beam_size, whisper_asr.py:40, backed by openai whisper's
+    BeamSearchDecoder, decoding.py — semantics reproduced here, tested
+    token-exact against an eager implementation in tests/test_asr.py):
+
+    - beams are ROWS of the decode batch (row r = b*W + w); reordering a
+      beam is a gather of its KV-slab rows — no python control flow, the
+      whole search is a lax.while_loop on device;
+    - each step every beam proposes its top-(W+1) tokens; EOT proposals
+      enter a per-utterance finished pool (best-first, capped at W =
+      patience 1.0), the best W non-EOT proposals become the next beams;
+    - the search ends when the pool is full (or the token budget runs
+      out; unfinished beams then pad the pool), and the hypothesis with
+      the best length-normalized logprob sum/(len+1) wins — whisper's
+      MaximumLikelihoodRanker with length_penalty=None, normalized the
+      same way the service layer's confidence gate is.
+    """
+    B, P = prompt.shape
+    W = beam_size
+    V = cfg.vocab_size
+    R = B * W
+    NEG = jnp.float32(-1e9)
+    enc, enc_len = asr_encode(params, cfg, mel, mel_len)
+    cross = precompute_cross_kv(params, cfg, enc)
+    cross, enc_lenR = _tile_beams(cross, enc_len, W)
+    state = init_asr_decode_state(cfg, R, enc.dtype)
+
+    logits, state = asr_decoder_forward(
+        params, cfg, jnp.repeat(prompt, W, axis=0), state, cross, enc_lenR)
+    no_speech = jax.nn.softmax(logits[::W, sot_index],
+                               axis=-1)[:, cfg.no_speech_id]
+    logp0 = jax.nn.log_softmax(logits[:, -1], axis=-1).reshape(B, W, V)
+
+    barange = jnp.arange(B)
+    eot_onehot = jax.nn.one_hot(cfg.eot_id, V, dtype=jnp.float32)
+
+    def step(logp, state, beam_tok, beam_sum, fin):
+        """One beam-search transition. logp: (B, W, V); beam state is
+        gathered/extended; EOT proposals feed the finished pool."""
+        fin_tok, fin_sum, fin_n, fin_cnt, t = fin
+        live = beam_sum > NEG / 2                         # (B, W)
+
+        # -- EOT proposals: each beam contributes one, valid only when EOT
+        # is inside its own top-(W+1) (openai proposes exactly W+1 per
+        # beam, so EOT outside that set is never seen).
+        kth = jax.lax.top_k(logp, min(W + 1, V))[0][..., -1]   # (B, W)
+        eot_lp = logp[..., cfg.eot_id]
+        eot_valid = (eot_lp >= kth) & live
+        eot_score = beam_sum + eot_lp                     # (B, W)
+        order = jnp.argsort(-jnp.where(eot_valid, eot_score, NEG), axis=1)
+
+        def insert(i, carry):
+            ft, fs, fn, fc = carry
+            j = order[:, i]                               # (B,)
+            ok = (jnp.take_along_axis(eot_valid, j[:, None], 1)[:, 0]
+                  & (fc < W))
+            slot = jnp.minimum(fc, W - 1)
+            score_j = jnp.take_along_axis(eot_score, j[:, None], 1)[:, 0]
+            seq_j = jnp.take_along_axis(
+                beam_tok, j[:, None, None], 1)[:, 0]      # (B, max_new)
+            cur_s = fs[barange, slot]
+            cur_t = ft[barange, slot]
+            cur_n = fn[barange, slot]
+            fs = fs.at[barange, slot].set(jnp.where(ok, score_j, cur_s))
+            ft = ft.at[barange, slot].set(
+                jnp.where(ok[:, None], seq_j, cur_t))
+            fn = fn.at[barange, slot].set(jnp.where(ok, t, cur_n))
+            return ft, fs, fn, fc + ok.astype(jnp.int32)
+
+        fin_tok, fin_sum, fin_n, fin_cnt = jax.lax.fori_loop(
+            0, W, insert, (fin_tok, fin_sum, fin_n, fin_cnt))
+
+        # -- continuations: global top-W over (W*V) non-EOT candidates.
+        cand = beam_sum[..., None] + logp - eot_onehot * 1e9
+        top_s, top_i = jax.lax.top_k(cand.reshape(B, W * V), W)
+        parent = top_i // V                               # (B, W)
+        tok = (top_i % V).astype(jnp.int32)
+        beam_tok = jnp.take_along_axis(beam_tok, parent[:, :, None], 1)
+        beam_tok = jax.lax.dynamic_update_index_in_dim(
+            beam_tok.transpose(2, 0, 1), tok, t, axis=0).transpose(1, 2, 0)
+        rows = (barange[:, None] * W + parent).reshape(R)
+        state = ASRDecodeState(
+            cache_k=jnp.take(state.cache_k, rows, axis=1),
+            cache_v=jnp.take(state.cache_v, rows, axis=1), pos=state.pos)
+        return (state, beam_tok, top_s, tok.reshape(R),
+                (fin_tok, fin_sum, fin_n, fin_cnt, t + 1))
+
+    beam_tok = jnp.full((B, W, max_new), cfg.eot_id, jnp.int32)
+    beam_sum = jnp.where(jnp.arange(W)[None, :] == 0, 0.0, NEG)
+    beam_sum = jnp.broadcast_to(beam_sum, (B, W)).astype(jnp.float32)
+    fin = (jnp.full((B, W, max_new), cfg.eot_id, jnp.int32),
+           jnp.full((B, W), NEG, jnp.float32),
+           jnp.zeros((B, W), jnp.int32), jnp.zeros((B,), jnp.int32),
+           jnp.int32(0))
+    state, beam_tok, beam_sum, cur, fin = step(
+        logp0, state, beam_tok, beam_sum, fin)
+
+    def cond(c):
+        _, _, _, _, (_, _, _, fc, t) = c
+        return (t < max_new) & ~jnp.all(fc >= W)
+
+    def body(c):
+        state, beam_tok, beam_sum, cur, fin = c
+        logits, state = asr_decoder_forward(
+            params, cfg, cur[:, None], state, cross, enc_lenR)
+        logp = jax.nn.log_softmax(logits[:, -1], axis=-1).reshape(B, W, V)
+        return step(logp, state, beam_tok, beam_sum, fin)
+
+    _, beam_tok, beam_sum, _, fin = jax.lax.while_loop(
+        cond, body, (state, beam_tok, beam_sum, cur, fin))
+    fin_tok, fin_sum, fin_n, fin_cnt, t_end = fin
+    n_finished = jnp.minimum(fin_cnt, W)
+
+    # Finalize: utterances whose pool is not full pad it with the running
+    # beams, best score first (openai BeamSearchDecoder.finalize).
+    order = jnp.argsort(-beam_sum, axis=1)
+
+    def pad(i, carry):
+        ft, fs, fn, fc = carry
+        j = order[:, i]
+        ok = fc < W
+        slot = jnp.minimum(fc, W - 1)
+        score_j = jnp.take_along_axis(beam_sum, j[:, None], 1)[:, 0]
+        seq_j = jnp.take_along_axis(beam_tok, j[:, None, None], 1)[:, 0]
+        cur_s = fs[barange, slot]
+        cur_t = ft[barange, slot]
+        cur_n = fn[barange, slot]
+        fs = fs.at[barange, slot].set(jnp.where(ok, score_j, cur_s))
+        ft = ft.at[barange, slot].set(jnp.where(ok[:, None], seq_j, cur_t))
+        fn = fn.at[barange, slot].set(jnp.where(ok, t_end, cur_n))
+        return ft, fs, fn, fc + ok.astype(jnp.int32)
+
+    fin_tok, fin_sum, fin_n, _ = jax.lax.fori_loop(
+        0, W, pad, (fin_tok, fin_sum, fin_n, fin_cnt))
+
+    avg = fin_sum / (fin_n.astype(jnp.float32) + 1.0)
+    best = jnp.argmax(avg, axis=1)
+    return BeamResult(
+        tokens=fin_tok[barange, best], n_tokens=fin_n[barange, best],
+        sum_logprob=fin_sum[barange, best], no_speech_prob=no_speech,
+        n_finished=n_finished)
 
 
 def asr_detect_language(params: Params, cfg: WhisperASRModelConfig,

@@ -8,8 +8,8 @@ import jax.numpy as jnp
 
 from fireredtts2_tpu.asr import (
     TINY_ASR, WhisperASR, StreamingWhisperASR, ASRConfig,
-    init_asr_params, asr_greedy_decode, asr_detect_language,
-    convert_hf_whisper,
+    init_asr_params, asr_greedy_decode, asr_beam_decode,
+    asr_sample_best_of, asr_detect_language, convert_hf_whisper,
 )
 from fireredtts2_tpu.asr.model import (
     asr_encode, asr_decoder_forward, init_asr_decode_state,
@@ -70,6 +70,133 @@ def test_decoder_prefill_equals_stepwise(rng):
                                        cross, enc_len)
     np.testing.assert_allclose(np.asarray(full[:, -1]), np.asarray(step[:, -1]),
                                rtol=2e-4, atol=2e-5)
+
+
+# ------------------------------------------------------------- beam search
+
+
+def _eager_beam(params, cfg, mel, mel_len, prompt_row, max_new, W):
+    """Independent eager beam search (python loops, full teacher-forced
+    prefill each step — none of the while_loop/KV-gather machinery the
+    compiled asr_beam_decode uses), same semantics: per-beam top-(W+1)
+    proposals, EOT proposals fill a W-capped pool best-first, best W
+    continuations survive, final ranking by sum/(len+1)."""
+    enc, enc_len = asr_encode(params, cfg, mel, mel_len)
+    cross = precompute_cross_kv(params, cfg, enc)
+    P = len(prompt_row)
+
+    def last_logp(seq):
+        st = init_asr_decode_state(cfg, 1)
+        logits, _ = asr_decoder_forward(
+            params, cfg, jnp.asarray([seq], jnp.int32), st, cross, enc_len)
+        return np.asarray(jax.nn.log_softmax(logits[0, -1]))
+
+    beams = [(list(prompt_row), 0.0)]
+    finished = []          # (generated_tokens, sum_lp, n) in arrival order
+    t_end = 0
+    for t in range(max_new):
+        cont, eots = [], []
+        for seq, s in beams:
+            lp = last_logp(seq)
+            for v in np.argsort(-lp)[: W + 1]:
+                v = int(v)
+                if v == cfg.eot_id:
+                    eots.append((seq[P:], s + lp[v]))
+                else:
+                    cont.append((seq + [v], s + lp[v]))
+        for gen, sc in sorted(eots, key=lambda x: -x[1]):
+            if len(finished) < W:
+                finished.append((gen, sc, len(gen)))
+        beams = sorted(cont, key=lambda x: -x[1])[:W]
+        t_end = t + 1
+        if len(finished) >= W:
+            break
+    for seq, s in sorted(beams, key=lambda x: -x[1]):
+        if len(finished) < W:
+            finished.append((seq[P:], s, t_end))
+    return max(finished, key=lambda f: f[1] / (f[2] + 1))
+
+
+def test_beam_size_one_equals_greedy(rng):
+    cfg = TINY_ASR
+    params = init_asr_params(jax.random.PRNGKey(4), cfg)
+    mel, mel_len = _rand_mel(rng, cfg)
+    prompt = jnp.asarray([[cfg.sot_id, cfg.transcribe_id,
+                           cfg.no_timestamps_id]], jnp.int32)
+    g = asr_greedy_decode(params, cfg, mel, mel_len, prompt, max_new=8)
+    b = asr_beam_decode(params, cfg, mel, mel_len, prompt, max_new=8,
+                        beam_size=1)
+    ng, nb = int(g.n_tokens[0]), int(b.n_tokens[0])
+    assert ng == nb
+    np.testing.assert_array_equal(np.asarray(g.tokens[0][:ng]),
+                                  np.asarray(b.tokens[0][:nb]))
+    np.testing.assert_allclose(float(g.sum_logprob[0]),
+                               float(b.sum_logprob[0]), rtol=1e-4)
+    np.testing.assert_allclose(float(g.no_speech_prob[0]),
+                               float(b.no_speech_prob[0]), rtol=1e-4)
+
+
+@pytest.mark.parametrize("beam_size", [2, 4])
+def test_beam_decode_matches_eager_reference(rng, beam_size):
+    """The one-program beam search (beams as batch rows, KV-slab gathers,
+    on-device finished pool) must pick the exact hypothesis an eager
+    python implementation of the same search picks."""
+    cfg = TINY_ASR
+    params = init_asr_params(jax.random.PRNGKey(5), cfg)
+    mel, mel_len = _rand_mel(rng, cfg)
+    prompt_row = [cfg.sot_id, cfg.transcribe_id, cfg.no_timestamps_id]
+    max_new = 8
+
+    want_gen, want_score, want_n = _eager_beam(
+        params, cfg, mel, mel_len, prompt_row, max_new, beam_size)
+
+    res = asr_beam_decode(params, cfg, mel, mel_len,
+                          jnp.asarray([prompt_row], jnp.int32),
+                          max_new=max_new, beam_size=beam_size)
+    n = int(res.n_tokens[0])
+    got = [int(t) for t in np.asarray(res.tokens[0][:n])]
+    assert n == want_n
+    assert got == [int(v) for v in want_gen[:n]]
+    np.testing.assert_allclose(float(res.sum_logprob[0]), want_score,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_best_of_equals_tiled_batch_selection(rng):
+    """best-of-N must equal decoding N identical rows as a plain batch
+    (same key) and keeping the best avg-logprob row — proves the
+    encode-once tiling and the on-device selection."""
+    cfg = TINY_ASR
+    params = init_asr_params(jax.random.PRNGKey(6), cfg)
+    mel, mel_len = _rand_mel(rng, cfg)
+    prompt_row = [cfg.sot_id, cfg.transcribe_id, cfg.no_timestamps_id]
+    N, max_new = 4, 8
+    key = jax.random.PRNGKey(11)
+
+    tiled = asr_greedy_decode(
+        params, cfg, jnp.tile(mel, (N, 1, 1)), jnp.tile(mel_len, (N,)),
+        jnp.asarray([prompt_row] * N, jnp.int32), max_new=max_new,
+        temperature=1.0, key=key)
+    avg = (np.asarray(tiled.sum_logprob)
+           / (np.asarray(tiled.n_tokens, np.float32) + 1.0))
+    w = int(avg.argmax())
+
+    res = asr_sample_best_of(
+        params, cfg, mel, mel_len, jnp.asarray([prompt_row], jnp.int32),
+        max_new=max_new, best_of=N, temperature=1.0, key=key)
+    assert int(res.n_tokens[0]) == int(tiled.n_tokens[w])
+    np.testing.assert_array_equal(np.asarray(res.tokens[0]),
+                                  np.asarray(tiled.tokens[w]))
+
+
+def test_service_beam_and_best_of_paths(rng):
+    """ASRConfig.beam_size / best_of route transcribe through the beam /
+    best-of programs (reference ASRConfig knobs, whisper_asr.py:40-41)."""
+    asr = WhisperASR(config=ASRConfig(max_new_tokens=8, beam_size=3,
+                                      best_of=2), seed=3)
+    audio = rng.standard_normal(16_000).astype(np.float32) * 0.3
+    res = asr.transcribe(audio, 16_000)
+    assert isinstance(res.text, str)
+    assert res.segments == [] or "avg_logprob" in res.segments[0]
 
 
 # ------------------------------------------------------------ torch parity
