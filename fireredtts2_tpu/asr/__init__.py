@@ -16,6 +16,10 @@ from fireredtts2_tpu.asr.asr import (
 from fireredtts2_tpu.asr.convert import (
     convert_hf_whisper, convert_hf_whisper_encoder, load_hf_whisper,
 )
+from fireredtts2_tpu.asr.timestamps import (
+    default_alignment_heads, word_timestamps_from_alignment, dtw_path,
+    split_to_words,
+)
 
 __all__ = [
     "WhisperASRModelConfig", "TINY_ASR", "init_asr_params",
@@ -24,4 +28,6 @@ __all__ = [
     "ASRConfig", "TranscriptionResult", "WhisperASR", "StreamingWhisperASR",
     "create_asr_interface", "LANGUAGES",
     "convert_hf_whisper", "convert_hf_whisper_encoder", "load_hf_whisper",
+    "default_alignment_heads", "word_timestamps_from_alignment", "dtw_path",
+    "split_to_words",
 ]

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 
 from fireredtts2_tpu.asr.model import (
     WhisperASRModelConfig, init_asr_params, asr_greedy_decode,
-    asr_beam_decode, asr_sample_best_of, asr_detect_language, TINY_ASR,
+    asr_beam_decode, asr_sample_best_of, asr_alignment_probs,
+    asr_detect_language, TINY_ASR,
+)
+from fireredtts2_tpu.asr.timestamps import (
+    default_alignment_heads, word_timestamps_from_alignment,
 )
 from fireredtts2_tpu.ops.audio import whisper_mel_filters, log_mel_spectrogram
 from fireredtts2_tpu.utils.audio_io import resample
@@ -77,6 +81,17 @@ class ASRConfig:
     # shared encoder pass and keeps the best avg-logprob candidate.
     beam_size: int = 1
     best_of: int = 1
+    # Word-level timestamps via cross-attention alignment + DTW
+    # (asr/timestamps.py — openai whisper timing.find_alignment): adds a
+    # "words" list to each segment. One extra compiled teacher-forced
+    # forward per transcription.
+    word_timestamps: bool = False
+    # Long-form audio: transcribe seeks over fixed 30 s windows with
+    # rolling <|startofprev|> conditioning (the reference's backing
+    # package seeks with timestamp tokens; fixed-stride windows keep
+    # every program shape static). max_windows caps total audio
+    # (120 windows = 1 hour).
+    max_windows: int = 120
     no_speech_threshold: float = 0.6
     logprob_threshold: float = -1.0
     max_new_tokens: int = 224
@@ -139,9 +154,14 @@ class WhisperASR:
                  params: Optional[dict] = None,
                  model_cfg: Optional[WhisperASRModelConfig] = None,
                  detokenizer: Optional[Detokenizer] = None,
+                 alignment_heads: Optional[tuple] = None,
                  seed: int = 0, warmup: bool = True):
         self.config = config or ASRConfig()
         self.model_cfg = model_cfg or TINY_ASR
+        self.alignment_heads = tuple(
+            alignment_heads if alignment_heads is not None
+            else default_alignment_heads(self.model_cfg.decoder_layers,
+                                         self.model_cfg.num_heads))
         self.params = params if params is not None else init_asr_params(
             jax.random.PRNGKey(seed), self.model_cfg)
         self.detokenize = detokenizer or _default_detokenizer
@@ -177,6 +197,9 @@ class WhisperASR:
             static_argnums=(6,))
         self._lang = jax.jit(
             lambda p, mel, mel_len: asr_detect_language(p, cfg, mel, mel_len))
+        self._align = jax.jit(
+            lambda p, mel, mel_len, tokens: asr_alignment_probs(
+                p, cfg, mel, mel_len, tokens, self.alignment_heads))
 
         self.total_transcriptions = 0
         self.total_processing_time = 0.0
@@ -211,7 +234,9 @@ class WhisperASR:
         peak = np.abs(audio).max() if audio.size else 0.0
         if peak > 1.0:
             audio = audio / peak
-        return audio[: self._n_samples]
+        # Long-form audio is transcribed window by window (transcribe's
+        # seek loop); only a generous safety cap applies here.
+        return audio[: self._n_samples * self.config.max_windows]
 
     def _mel(self, audio16k: np.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """-> ((1, T_mel, n_mels) padded mel, (1,) real length)."""
@@ -270,16 +295,63 @@ class WhisperASR:
         avg_lp = float(res.sum_logprob[0]) / max(n + 1, 1)
         return ids, avg_lp, float(res.no_speech_prob[0])
 
+    def _transcribe_window(self, win: np.ndarray, lang: Optional[str],
+                           prev_ids: Optional[list], attempt_base: int):
+        """Ladder-decode ONE <=30 s window (reference whisper_asr.py:
+        124-226 / openai whisper transcribe): greedy (or beam) first;
+        when the transcript is weak (avg logprob below logprob_threshold)
+        or degenerate-repetitive (compression ratio above threshold) —
+        and the window is NOT just silence — retry at rising temperatures,
+        accepting the first decode that clears the gates.
+
+        Returns (ids, text, avg_lp, no_speech, used_temp, align_ctx)."""
+        prompt_np, sot_index = self._prompt_ids(lang, prev_ids)
+        if (prompt_np.shape[1] + self.config.max_new_tokens
+                > self.model_cfg.max_target_positions):
+            raise ValueError(
+                f"prompt ({prompt_np.shape[1]}) + max_new_tokens "
+                f"({self.config.max_new_tokens}) exceeds "
+                f"max_target_positions "
+                f"({self.model_cfg.max_target_positions}); lower "
+                f"ASRConfig.prev_window or max_new_tokens")
+        mel, mel_len = self._mel(win)
+        prompt = jnp.asarray(prompt_np)
+
+        ladder = ((self.config.temperature,)
+                  + tuple(t for t in self.config.fallback_temperatures
+                          if t > self.config.temperature))
+        used_temp = ladder[0]
+        for attempt, temp in enumerate(ladder):
+            ids, avg_lp, no_speech = self._decode_once(
+                mel, mel_len, prompt, temp, attempt_base + attempt,
+                sot_index)
+            used_temp = temp
+            text = self.detokenize(ids) if ids else ""
+            is_silence = no_speech > self.config.no_speech_threshold
+            weak = avg_lp < self.config.logprob_threshold
+            degenerate = (_compression_ratio(text)
+                          > self.config.compression_ratio_threshold)
+            if is_silence or not (weak or degenerate):
+                break  # silence is final; a clean transcript is final
+
+        # no-speech gate (openai whisper decode semantics): silence if
+        # p(nospeech) is high AND the transcript logprob is weak.
+        if (no_speech > self.config.no_speech_threshold
+                and avg_lp < self.config.logprob_threshold):
+            text, ids = "", []
+        return (ids, text, avg_lp, no_speech, used_temp,
+                (mel, mel_len, prompt_np[0].tolist()))
+
     def transcribe(self, audio_data: np.ndarray, sample_rate: int = 16_000,
                    language: Optional[str] = None,
                    initial_prompt_ids: Optional[list] = None
                    ) -> TranscriptionResult:
-        """Transcription with the temperature-fallback ladder (reference
-        whisper_asr.py:124-226 / openai whisper transcribe): greedy first;
-        when the transcript is weak (avg logprob below logprob_threshold)
-        or degenerate-repetitive (compression ratio above threshold) —
-        and the audio is NOT just silence — retry at rising temperatures,
-        accepting the first decode that clears the gates.
+        """Transcription with the temperature-fallback ladder; audio
+        longer than 30 s is transcribed by a seek loop over fixed 30 s
+        windows with rolling <|startofprev|> conditioning — every window
+        reuses the same compiled programs (the reference's backing package
+        seeks with timestamp tokens; fixed-stride windows are the
+        static-shape equivalent). One segment per non-silent window.
 
         initial_prompt_ids: context tokens for <|startofprev|>
         conditioning (used once >= ASRConfig.prev_window are available —
@@ -289,41 +361,59 @@ class WhisperASR:
         lang = language or self.config.language
         # Config errors raise loudly (they are caller bugs, not transient
         # transcription failures the broad handler below should eat).
-        prompt_np, sot_index = self._prompt_ids(lang, initial_prompt_ids)
-        if (prompt_np.shape[1] + self.config.max_new_tokens
+        probe, _ = self._prompt_ids(lang, initial_prompt_ids)
+        if (probe.shape[1] + self.config.max_new_tokens
                 > self.model_cfg.max_target_positions):
             raise ValueError(
-                f"prompt ({prompt_np.shape[1]}) + max_new_tokens "
+                f"prompt ({probe.shape[1]}) + max_new_tokens "
                 f"({self.config.max_new_tokens}) exceeds "
                 f"max_target_positions "
                 f"({self.model_cfg.max_target_positions}); lower "
                 f"ASRConfig.prev_window or max_new_tokens")
         try:
             audio = self._preprocess_audio(audio_data, sample_rate)
-            mel, mel_len = self._mel(audio)
-            prompt = jnp.asarray(prompt_np)
-
-            ladder = ((self.config.temperature,)
-                      + tuple(t for t in self.config.fallback_temperatures
-                              if t > self.config.temperature))
-            used_temp = ladder[0]
-            for attempt, temp in enumerate(ladder):
-                ids, avg_lp, no_speech = self._decode_once(
-                    mel, mel_len, prompt, temp, attempt, sot_index)
-                used_temp = temp
-                text = self.detokenize(ids) if ids else ""
-                is_silence = no_speech > self.config.no_speech_threshold
-                weak = avg_lp < self.config.logprob_threshold
-                degenerate = (_compression_ratio(text)
-                              > self.config.compression_ratio_threshold)
-                if is_silence or not (weak or degenerate):
-                    break  # silence is final; a clean transcript is final
-
-            # no-speech gate (openai whisper decode semantics): silence if
-            # p(nospeech) is high AND the transcript logprob is weak.
-            if (no_speech > self.config.no_speech_threshold
-                    and avg_lp < self.config.logprob_threshold):
-                text, ids = "", []
+            W = self._n_samples
+            n_win = max(1, -(-max(len(audio), 1) // W))
+            prev = list(initial_prompt_ids) if initial_prompt_ids else []
+            segments: list = []
+            texts: list = []
+            lp_num = lp_den = 0.0
+            avg_lp = 0.0
+            for wi in range(n_win):
+                off = wi * W
+                win = audio[off: off + W]
+                cond = (prev if self.config.condition_on_previous_text
+                        else None)
+                ids, text, avg_lp, no_speech, used_temp, align_ctx = \
+                    self._transcribe_window(win, lang, cond,
+                                            attempt_base=wi * 1000)
+                if not ids:
+                    continue
+                t_off = off / 16_000
+                seg = {"id": len(segments), "start": t_off,
+                       "end": t_off + len(win) / 16_000,
+                       "text": text, "tokens": ids,
+                       "temperature": used_temp, "avg_logprob": avg_lp,
+                       "compression_ratio": _compression_ratio(text),
+                       "no_speech_prob": no_speech}
+                if self.config.word_timestamps:
+                    mel, mel_len, prompt_row = align_ctx
+                    words = self._word_timestamps(mel, mel_len, prompt_row,
+                                                  ids, len(win))
+                    for w in words:
+                        w["start"] += t_off
+                        w["end"] += t_off
+                    seg["words"] = words
+                segments.append(seg)
+                texts.append(text.strip())
+                lp_num += avg_lp * (len(ids) + 1)
+                lp_den += len(ids) + 1
+                # openai whisper: output decoded above temperature 0.5 is
+                # too noisy to condition the next window on
+                if used_temp <= 0.5:
+                    prev.extend(ids)
+                else:
+                    prev = []
 
             dt = (time.time() - t0) * 1000.0
             self.total_transcriptions += 1
@@ -331,16 +421,13 @@ class WhisperASR:
             self.average_processing_time = (
                 self.total_processing_time / self.total_transcriptions)
 
-            confidence = float(np.clip(np.exp(avg_lp), 0.0, 1.0)) if ids else 0.0
-            seg = {"id": 0, "start": 0.0, "end": len(audio) / 16_000,
-                   "text": text, "tokens": ids, "temperature": used_temp,
-                   "avg_logprob": avg_lp,
-                   "compression_ratio": _compression_ratio(text),
-                   "no_speech_prob": no_speech}
+            mean_lp = lp_num / lp_den if lp_den else avg_lp
+            confidence = (float(np.clip(np.exp(mean_lp), 0.0, 1.0))
+                          if segments else 0.0)
             return TranscriptionResult(
-                text=text.strip(), confidence=confidence,
+                text=" ".join(t for t in texts if t), confidence=confidence,
                 language=lang or "unknown", start_time=0.0,
-                end_time=len(audio) / 16_000, segments=[seg] if ids else [],
+                end_time=len(audio) / 16_000, segments=segments,
                 processing_time_ms=dt, model_name=self.model_name)
         except Exception:
             # loud in logs, quiet to callers — reference returns an empty
@@ -352,6 +439,24 @@ class WhisperASR:
                 end_time=0.0, segments=[],
                 processing_time_ms=(time.time() - t0) * 1000.0,
                 model_name=self.model_name)
+
+    def _word_timestamps(self, mel, mel_len, prompt_row: list, ids: list,
+                         n_samples: int) -> list:
+        """Cross-attention alignment -> word dicts. The teacher-forced
+        sequence is padded to the STATIC length P + max_new + 1 so the
+        alignment program compiles once per prompt variant."""
+        cfg = self.model_cfg
+        P = len(prompt_row)
+        full = prompt_row + ids + [cfg.eot_id]
+        S = P + self.config.max_new_tokens + 1
+        full = (full + [cfg.eot_id] * S)[:S]
+        probs, tok_lp = self._align(
+            self.params, mel, mel_len, jnp.asarray([full], jnp.int32))
+        n_frames = max(n_samples // 320, 1)   # 16 kHz -> 50 Hz enc frames
+        return word_timestamps_from_alignment(
+            np.asarray(probs[0]), np.asarray(tok_lp[0]),
+            text_start=P, n_text=len(ids), ids=ids,
+            detokenize=self.detokenize, n_frames=n_frames)
 
     def detect_language(self, audio_data: np.ndarray,
                         sample_rate: int = 16_000) -> Dict[str, Any]:

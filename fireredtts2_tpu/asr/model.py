@@ -188,6 +188,7 @@ def _decoder_layer(h: Array, lp: Params, cfg: WhisperASRModelConfig,
     h = h + (attn.reshape(B, S, D) @ lp["self_wo"] + lp["self_bo"]).astype(h.dtype)
 
     # cross-attention over precomputed encoder K/V
+    cross_in = h                     # saved for alignment-head re-projection
     x = layer_norm(h, lp["cross_ln_w"], lp["cross_ln_b"])
     q = (x @ lp["cross_wq"] + lp["cross_bq"]).reshape(B, S, H, Dh)
     attn = mha_attention(q, cross_k.astype(h.dtype), cross_v.astype(h.dtype),
@@ -198,19 +199,25 @@ def _decoder_layer(h: Array, lp: Params, cfg: WhisperASRModelConfig,
     x = layer_norm(h, lp["ffn_ln_w"], lp["ffn_ln_b"])
     x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
     h = h + (x @ lp["fc2_w"] + lp["fc2_b"]).astype(h.dtype)
-    return h, k_slab, v_slab
+    return h, k_slab, v_slab, cross_in
 
 
 def asr_decoder_forward(params: Params, cfg: WhisperASRModelConfig,
                         tokens: Array, state: ASRDecodeState,
                         cross_kv: dict[str, Array],
                         enc_len: Optional[Array] = None,
-                        ) -> tuple[Array, ASRDecodeState]:
+                        collect_cross_inputs: bool = False,
+                        ) -> tuple[Array, ASRDecodeState] | tuple[
+                            Array, ASRDecodeState, Array]:
     """Decode a window of tokens (B, S) at positions [pos, pos+S).
 
     Returns (logits (B, S, V) fp32, new state). One call covers prompt
     prefill (S>1) and AR steps (S=1) — same single-program design as the
-    TTS LM (models/lm/model.py).
+    TTS LM (models/lm/model.py). With collect_cross_inputs (STATIC) a
+    third output carries each layer's cross-attention input hidden states
+    (L, B, S, D) so alignment heads can be re-projected for word-level
+    timestamps (asr_alignment_probs) without materializing every head's
+    (L, H, S, T_enc) attention map.
     """
     dec = params["decoder"]
     B, S = tokens.shape
@@ -236,15 +243,20 @@ def asr_decoder_forward(params: Params, cfg: WhisperASRModelConfig,
 
     def body(hh, xs):
         lp, ck, cv, ks, vs = xs
-        hh, ks, vs = _decoder_layer(hh, lp, cfg, self_mask, ck, cv,
-                                    cross_mask, ks, vs, pos)
-        return hh, (ks, vs)
+        hh, ks, vs, xin = _decoder_layer(hh, lp, cfg, self_mask, ck, cv,
+                                         cross_mask, ks, vs, pos)
+        return hh, ((ks, vs, xin) if collect_cross_inputs else (ks, vs))
 
-    h, (nk, nv) = jax.lax.scan(
+    h, ys = jax.lax.scan(
         body, h, (dec["layers"], cross_kv["k"], cross_kv["v"],
                   state.cache_k, state.cache_v))
     h = layer_norm(h, dec["ln_w"], dec["ln_b"])
     logits = h.astype(jnp.float32) @ dec["token_emb"].T.astype(jnp.float32)
+    if collect_cross_inputs:
+        nk, nv, xin = ys
+        return (logits, ASRDecodeState(cache_k=nk, cache_v=nv, pos=pos + S),
+                xin)
+    nk, nv = ys
     return logits, ASRDecodeState(cache_k=nk, cache_v=nv, pos=pos + S)
 
 
@@ -573,6 +585,58 @@ def asr_beam_decode(params: Params, cfg: WhisperASRModelConfig,
         tokens=fin_tok[barange, best], n_tokens=fin_n[barange, best],
         sum_logprob=fin_sum[barange, best], no_speech_prob=no_speech,
         n_finished=n_finished)
+
+
+def asr_alignment_probs(params: Params, cfg: WhisperASRModelConfig,
+                        mel: Array, mel_len: Array, tokens: Array,
+                        heads: tuple[tuple[int, int], ...]
+                        ) -> tuple[Array, Array]:
+    """Teacher-forced cross-attention maps for word-level timestamps
+    (openai whisper timing.find_alignment — the mechanism behind the
+    reference's ASRConfig.word_timestamps, whisper_asr.py:45).
+
+    One device program: full forward over the decoded `tokens` (B, S)
+    collecting each layer's cross-attention INPUT states, then only the
+    selected alignment (layer, head) pairs are re-projected to attention
+    probabilities — materializing K maps of (S, T_enc) instead of every
+    head's (L, H, S, T_enc) (1.7 GB at large-v3 dims; K maps are ~20 MB).
+
+    Returns:
+        probs: (B, K, S, T_enc) fp32 — softmax attention of each
+            alignment head, masked to the real encoder frames.
+        token_logprob: (B, S) fp32 — log p(tokens[i] | tokens[<i]) under
+            teacher forcing (position 0 has no predecessor -> 0.0); used
+            for per-word probabilities.
+    """
+    B, S = tokens.shape
+    enc, enc_len = asr_encode(params, cfg, mel, mel_len)
+    cross = precompute_cross_kv(params, cfg, enc)
+    state = init_asr_decode_state(cfg, B, enc.dtype)
+    logits, _, xin = asr_decoder_forward(params, cfg, tokens, state, cross,
+                                         enc_len, collect_cross_inputs=True)
+    lp_all = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(lp_all[:, :-1],
+                                 tokens[:, 1:, None], axis=2)[:, :, 0]
+    token_logprob = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), tok_lp], axis=1)
+
+    layers = params["decoder"]["layers"]
+    H, Dh = cfg.num_heads, cfg.head_dim
+    T = cross["k"].shape[2]
+    frame_ok = jnp.arange(T)[None, None, :] < enc_len[:, None, None]
+    maps = []
+    for l, h in heads:               # static, K is small
+        x = layer_norm(xin[l], layers["cross_ln_w"][l],
+                       layers["cross_ln_b"][l])
+        q = (x @ layers["cross_wq"][l]
+             + layers["cross_bq"][l]).reshape(B, S, H, Dh)[:, :, h]
+        k = cross["k"][l][:, :, h]                       # (B, T, Dh)
+        scores = jnp.einsum(
+            "bsd,btd->bst", q.astype(jnp.float32), k.astype(jnp.float32)
+        ) / jnp.sqrt(jnp.float32(Dh))
+        scores = jnp.where(frame_ok, scores, -1e30)
+        maps.append(jax.nn.softmax(scores, axis=-1))
+    return jnp.stack(maps, axis=1), token_logprob
 
 
 def asr_detect_language(params: Params, cfg: WhisperASRModelConfig,

@@ -199,6 +199,99 @@ def test_service_beam_and_best_of_paths(rng):
     assert res.segments == [] or "avg_logprob" in res.segments[0]
 
 
+# -------------------------------------------------------- word timestamps
+
+
+def test_dtw_recovers_known_path():
+    """DTW over a matrix with an unambiguous diagonal band must follow
+    it: token i aligns to frames around 2i."""
+    from fireredtts2_tpu.asr import dtw_path
+    N, M = 5, 10
+    mat = np.zeros((N, M))
+    for i in range(N):
+        mat[i, 2 * i] = mat[i, 2 * i + 1] = 1.0   # bright band
+    ti, fi = dtw_path(-mat)
+    # path is monotonic and covers all tokens/frames
+    assert ti[0] == 0 and fi[0] == 0
+    assert ti[-1] == N - 1 and fi[-1] == M - 1
+    assert (np.diff(ti) >= 0).all() and (np.diff(fi) >= 0).all()
+    # each token's first-visit frame is its band start
+    first = {int(t): int(f) for t, f in zip(ti[::-1], fi[::-1])}
+    assert first == {i: 2 * i for i in range(N)}
+
+
+def test_split_to_words_space_and_cjk():
+    from fireredtts2_tpu.asr import split_to_words
+    vocab = {1: "Hel", 2: "lo", 3: " wor", 4: "ld", 5: "'s", 6: "你", 7: "好"}
+    detok = lambda ids: "".join(vocab[i] for i in ids)
+    words, counts = split_to_words([1, 2, 3, 4, 5, 6, 7], detok)
+    assert words == ["Hello", "world's", "你", "好"]
+    assert counts == [2, 3, 1, 1]
+    assert sum(counts) == 7
+
+
+def test_transcribe_word_timestamps(rng):
+    """word_timestamps=True adds per-word dicts with monotonic times
+    inside the audio window (reference ASRConfig.word_timestamps,
+    whisper_asr.py:45)."""
+    asr = WhisperASR(config=ASRConfig(max_new_tokens=8, word_timestamps=True,
+                                      fallback_temperatures=()), seed=3)
+    audio = rng.standard_normal(16_000).astype(np.float32) * 0.3
+    res = asr.transcribe(audio, 16_000)
+    if not res.segments:      # random weights may gate to silence
+        pytest.skip("random-weight decode hit the no-speech gate")
+    words = res.segments[0]["words"]
+    assert words and all(
+        set(w) == {"word", "start", "end", "probability"} for w in words)
+    starts = [w["start"] for w in words]
+    assert all(b >= a for a, b in zip(starts, starts[1:]))
+    for w in words:
+        assert 0.0 <= w["start"] <= w["end"] <= 1.05  # 1 s of audio
+        assert 0.0 <= w["probability"] <= 1.0
+    # every decoded token is accounted for in some word
+    assert "".join(w["word"] for w in words).replace(" ", "") \
+        == res.segments[0]["text"].replace(" ", "")
+
+
+# ----------------------------------------------------------- long-form seek
+
+
+def test_long_form_seek_loop(rng):
+    """Audio longer than the 30 s window is transcribed window by window
+    (the reference's backing package seeks over long audio; previously
+    everything past one window was silently dropped)."""
+    asr = WhisperASR(config=ASRConfig(max_new_tokens=6,
+                                      fallback_temperatures=()), seed=3)
+    W = asr._n_samples
+    audio = rng.standard_normal(3 * W + W // 2).astype(np.float32) * 0.3
+    res = asr.transcribe(audio, 16_000)
+    assert res.end_time == pytest.approx(len(audio) / 16_000)
+    assert len(res.segments) >= 2          # random weights emit tokens
+    for i, s in enumerate(res.segments):
+        assert s["id"] == i
+    starts = [s["start"] for s in res.segments]
+    assert starts == sorted(starts) and len(set(starts)) == len(starts)
+    assert all(s["end"] <= len(audio) / 16_000 + 1e-6 for s in res.segments)
+    assert res.text == " ".join(s["text"].strip() for s in res.segments
+                                if s["text"].strip())
+    # deterministic: same audio -> same transcript (per-window attempt keys)
+    assert asr.transcribe(audio, 16_000).text == res.text
+
+
+def test_long_form_word_timestamps_are_offset(rng):
+    asr = WhisperASR(config=ASRConfig(max_new_tokens=4, word_timestamps=True,
+                                      fallback_temperatures=()), seed=3)
+    W = asr._n_samples
+    audio = rng.standard_normal(2 * W).astype(np.float32) * 0.3
+    res = asr.transcribe(audio, 16_000)
+    if len(res.segments) < 2:
+        pytest.skip("random-weight decode gated a window to silence")
+    s0, s1 = res.segments[0], res.segments[1]
+    assert all(w["end"] <= s0["end"] + 1e-6 for w in s0["words"])
+    # window-2 words carry the window offset
+    assert all(w["start"] >= s1["start"] - 1e-6 for w in s1["words"])
+
+
 # ------------------------------------------------------------ torch parity
 
 
