@@ -1,0 +1,164 @@
+"""WebSocket serving load generator: N concurrent streaming clients.
+
+Measures the 16-concurrent-streams serving bar (BASELINE.json) at the
+PROTOCOL level — socket -> JSON -> hex-PCM16 chunks — so host-side costs
+(batcher fan-out, asyncio send path, pcm16 hex encode) are inside the
+measurement, unlike tools/batched_rtf.py which stops at StreamHandle.
+Replaces the reference's serialized single-stream worker measurement
+(enhanced_fireredtts2.py:408-447).
+
+Usage:
+  python tools/ws_load.py --self-host tiny --streams 8          # CPU check
+  python tools/ws_load.py --self-host flagship --streams 16     # on chip
+  python tools/ws_load.py --port 8765 --streams 16              # live server
+
+Prints one JSON line:
+  {"streams": N, "ok": n, "errors": n,
+   "fpl_ms": {"p50":..., "p95":..., "max":...},
+   "per_stream_rtf": {"min":..., "p50":...},
+   "aggregate_rtf":..., "wall_s":...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _pct(xs, q):
+    if not xs:
+        return None
+    xs = sorted(xs)
+    i = min(len(xs) - 1, int(round(q * (len(xs) - 1))))
+    return round(xs[i], 2)
+
+
+async def _one_client(uri: str, text: str, max_ms: float, out: list) -> None:
+    import websockets
+
+    rec = {"fpl_ms": None, "audio_s": 0.0, "wall_s": None, "error": None}
+    t0 = time.perf_counter()
+    try:
+        async with websockets.connect(uri, max_size=1 << 24) as ws:
+            await ws.send(json.dumps({
+                "type": "generate_speech", "text": text, "streaming": True,
+                "max_audio_length_ms": max_ms}))
+            sr = 24_000
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(), 600))
+                if msg["type"] == "audio_chunk":
+                    if rec["fpl_ms"] is None:
+                        rec["fpl_ms"] = (time.perf_counter() - t0) * 1000.0
+                    sr = msg.get("sample_rate", sr)
+                    rec["audio_s"] += len(msg["data"]) / 4.0 / sr  # hex pcm16
+                elif msg["type"] == "generation_complete":
+                    break
+                elif msg["type"] == "error":
+                    rec["error"] = msg.get("error", "?")
+                    break
+    except Exception as e:  # noqa: BLE001 — load tool reports, not raises
+        rec["error"] = f"{type(e).__name__}: {e}"
+    rec["wall_s"] = time.perf_counter() - t0
+    out.append(rec)
+
+
+async def run_load(uri: str, n_streams: int, text: str, max_ms: float,
+                   warmup: bool = True) -> dict:
+    if warmup:  # compile the batched programs before the timed wave
+        # Same text + max_ms as the timed wave: the whole-utterance LM
+        # program is shape-specialized on the frame budget, so a shorter
+        # warmup would leave the real program to compile inside the timing.
+        w: list = []
+        await asyncio.gather(*[
+            _one_client(uri, text, max_ms, w) for _ in range(n_streams)])
+    out: list = []
+    t0 = time.perf_counter()
+    await asyncio.gather(*[
+        _one_client(uri, text, max_ms, out) for _ in range(n_streams)])
+    wall = time.perf_counter() - t0
+    ok = [r for r in out if r["error"] is None and r["audio_s"] > 0]
+    rtfs = [r["audio_s"] / r["wall_s"] for r in ok]
+    fpls = [r["fpl_ms"] for r in ok if r["fpl_ms"] is not None]
+    return {
+        "streams": n_streams, "ok": len(ok),
+        "errors": [r["error"] for r in out if r["error"]][:4],
+        "fpl_ms": {"p50": _pct(fpls, 0.5), "p95": _pct(fpls, 0.95),
+                   "max": _pct(fpls, 1.0)},
+        "per_stream_rtf": {"min": round(min(rtfs), 3) if rtfs else None,
+                           "p50": _pct(rtfs, 0.5)},
+        "aggregate_rtf": round(sum(r["audio_s"] for r in ok) / wall, 2),
+        "wall_s": round(wall, 2),
+    }
+
+
+def _self_host(kind: str, port: int, max_streams: int):
+    """Start a WebSocketTTSServer in this process -> (server, loop)."""
+    import threading
+
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.server import WebSocketTTSServer
+
+    if kind == "tiny":
+        from fireredtts2_tpu.config import tiny_engine_config
+        engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    else:
+        from fireredtts2_tpu.config import EngineConfig, LLMConfig, CodecConfig
+        llm = LLMConfig(backbone_flavor="qwen-1.5b",
+                        decoder_flavor="qwen-200m",
+                        text_vocab_size=152_000, audio_vocab_size=2051,
+                        audio_num_codebooks=16, max_seq_len=3100,
+                        dtype="bfloat16", quantize_backbone=True,
+                        fused_depth_plan="gate=r8,up=s8,down=s8")
+        engine = FireRedTTS2Engine(
+            config=EngineConfig(llm=llm, codec=CodecConfig(dtype="bfloat16")),
+            seed=0)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=port,
+                                max_streams=max_streams)
+    loop = asyncio.new_event_loop()
+
+    def spin():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.start())
+        loop.run_forever()
+
+    threading.Thread(target=spin, daemon=True).start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if server._server is not None:
+            return server
+        time.sleep(0.1)
+    raise RuntimeError("server did not start")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=18795)
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--max-ms", type=float, default=50 * 80)
+    ap.add_argument("--text", default="A short benchmark sentence about "
+                    "tensor processing units and speech synthesis.")
+    ap.add_argument("--self-host", choices=("tiny", "flagship"), default=None,
+                    help="spin up a server in-process (tiny = CPU check, "
+                    "flagship = serving config on the chip)")
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args()
+
+    if args.self_host:
+        _self_host(args.self_host, args.port, max_streams=args.streams)
+    uri = f"ws://{args.host}:{args.port}"
+    res = asyncio.run(
+        run_load(uri, args.streams, args.text, args.max_ms,
+                 warmup=not args.no_warmup))
+    print(json.dumps(res))
+    return 0 if res["ok"] == args.streams else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
