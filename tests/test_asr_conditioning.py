@@ -44,7 +44,10 @@ def test_prompt_layout_with_and_without_prev():
 def test_transcribe_with_context_tokens_runs():
     asr = _asr()
     base = asr.decode_calls
-    res = asr.transcribe(_tone(), initial_prompt_ids=[5, 6, 7, 8, 9])
+    # audio must fit ONE long-form window (tiny config: _n_samples is
+    # well under a second) so conditioning costs exactly one decode
+    seconds = 0.5 * asr._n_samples / 16_000
+    res = asr.transcribe(_tone(seconds), initial_prompt_ids=[5, 6, 7, 8, 9])
     assert asr.decode_calls == base + 1
     assert res.model_name.startswith("whisper-jax")
 
