@@ -37,15 +37,22 @@ if _os.environ.get("JAX_PLATFORMS"):
         pass
 
 # Persistent compilation cache: flagship-model compiles are minutes; cache
-# them across processes (serving restarts, benches, tools).
+# them across processes (serving restarts, benches, tools). TPU-only:
+# XLA:CPU entries are AOT-compiled for one host's exact CPU features
+# (loading them elsewhere risks SIGILL, and the cache WRITE path has
+# segfaulted mid-test on migrated VMs), and CPU compiles are cheap —
+# tests/dev runs don't need a cross-process cache.
 
 _cache_dir = _os.environ.get("FIREREDTTS2_JAX_CACHE", "/tmp/frtts2_jax_cache")
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # cache is an optimization, never a hard dependency
-    pass
+_platforms = (_os.environ.get("JAX_PLATFORMS")
+              or getattr(_jax.config, "jax_platforms", None) or "")
+if "cpu" not in _platforms:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
 
 from fireredtts2_tpu.config import (  # noqa: F401
     LLMConfig,

@@ -160,7 +160,19 @@ def run_convert(pretrained_dir: str, out_dir: Optional[str] = None,
             gen_type="dialogue" if "llm_posttrain.pt" in lm_trees
             else "monologue",
             llm_overrides=llm_overrides, codec_overrides=codec_overrides)
-        harness = FidelityHarness(engine, WhisperASR().as_transcriber())
+        # Size the decode budget to the ASR model actually loaded: the
+        # random-weight TINY_ASR fallback has 24 target positions, far
+        # below ASRConfig's real-whisper default max_new_tokens=224
+        # (transcribe raises loudly on that mismatch). prev_window=0
+        # keeps the rolling <|startofprev|> prompt within tiny budgets
+        # on multi-window audio.
+        from fireredtts2_tpu.asr import ASRConfig
+        asr = WhisperASR(warmup=False)
+        mt = asr.model_cfg.max_target_positions
+        if asr.config.max_new_tokens + 8 > mt:
+            asr = WhisperASR(config=ASRConfig(
+                max_new_tokens=max(4, mt - 8), prev_window=0))
+        harness = FidelityHarness(engine, asr.as_transcriber())
         rep = harness.evaluate_utterance(
             "The quick brown fox jumps over the lazy dog.")
         summary["fidelity"] = {

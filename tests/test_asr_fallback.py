@@ -9,7 +9,10 @@ import numpy as np
 import pytest
 
 
-def _tone(seconds=1.0, sr=16_000, f=220.0):
+def _tone(seconds=0.5, sr=16_000, f=220.0):
+    # Must fit ONE long-form window of the tiny test model (0.64 s,
+    # asr._n_samples) so decode_calls counts exactly one ladder walk —
+    # a second window would double every count below.
     t = np.arange(int(seconds * sr)) / sr
     return (0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32)
 
@@ -60,7 +63,7 @@ def test_fallback_accepts_first_passing_rung():
     asr = _asr(logprob_threshold=1e9, no_speech_threshold=-1.0,
                fallback_temperatures=(0.2, 0.4, 0.6))
     base = asr.decode_calls
-    asr.transcribe(np.zeros(16_000, np.float32))
+    asr.transcribe(np.zeros(8_000, np.float32))
     # no_speech_prob > -1 always -> is_silence True -> one decode only
     assert asr.decode_calls == base + 1
 
