@@ -36,15 +36,33 @@ def _build_engine(args):
     if getattr(args, "speculative_depth", False):
         llm_overrides["speculative_depth"] = True
 
+    # Sharded serving over a (dp, tp) device mesh (engine mesh mode;
+    # parallel/mesh.py). tp spreads one stream's matmuls over chips for
+    # latency; dp rides extra chips with batched streams for throughput.
+    mesh = None
+    tp, dp = getattr(args, "tp", 1), getattr(args, "dp", None)
+    if tp > 1 or (dp or 1) > 1:
+        import jax
+        from fireredtts2_tpu.parallel.mesh import make_mesh
+        n = len(jax.devices())
+        if tp * (dp or 1) > n:
+            sys.exit(f"--tp {tp} x --dp {dp or 1} needs more than the "
+                     f"{n} visible device(s)")
+        mesh = make_mesh(dp=dp, tp=tp)
+        print(f"[mesh] serving sharded: dp={mesh.shape['dp']} "
+              f"tp={mesh.shape['tp']}", file=sys.stderr)
+
     if args.pretrained_dir:
         return FireRedTTS2Engine(pretrained_dir=args.pretrained_dir,
                                  gen_type=args.gen_type,
-                                 llm_overrides=llm_overrides or None)
+                                 llm_overrides=llm_overrides or None,
+                                 mesh=mesh)
     print("[warn] no --pretrained-dir: using tiny random-weight dev config",
           file=sys.stderr)
     return FireRedTTS2Engine(config=tiny_engine_config(),
                              gen_type=args.gen_type,
-                             llm_overrides=llm_overrides or None)
+                             llm_overrides=llm_overrides or None,
+                             mesh=mesh)
 
 
 def _cmd_generate(args):
@@ -156,6 +174,12 @@ def main(argv=None):
     p.add_argument("--speculative-depth", action="store_true",
                    help="Jacobi speculative depth decode (same tokens, "
                         "fewer weight reads when acceptance is high)")
+    p.add_argument("--tp", type=int, default=1, metavar="N",
+                   help="tensor-parallel ways: shard the LM projections "
+                        "over N chips of a jax.sharding mesh (latency)")
+    p.add_argument("--dp", type=int, default=None, metavar="N",
+                   help="data-parallel ways for batched streams "
+                        "(throughput; default visible_devices // tp)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("generate", help="dialogue synthesis to a wav")

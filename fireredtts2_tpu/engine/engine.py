@@ -86,11 +86,22 @@ class FireRedTTS2Engine:
         seed: int = 0,
         llm_overrides: Optional[dict] = None,
         codec_overrides: Optional[dict] = None,
+        mesh=None,
     ):
         """llm_overrides / codec_overrides: config-field overrides applied
         on top of the checkpoint's JSON (or the given config) — the CLI
         path for serving perf knobs, e.g. {"quantize_backbone": True,
-        "fused_depth_plan": "gate=r8,up=s8,down=s8"}."""
+        "fused_depth_plan": "gate=r8,up=s8,down=s8"}.
+
+        mesh: an optional jax.sharding.Mesh with ("dp", "tp") axes
+        (parallel/mesh.py:make_mesh). When given, the engine serves
+        SHARDED inference: LM projections are column/row-split over tp
+        (XLA inserts the all-reduces over ICI), decode-state stream slots
+        ride dp, and the codec runs replicated. Every public API keeps
+        exactly its single-device semantics — tokens match the unsharded
+        engine (tests/test_multichip.py). Use tp for latency (one stream
+        spread over chips), dp for throughput (B divisible by dp). The
+        reference has no distributed inference at all (SURVEY.md §2.3)."""
         assert gen_type in ("monologue", "dialogue")
         self.gen_type = gen_type
 
@@ -186,6 +197,25 @@ class FireRedTTS2Engine:
             ad["layers"] = quantize_whisper_layers_int8(ad["layers"])
             self.codec_params["acoustic_decoder"] = ad
 
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from fireredtts2_tpu.parallel.mesh import (
+                lm_param_pspecs, sanitize_pspecs, to_named,
+            )
+            # Megatron-style placement for whatever tree the serving
+            # transforms produced (bf16 / int8+scales / fused depth
+            # bundle); sanitize_pspecs keeps device_put legal on dims the
+            # hand rules can't split (tiny configs, size-1 scale dims).
+            specs = sanitize_pspecs(mesh, self.lm_params,
+                                    lm_param_pspecs(self.lm_params))
+            self.lm_params = jax.device_put(self.lm_params,
+                                            to_named(mesh, specs))
+            rep = NamedSharding(mesh, PartitionSpec())
+            self.codec_params = jax.device_put(
+                self.codec_params,
+                jax.tree.map(lambda _: rep, self.codec_params))
+
         self.sample_rate = self.config.codec.input_sample_rate      # 16 kHz in
         self.output_sample_rate = self.config.codec.output_sample_rate  # 24 kHz out
         self.max_seq_len = self.config.max_seq_len
@@ -262,6 +292,31 @@ class FireRedTTS2Engine:
     # ------------------------------------------------------------------
     # Tokenization to interleaved frames
     # ------------------------------------------------------------------
+
+    def _new_lm_state(self, B: int):
+        """Fresh decode state, placed on the engine's mesh when sharded
+        serving is on (stream slots over dp; sanitized so B=1 on a dp>1
+        mesh falls back to replicated)."""
+        state = init_lm_state(self.config.llm, B,
+                              _dtype_of(self.config.llm.dtype))
+        if self.mesh is not None:
+            from fireredtts2_tpu.parallel.mesh import (
+                lm_state_pspecs, sanitize_pspecs, to_named,
+            )
+            specs = sanitize_pspecs(self.mesh, state, lm_state_pspecs(state))
+            state = jax.device_put(state, to_named(self.mesh, specs))
+        return state
+
+    def _new_vstate(self, B: int):
+        """Fresh streaming-vocoder state (replicated on the mesh)."""
+        vstate = stream_decode_init(self.config.codec, B,
+                                    _dtype_of(self.config.codec.dtype))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            vstate = jax.device_put(vstate,
+                                    jax.tree.map(lambda _: rep, vstate))
+        return vstate
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -372,8 +427,7 @@ class FireRedTTS2Engine:
         max_frames = self.max_seq_len - bucket  # static per bucket
         cap = min(max_generation_len, max_frames)
 
-        state = init_lm_state(self.config.llm, 1,
-                              _dtype_of(self.config.llm.dtype))
+        state = self._new_lm_state(1)
         state, buf, n_frames = self._gen_loop_fn(
             self.lm_params, state=state, tokens=jnp.asarray(tokens),
             tokens_mask=jnp.asarray(mask), valid=jnp.asarray(valid),
@@ -425,8 +479,7 @@ class FireRedTTS2Engine:
             mask = np.zeros((1, bucket, ncols), bool)
             mask[:, :, -1] = True
             valid = np.ones((1, bucket), bool)
-            state = init_lm_state(self.config.llm, 1,
-                                  _dtype_of(self.config.llm.dtype))
+            state = self._new_lm_state(1)
             # compile the whole-utterance loop with a tiny cap
             self._gen_loop_fn(
                 self.lm_params, state=state, tokens=jnp.asarray(tokens),
@@ -471,8 +524,7 @@ class FireRedTTS2Engine:
 
         max_frames = self.max_seq_len - bucket
         cap = min(int(max_audio_length_ms / 80), max_frames)
-        state = init_lm_state(self.config.llm, B,
-                              _dtype_of(self.config.llm.dtype))
+        state = self._new_lm_state(B)
         state, buf, n_frames = self._gen_loop_fn(
             self.lm_params, state=state, tokens=jnp.asarray(tokens),
             tokens_mask=jnp.asarray(mask), valid=jnp.asarray(valid),
@@ -546,10 +598,8 @@ class FireRedTTS2Engine:
         bucket, tokens, tmask, valid = self._bucketize(prompt, mask)
         max_len = min(max_len, self.max_seq_len - bucket)
 
-        state = init_lm_state(self.config.llm, 1,
-                              _dtype_of(self.config.llm.dtype))
-        vstate = stream_decode_init(self.config.codec, 1,
-                                    _dtype_of(self.config.codec.dtype))
+        state = self._new_lm_state(1)
+        vstate = self._new_vstate(1)
 
         kw = dict(temperature=temperature, topk=topk,
                   depth_topk=self.config.depth_topk,
@@ -679,8 +729,7 @@ class FireRedTTS2Engine:
         from fireredtts2_tpu.models.lm.model import rewind_lm_state
 
         cfg = self.config.llm
-        dtype = _dtype_of(cfg.dtype)
-        state = init_lm_state(cfg, 1, dtype)
+        state = self._new_lm_state(1)
         utt_cap = int(max_utterance_ms / 80)
         pos = 0
         storage: list[np.ndarray] = []
@@ -761,7 +810,7 @@ class FireRedTTS2Engine:
                 prompt_segments.append(self.prepare_prompt(ptext, speaker, wav))
 
         cfg = self.config.llm
-        state = init_lm_state(cfg, 1, _dtype_of(cfg.dtype))
+        state = self._new_lm_state(1)
         utt_cap = int(max_utterance_ms / 80)
         pos = 0
         self._first_packet_s = None
@@ -796,8 +845,7 @@ class FireRedTTS2Engine:
             valid[0, :L] = True
 
             max_len = min(utt_cap, self.max_seq_len - (pos + L) - 1)
-            vstate = stream_decode_init(self.config.codec, 1,
-                                        _dtype_of(self.config.codec.dtype))
+            vstate = self._new_vstate(1)
             utt_key = self._next_key()
             utt_chunks: list[np.ndarray] = []
             n_emitted, g, block = 0, 0, 1

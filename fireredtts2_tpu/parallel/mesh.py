@@ -54,18 +54,38 @@ def _transformer_pspecs() -> dict[str, P]:
     }
 
 
+# Column-parallel matmuls (output features sharded on tp); their
+# per-output-channel int8 scales ((L, 1, O), transformer.py:95) shard on
+# the same last axis. Row-parallel scales stay replicated: the scale
+# multiply happens AFTER the partial-sum all-reduce, where the activation
+# is already replicated.
+_COL_KEYS = ("wq", "wk", "wv", "w_gate", "w_up")
+
+
 def lm_param_pspecs(params: Any) -> Any:
     """PartitionSpec tree matching an LM param tree (models/lm/model.py).
 
     Embeddings/heads are sharded on the vocab dim (pure lookups / final
-    matmuls — no resharding needed mid-network).
+    matmuls — no resharding needed mid-network). Handles the serving
+    transforms too: weight-only int8 trees (`*_scale` leaves,
+    transformer.py:83), and the fused depth-chain bundle (`depth_chain`,
+    ops/pallas_depth.py:233), which stays replicated — the Pallas kernel
+    is a single-core program; the backbone is where the tp FLOPs are.
     """
     t = _transformer_pspecs()
 
     def spec_for(path: tuple[str, ...], leaf) -> P:
         top = path[0]
         if top in ("backbone", "decoder"):
-            return t[path[1]]
+            key = path[1]
+            if key in t:
+                return t[key]
+            if key.endswith("_scale"):
+                base = key[: -len("_scale")]
+                if base in _COL_KEYS and hasattr(leaf, "ndim"):
+                    return P(*([None] * (leaf.ndim - 1) + ["tp"]))
+                return P()
+            return P()  # packed int4 / unknown serving leaves: replicate
         if top in ("text_embeddings", "audio_embeddings"):
             return P("tp", None)
         if top == "codebook0_head" or top == "text_head":
@@ -78,6 +98,29 @@ def lm_param_pspecs(params: Any) -> Any:
 
     return jax.tree_util.tree_map_with_path(
         lambda kp, leaf: spec_for(tuple(k.key for k in kp), leaf), params)
+
+
+def sanitize_pspecs(mesh: Mesh, tree: Any, pspecs: Any) -> Any:
+    """Downgrade any sharded axis that does not evenly divide its array
+    dim to replicated. Sharding is semantics-preserving under GSPMD, so
+    dropping an axis never changes results — it only keeps device_put
+    legal for trees the hand-written rules didn't anticipate (quantized
+    scales of size-1 dims, tiny test configs, B=1 engine states on a
+    dp>1 mesh)."""
+    def fix(leaf, spec: P) -> P:
+        if not hasattr(leaf, "shape"):
+            return spec
+        names = list(spec) + [None] * (len(leaf.shape) - len(spec))
+        out = []
+        for dim, name in zip(leaf.shape, names):
+            size = 1
+            for ax in ((name,) if isinstance(name, str) else (name or ())):
+                size *= mesh.shape[ax]
+            out.append(name if size > 0 and dim % size == 0 else None)
+        return P(*out)
+
+    return jax.tree.map(fix, tree, pspecs,
+                        is_leaf=lambda x: isinstance(x, P))
 
 
 def lm_state_pspecs(state) -> Any:

@@ -105,8 +105,14 @@ class ContinuousBatcher:
         lm_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[llm_cfg.dtype]
         vo_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[codec_cfg.dtype]
 
-        self.lm_state = init_lm_state(llm_cfg, self.B, lm_dtype)
-        self.vo_state = stream_decode_init(codec_cfg, self.B, vo_dtype)
+        # Engine helpers place states on the engine's mesh when sharded
+        # serving is on (B stream slots ride the dp axis).
+        self.lm_state = (engine._new_lm_state(self.B)
+                         if hasattr(engine, "_new_lm_state")
+                         else init_lm_state(llm_cfg, self.B, lm_dtype))
+        self.vo_state = (engine._new_vstate(self.B)
+                         if hasattr(engine, "_new_vstate")
+                         else stream_decode_init(codec_cfg, self.B, vo_dtype))
         self.frames = jnp.zeros((self.B, llm_cfg.audio_num_codebooks), jnp.int32)
         self.temps = np.full((self.B,), cfg.default_temperature, np.float32)
         self.topks = np.full((self.B,), topk, np.int32)

@@ -140,3 +140,98 @@ def test_lm_state_sharding_over_dp():
     # batch dim split over dp=2
     assert sharded.cache_k.sharding.shard_shape(sharded.cache_k.shape)[1] == 2
     assert sharded.slot_valid.sharding.shard_shape(sharded.slot_valid.shape)[0] == 2
+
+
+def test_engine_sharded_serving_matches_unsharded():
+    """Sharded SERVING (engine mesh mode): the same engine API under a
+    (dp=2, tp=4) mesh — params Megatron-split over tp, stream slots on dp,
+    codec replicated — must synthesize the same audio as the unsharded
+    engine (f32; same seed, same key-folding). This is the user-facing
+    capability the model-level test above de-risks; the reference has no
+    distributed inference at all (SURVEY.md §2.3)."""
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    cfg = tiny_engine_config()
+    kw = dict(config=cfg, seed=3, llm_overrides={"dtype": "float32"})
+    text, speaker = "Hello there.", "[S1]"
+
+    e0 = FireRedTTS2Engine(**kw)
+    a0 = e0.generate(text, speaker, [], max_audio_length_ms=400)
+    s0 = np.concatenate(list(e0.generate_stream(
+        text, speaker, [], max_audio_length_ms=400)))
+
+    mesh = make_mesh(tp=4)
+    e1 = FireRedTTS2Engine(**kw, mesh=mesh)
+    # the big projections really are split over tp=4
+    wq = e1.lm_params["backbone"]["wq"]
+    assert wq.sharding.shard_shape(wq.shape)[-1] == wq.shape[-1] // 4
+    a1 = e1.generate(text, speaker, [], max_audio_length_ms=400)
+    s1 = np.concatenate(list(e1.generate_stream(
+        text, speaker, [], max_audio_length_ms=400)))
+
+    np.testing.assert_allclose(a0, a1, atol=2e-5)
+    np.testing.assert_allclose(s0, s1, atol=2e-5)
+
+
+def test_engine_sharded_batch_over_dp():
+    """generate_batch under the mesh: B=8 stream slots split dp=2, per-slot
+    audio matches the unsharded batch path (dp never reorders per-example
+    math; tp=4 reductions are f32)."""
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    cfg = tiny_engine_config()
+    kw = dict(config=cfg, seed=5, llm_overrides={"dtype": "float32"})
+    texts = ["Hello there.", "Bye now.", "One two.", "Three four."] * 2
+    speakers = ["[S1]", "[S2]"] * 4
+
+    e0 = FireRedTTS2Engine(**kw)
+    outs0 = e0.generate_batch(texts, speakers, max_audio_length_ms=400)
+    e1 = FireRedTTS2Engine(**kw, mesh=make_mesh(tp=4))
+    outs1 = e1.generate_batch(texts, speakers, max_audio_length_ms=400)
+
+    assert len(outs0) == len(outs1) == len(texts)
+    for x, y in zip(outs0, outs1):
+        assert x.shape == y.shape
+        np.testing.assert_allclose(x, y, atol=2e-5)
+
+
+def test_batcher_on_meshed_engine():
+    """The SERVING path end to end under sharding: a ContinuousBatcher over
+    a meshed engine (params tp=4-split, its B=4 stream slots dp=2-split)
+    must produce the same greedy audio as the unsharded batcher."""
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.runtime.batcher import ContinuousBatcher
+
+    def collect(handle):
+        chunks = []
+        while True:
+            c = handle.chunks.get(timeout=300)
+            if c is None:
+                if handle.error is not None:
+                    raise handle.error
+                break
+            chunks.append(c)
+        return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+    cfg = tiny_engine_config(depth_topk=1)
+    kw = dict(config=cfg, seed=0, llm_overrides={"dtype": "float32"})
+    texts = ["hello mesh", "second words"]
+
+    def run(engine):
+        b = ContinuousBatcher(engine, max_streams=4, topk=1)
+        b.start()
+        try:
+            hs = [b.submit(t, "[S1]", max_audio_length_ms=480)
+                  for t in texts]
+            return [collect(h) for h in hs]
+        finally:
+            b.stop()
+
+    outs0 = run(FireRedTTS2Engine(**kw))
+    outs1 = run(FireRedTTS2Engine(**kw, mesh=make_mesh(tp=4)))
+    for x, y in zip(outs0, outs1):
+        assert x.shape == y.shape
+        np.testing.assert_allclose(x, y, rtol=2e-3, atol=5e-4)
