@@ -6,6 +6,8 @@
 # (never run concurrently with pytest or another chip process).
 set -x
 cd "$(dirname "$0")/.."
+# Reach the TPU through the axon site dir (append, never override).
+export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}:/root/.axon_site"
 LOG=/tmp/onchip_r3.log
 : > "$LOG"
 
@@ -27,7 +29,19 @@ run python tools/depth_kernel_check.py "gate=r8,up=s8,down=s8"
 # 3. Whole-LM device time under the serving config (budget: 7.0 ms B=1).
 run python tools/devtime.py fused-r8 -b1,8
 
-# 4. Full headline bench (outage-hardened; writes the one-line JSON).
+# 4. The 16-stream serving bar at the PROTOCOL level (host costs
+#    included): per-stream min RTF >= 1.0 at 16 streams is the target.
+if [ "$1" != quick ]; then
+  run python tools/ws_load.py --self-host flagship --streams 16
+  run python tools/ws_load.py --self-host flagship --streams 8
+fi
+
+# 5. Incremental-dialogue win: per-turn FPL, KV-persistent vs re-prefill.
+if [ "$1" != quick ]; then
+  run python tools/dialogue_fpl.py 6 --fused=gate=r8,up=s8,down=s8
+fi
+
+# 6. Full headline bench (outage-hardened; writes the one-line JSON).
 if [ "$1" != quick ]; then
   run python bench.py
 fi
