@@ -155,15 +155,40 @@ class WhisperASR:
                  model_cfg: Optional[WhisperASRModelConfig] = None,
                  detokenizer: Optional[Detokenizer] = None,
                  alignment_heads: Optional[tuple] = None,
-                 seed: int = 0, warmup: bool = True):
+                 seed: int = 0, warmup: bool = True, mesh=None):
+        """mesh: optional jax.sharding Mesh (parallel/mesh.py:make_mesh)
+        — transcription runs tp-SHARDED (encoder/decoder stacks
+        Megatron-split, vocab-split tied embedding; XLA inserts the
+        collectives), same tokens as unsharded (tests/test_multichip.py).
+        """
         self.config = config or ASRConfig()
         self.model_cfg = model_cfg or TINY_ASR
+        # The default ASRConfig budgets new tokens for whisper-large-v3
+        # (448 target positions); on smaller models (the tiny dev config
+        # has 24) clamp the budget to what fits after the worst-case BASE
+        # prompt (<|sot|> lang task <|notimestamps|> = 4, +1 EOS slot) so
+        # the out-of-the-box config always runs. Prev-context prompts that
+        # overflow still raise in _transcribe_window with a clear message.
+        cap = self.model_cfg.max_target_positions - 5
+        if self.config.max_new_tokens > cap:
+            import dataclasses
+            self.config = dataclasses.replace(self.config,
+                                              max_new_tokens=max(cap, 1))
         self.alignment_heads = tuple(
             alignment_heads if alignment_heads is not None
             else default_alignment_heads(self.model_cfg.decoder_layers,
                                          self.model_cfg.num_heads))
         self.params = params if params is not None else init_asr_params(
             jax.random.PRNGKey(seed), self.model_cfg)
+        self.mesh = mesh
+        if mesh is not None:
+            from fireredtts2_tpu.parallel.mesh import (
+                asr_param_pspecs, sanitize_pspecs, to_named,
+            )
+            specs = sanitize_pspecs(mesh, self.params,
+                                    asr_param_pspecs(self.params))
+            self.params = jax.device_put(self.params,
+                                         to_named(mesh, specs))
         self.detokenize = detokenizer or _default_detokenizer
         self.model_name = f"whisper-jax-{self.config.model_size}"
 

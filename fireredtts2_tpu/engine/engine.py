@@ -199,9 +199,9 @@ class FireRedTTS2Engine:
 
         self.mesh = mesh
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
             from fireredtts2_tpu.parallel.mesh import (
-                lm_param_pspecs, sanitize_pspecs, to_named,
+                lm_param_pspecs, codec_param_pspecs, sanitize_pspecs,
+                to_named,
             )
             # Megatron-style placement for whatever tree the serving
             # transforms produced (bf16 / int8+scales / fused depth
@@ -211,10 +211,12 @@ class FireRedTTS2Engine:
                                     lm_param_pspecs(self.lm_params))
             self.lm_params = jax.device_put(self.lm_params,
                                             to_named(mesh, specs))
-            rep = NamedSharding(mesh, PartitionSpec())
-            self.codec_params = jax.device_put(
-                self.codec_params,
-                jax.tree.map(lambda _: rep, self.codec_params))
+            # Codec: the whisper-style stacks (incl. the per-frame
+            # vocoder) shard over tp too; convs/RVQ/norms replicate.
+            cspecs = sanitize_pspecs(mesh, self.codec_params,
+                                     codec_param_pspecs(self.codec_params))
+            self.codec_params = jax.device_put(self.codec_params,
+                                               to_named(mesh, cspecs))
 
         self.sample_rate = self.config.codec.input_sample_rate      # 16 kHz in
         self.output_sample_rate = self.config.codec.output_sample_rate  # 24 kHz out

@@ -100,6 +100,68 @@ def lm_param_pspecs(params: Any) -> Any:
         lambda kp, leaf: spec_for(tuple(k.key for k in kp), leaf), params)
 
 
+# Whisper-style stacked layer trees (models/codec/whisper_nn.py:45,
+# asr/model.py:73): attention (+ optional cross-attention) + GELU MLP
+# with (L, in, out) matmuls.
+_WHISPER_COL = ("wq", "wk", "wv", "fc1_w", "cross_wq", "cross_wk",
+                "cross_wv")
+_WHISPER_ROW = ("wo", "fc2_w", "cross_wo")
+_WHISPER_COL_BIAS = ("bq", "bv", "fc1_b", "cross_bq", "cross_bv")
+
+
+def _whisper_layer_spec(key: str, leaf) -> P:
+    """Megatron split for one leaf of a whisper-style layer stack:
+    column-parallel q/k/v + MLP-in (output features on tp, biases too),
+    row-parallel out-proj + MLP-out (input features on tp; biases applied
+    after the all-reduce, replicated). int8 `*_scale` leaves follow their
+    column-parallel weights on the last axis."""
+    if key in _WHISPER_COL:
+        return P(None, None, "tp")
+    if key in _WHISPER_ROW:
+        return P(None, "tp", None)
+    if key in _WHISPER_COL_BIAS:
+        return P(None, "tp")
+    if key.endswith("_scale"):
+        base = key[: -len("_scale")]
+        if base in _WHISPER_COL and hasattr(leaf, "ndim"):
+            return P(*([None] * (leaf.ndim - 1) + ["tp"]))
+    return P()
+
+
+def codec_param_pspecs(params: Any) -> Any:
+    """PartitionSpec tree for a codec param tree (models/codec/model.py:48).
+
+    The whisper-style transformer stacks (SSL/acoustic encoders, adaptors,
+    and the ACOUSTIC DECODER — the per-frame vocoder cost in serving)
+    shard Megatron-style over tp; convs, RVQ codebooks, norms and heads
+    are small and stay replicated. int8 `*_scale` leaves
+    (whisper_nn.py:quantize_whisper_layers_int8) follow their weights.
+    """
+    def spec_for(path: tuple[str, ...], leaf) -> P:
+        if len(path) >= 2 and path[-2] == "layers":
+            return _whisper_layer_spec(path[-1], leaf)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: spec_for(tuple(k.key for k in kp), leaf), params)
+
+
+def asr_param_pspecs(params: Any) -> Any:
+    """PartitionSpec tree for a whisper ASR param tree (asr/model.py:108):
+    encoder/decoder layer stacks Megatron-split (incl. cross-attention);
+    the token embedding — also the tied logits matrix — shards on the
+    vocab dim; convs/norms/positional tables replicate."""
+    def spec_for(path: tuple[str, ...], leaf) -> P:
+        if len(path) >= 2 and path[-2] == "layers":
+            return _whisper_layer_spec(path[-1], leaf)
+        if path[-1] == "token_emb":
+            return P("tp", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: spec_for(tuple(k.key for k in kp), leaf), params)
+
+
 def sanitize_pspecs(mesh: Mesh, tree: Any, pspecs: Any) -> Any:
     """Downgrade any sharded axis that does not evenly divide its array
     dim to replicated. Sharding is semantics-preserving under GSPMD, so

@@ -27,3 +27,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after every test module. A full-suite
+    process accumulates hundreds of XLA:CPU programs and has segfaulted
+    inside later compiles (backend_compile_and_load) on hosts whose CPU
+    differs from the image's build machine; per-module cache clearing
+    keeps the live-executable footprint bounded. Tests share almost no
+    compiled programs across modules (each builds its own engines), so
+    this costs little."""
+    yield
+    jax.clear_caches()

@@ -144,9 +144,9 @@ def test_lm_state_sharding_over_dp():
 
 def test_engine_sharded_serving_matches_unsharded():
     """Sharded SERVING (engine mesh mode): the same engine API under a
-    (dp=2, tp=4) mesh — params Megatron-split over tp, stream slots on dp,
-    codec replicated — must synthesize the same audio as the unsharded
-    engine (f32; same seed, same key-folding). This is the user-facing
+    (dp=2, tp=4) mesh — LM and codec whisper-stacks Megatron-split over
+    tp, stream slots on dp — must synthesize the same audio as the
+    unsharded engine (f32; same seed, same key-folding). The user-facing
     capability the model-level test above de-risks; the reference has no
     distributed inference at all (SURVEY.md §2.3)."""
     from fireredtts2_tpu.config import tiny_engine_config
@@ -163,9 +163,11 @@ def test_engine_sharded_serving_matches_unsharded():
 
     mesh = make_mesh(tp=4)
     e1 = FireRedTTS2Engine(**kw, mesh=mesh)
-    # the big projections really are split over tp=4
+    # the big projections really are split over tp=4 — LM and vocoder both
     wq = e1.lm_params["backbone"]["wq"]
     assert wq.sharding.shard_shape(wq.shape)[-1] == wq.shape[-1] // 4
+    fc1 = e1.codec_params["acoustic_decoder"]["layers"]["fc1_w"]
+    assert fc1.sharding.shard_shape(fc1.shape)[-1] == fc1.shape[-1] // 4
     a1 = e1.generate(text, speaker, [], max_audio_length_ms=400)
     s1 = np.concatenate(list(e1.generate_stream(
         text, speaker, [], max_audio_length_ms=400)))
@@ -235,3 +237,61 @@ def test_batcher_on_meshed_engine():
     for x, y in zip(outs0, outs1):
         assert x.shape == y.shape
         np.testing.assert_allclose(x, y, rtol=2e-3, atol=5e-4)
+
+
+def test_asr_sharded_matches_unsharded():
+    """WhisperASR(mesh=...): tp=4-sharded transcription (encoder/decoder
+    stacks Megatron-split, vocab-split tied embedding) must produce the
+    same tokens as the unsharded model (f32 tiny weights, greedy)."""
+    from fireredtts2_tpu.asr import ASRConfig, WhisperASR
+
+    t = np.arange(8_000) / 16_000.0
+    tone = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    cfg = ASRConfig(max_new_tokens=8)
+
+    a0 = WhisperASR(config=cfg, warmup=False)
+    a1 = WhisperASR(config=cfg, warmup=False, mesh=make_mesh(tp=4))
+    wq = a1.params["encoder"]["layers"]["wq"]
+    assert wq.sharding.shard_shape(wq.shape)[-1] == wq.shape[-1] // 4
+
+    r0 = a0.transcribe(tone)
+    r1 = a1.transcribe(tone)
+    assert [s["tokens"] for s in r0.segments] == \
+        [s["tokens"] for s in r1.segments]
+    assert r0.text == r1.text
+
+
+def test_codec_sharded_train_step(rng):
+    """Codec training over the mesh (train/codec_step.py): batch on dp,
+    whisper stacks on tp; one step runs and its loss matches the
+    single-device step (same params, same batch, f32)."""
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.models.codec.model import init_codec_params
+    from fireredtts2_tpu.train.codec_step import (
+        make_codec_train_step, make_codec_sharded_train_step,
+        make_codec_optimizer,
+    )
+
+    ccfg = tiny_engine_config().codec
+    B, T16 = 2, 5120
+    audio = jnp.asarray((rng.standard_normal((B, T16)) * 0.1)
+                        .astype(np.float32))
+    lengths = jnp.asarray(np.full((B,), T16, np.int32))
+    target = jnp.asarray((rng.standard_normal((B, T16 * 3 // 2)) * 0.1)
+                         .astype(np.float32))
+
+    def first_loss(maker, *extra):
+        params = init_codec_params(jax.random.PRNGKey(0), ccfg)
+        opt = make_codec_optimizer(peak_lr=1e-3, warmup_steps=2,
+                                   total_steps=100)
+        step_fn, state = maker(*extra, ccfg, params, opt)
+        state, metrics = step_fn(state, audio, lengths, target)
+        assert int(state.step) == 1
+        return float(metrics["loss"])
+
+    plain = first_loss(lambda c, p, o: make_codec_train_step(c, p, o))
+    mesh = make_mesh(tp=4)  # dp=2: B=2 splits 1+1
+    shard = first_loss(
+        lambda c, p, o: make_codec_sharded_train_step(mesh, c, p, o))
+    assert np.isfinite(plain) and np.isfinite(shard)
+    assert abs(plain - shard) / max(abs(plain), 1e-6) < 2e-4, (plain, shard)
