@@ -149,6 +149,58 @@ def _cmd_bench(args):
     bench.main()
 
 
+def _cmd_train(args):
+    if args.model == "lm":
+        import os
+
+        from fireredtts2_tpu.config import (
+            llm_config_from_json, tiny_engine_config,
+        )
+        from fireredtts2_tpu.train.loop import (
+            TrainConfig, train, jsonl_batches,
+        )
+
+        cfg = (llm_config_from_json(
+                   os.path.join(args.pretrained_dir, "config_llm.json"))
+               if args.pretrained_dir else tiny_engine_config().llm)
+        tcfg = TrainConfig(
+            batch_size=args.batch_size, peak_lr=args.lr,
+            checkpoint_dir=args.ckpt_dir, checkpoint_every=args.ckpt_every,
+            log_every=args.log_every, dp=args.dp, tp=args.tp,
+            mixed_precision=args.bf16, eval_every=args.eval_every,
+            metrics_path=args.metrics_path)
+        data = jsonl_batches(args.data, cfg, tcfg) if args.data else None
+        train(cfg, tcfg, data=data, num_steps=args.steps, seed=args.seed)
+    else:
+        import os
+
+        from fireredtts2_tpu.config import (
+            codec_config_from_json, tiny_engine_config,
+        )
+        from fireredtts2_tpu.train.codec_loop import (
+            CodecTrainConfig, train_codec, wav_dir_batches,
+        )
+
+        cfg = (codec_config_from_json(
+                   os.path.join(args.pretrained_dir, "config_codec.json"))
+               if args.pretrained_dir else tiny_engine_config().codec)
+        tcfg = CodecTrainConfig(
+            batch_size=args.batch_size, peak_lr=args.lr,
+            window_samples=args.window_samples,
+            checkpoint_dir=args.ckpt_dir, checkpoint_every=args.ckpt_every,
+            log_every=args.log_every, dp=args.dp, tp=args.tp,
+            eval_every=args.eval_every, metrics_path=args.metrics_path)
+        data = wav_dir_batches(args.data, tcfg) if args.data else None
+        train_codec(cfg, tcfg, data=data, num_steps=args.steps,
+                    seed=args.seed)
+
+
+def _cmd_export(args):
+    from fireredtts2_tpu.runtime.convert import export_main
+
+    sys.exit(export_main(args))
+
+
 def _cmd_convert(args):
     if not args.pretrained_dir:
         sys.exit("convert requires --pretrained-dir")
@@ -230,6 +282,47 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="headline benchmark (prints JSON)")
     b.set_defaults(fn=_cmd_bench)
+
+    t = sub.add_parser(
+        "train",
+        help="train the LM (jsonl token shards) or the codec (wav dir) "
+             "over a (dp, tp) mesh with Orbax checkpoint/resume")
+    t.add_argument("--model", default="lm", choices=["lm", "codec"])
+    t.add_argument("--data", default=None,
+                   help="lm: jsonl token-shard path; codec: wav directory "
+                        "(default: synthetic smoke batches)")
+    t.add_argument("--steps", type=int, default=100)
+    t.add_argument("--batch-size", type=int, default=8)
+    t.add_argument("--lr", type=float, default=3e-4)
+    t.add_argument("--ckpt-dir", default=None)
+    t.add_argument("--ckpt-every", type=int, default=1000)
+    t.add_argument("--log-every", type=int, default=50)
+    t.add_argument("--eval-every", type=int, default=0)
+    t.add_argument("--metrics-path", default=None,
+                   help="append jsonl train/eval metrics here")
+    t.add_argument("--dp", type=int, default=None)
+    t.add_argument("--tp", type=int, default=1)
+    t.add_argument("--window-samples", type=int, default=32_000,
+                   help="codec only: 16 kHz window length (multiple of "
+                        "1280 = one 12.5 Hz token)")
+    t.add_argument("--bf16", action="store_true",
+                   help="lm only: bf16 forward/backward, fp32 master params")
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=_cmd_train)
+
+    x = sub.add_parser(
+        "export",
+        help="train checkpoint(s) -> serving dir the engine loads "
+             "torch-free (closes train -> serve; docs/training.md)")
+    x.add_argument("--out", required=True, help="serving dir to write")
+    x.add_argument("--config-dir", required=True,
+                   help="dir holding config_llm.json/config_codec.json "
+                        "(and fallback jax/ trees for unexported families)")
+    x.add_argument("--lm-ckpt", default=None,
+                   help="train/loop.py Orbax step dir")
+    x.add_argument("--codec-ckpt", default=None,
+                   help="train/codec_loop.py Orbax step dir")
+    x.set_defaults(fn=_cmd_export)
 
     c = sub.add_parser(
         "convert",

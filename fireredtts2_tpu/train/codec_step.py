@@ -154,18 +154,26 @@ def make_codec_sharded_train_step(mesh: Mesh, cfg: CodecConfig, params: Any,
     )
 
     trainable, frozen = split_codec_params(params)
+    rep = NamedSharding(mesh, P())
     tspec = sanitize_pspecs(mesh, trainable, codec_param_pspecs(trainable))
     trainable = jax.device_put(trainable, to_named(mesh, tspec))
-    frozen = jax.device_put(
-        frozen, jax.tree.map(lambda _: NamedSharding(mesh, P()), frozen))
+    frozen = jax.device_put(frozen, jax.tree.map(lambda _: rep, frozen))
     # optax init is zeros_like over the param tree — moments inherit the
-    # params' NamedShardings, no explicit opt-state spec needed.
-    state = CodecTrainState(trainable, frozen, optimizer.init(trainable),
-                            jnp.zeros((), jnp.int32))
+    # params' NamedShardings; 0-d leaves (adam step count) land on one
+    # device and must be replicated onto the mesh, or a later Orbax
+    # restore (which commits arrays to their saved shardings) feeds the
+    # jitted step a mixed-device state (train/step.py does the same).
+    opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, rep)
+        if (hasattr(x, "ndim") and x.ndim == 0) else x,
+        optimizer.init(trainable))
+    state = CodecTrainState(trainable, frozen, opt_state,
+                            jax.device_put(jnp.zeros((), jnp.int32), rep))
 
     batch_sharding = NamedSharding(mesh, P("dp"))
     fn = partial(codec_train_step, cfg=cfg, optimizer=optimizer)
     step_fn = jax.jit(fn, donate_argnums=(0,),
-                      in_shardings=(None, batch_sharding, batch_sharding,
+                      in_shardings=(jax.tree.map(lambda x: x.sharding, state),
+                                    batch_sharding, batch_sharding,
                                     batch_sharding))
     return step_fn, state
