@@ -134,18 +134,31 @@ class FireRedTTS2Engine:
             self.config = config
             from fireredtts2_tpu.runtime.checkpoint import (
                 load_lm_checkpoint, load_codec_checkpoint, find_hf_whisper_dir,
+                load_converted_lm, load_converted_codec,
             )
-            lm_ckpt = os.path.join(
-                pretrained_dir,
-                "llm_pretrain.pt" if gen_type == "monologue" else "llm_posttrain.pt")
-            self.lm_params = load_lm_checkpoint(lm_ckpt, llm_cfg,
-                                                _dtype_of(llm_cfg.dtype))
-            # The frozen SSL encoder ships as an HF whisper-large-v3 checkout
-            # when not embedded in codec.pt (reference codec/whisper.py:333).
-            self.codec_params = load_codec_checkpoint(
-                os.path.join(pretrained_dir, "codec.pt"), codec_cfg,
-                _dtype_of(codec_cfg.dtype),
-                hf_whisper_dir=find_hf_whisper_dir(pretrained_dir))
+            lm_name = ("llm_pretrain" if gen_type == "monologue"
+                       else "llm_posttrain")
+            # Prefer the Orbax trees the `convert` drill persisted under
+            # DIR/jax/ — loads without torch (the one-time-cost promise,
+            # runtime/convert.py); fall back to the torch pickles.
+            jax_lm = os.path.join(pretrained_dir, "jax", lm_name)
+            jax_codec = os.path.join(pretrained_dir, "jax", "codec")
+            if os.path.isdir(jax_lm) and os.path.isdir(jax_codec):
+                self.lm_params = load_converted_lm(
+                    jax_lm, _dtype_of(llm_cfg.dtype))
+                self.codec_params = load_converted_codec(
+                    jax_codec, _dtype_of(codec_cfg.dtype))
+            else:
+                self.lm_params = load_lm_checkpoint(
+                    os.path.join(pretrained_dir, lm_name + ".pt"), llm_cfg,
+                    _dtype_of(llm_cfg.dtype))
+                # The frozen SSL encoder ships as an HF whisper-large-v3
+                # checkout when not embedded in codec.pt (reference
+                # codec/whisper.py:333).
+                self.codec_params = load_codec_checkpoint(
+                    os.path.join(pretrained_dir, "codec.pt"), codec_cfg,
+                    _dtype_of(codec_cfg.dtype),
+                    hf_whisper_dir=find_hf_whisper_dir(pretrained_dir))
             tok_dir = os.path.join(pretrained_dir, "Qwen2.5-1.5B")
             # Byte fallback when the Qwen tokenizer isn't shipped next to
             # the weights (dev fixtures, the convert drill) — loud, since

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Mapping, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from fireredtts2_tpu.config import (
@@ -403,3 +404,35 @@ def load_params(path: str, like: Params) -> Params:
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, like)
+
+
+def load_converted_lm(path: str, dtype=jnp.bfloat16) -> Params:
+    """Load an LM tree persisted by the `convert` drill (DIR/jax/<name>)
+    — the torch-free serving path (torch becomes a one-time cost). Float
+    leaves cast to `dtype` (conversion is uniform-dtype, so this matches
+    load_lm_checkpoint exactly when dtypes agree)."""
+    import orbax.checkpoint as ocp
+
+    tree = ocp.StandardCheckpointer().restore(path)
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
+def load_converted_codec(path: str, dtype=jnp.float32) -> Params:
+    """Load the `convert` drill's codec tree (DIR/jax/codec; saved fp32
+    for cross-platform golden stability) with the same per-leaf dtype
+    policy as convert_codec_state_dict: everything to `dtype` EXCEPT the
+    RVQ subtree and the mel filterbank, which stay fp32 (the token-exact
+    encode invariant needs the fp32 argmin)."""
+    import orbax.checkpoint as ocp
+
+    tree = ocp.StandardCheckpointer().restore(path)
+
+    def cast(sub):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, sub)
+
+    return {k: (v if k in ("rvq", "mel_filters") else cast(v))
+            for k, v in tree.items()}

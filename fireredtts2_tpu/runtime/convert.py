@@ -189,3 +189,80 @@ def main(args) -> int:
                                                   None))
     print(json.dumps(summary, indent=2, default=str))
     return 0 if summary["parity_ok"] else 1
+
+
+# ---------------------------------------------------------------------------
+# Export: training checkpoints -> a serving dir (closes train -> serve)
+# ---------------------------------------------------------------------------
+
+
+def run_export(out_dir: str, config_dir: str,
+               lm_ckpt: Optional[str] = None,
+               codec_ckpt: Optional[str] = None,
+               gen_type: str = "dialogue") -> dict:
+    """Orbax TRAIN checkpoints (train/loop.py, train/codec_loop.py
+    `step_XXXXXXXX` dirs) -> a complete serving dir the engine loads
+    torch-free (the DIR/jax/ fast path in engine/engine.py).
+
+    - config_llm.json / config_codec.json are copied from `config_dir`
+      (the dir training read its configs from — the reference layout has
+      no writer, fireredtts2/fireredtts2.py:16-43, so configs pass
+      through verbatim);
+    - `lm_ckpt`: its fp32 master `params` tree is saved under
+      out/jax/llm_{posttrain|pretrain} (per gen_type); the engine casts
+      to the config dtype at load;
+    - `codec_ckpt`: trainable+frozen merge saved under out/jax/codec
+      (fp32, matching the convert drill's golden-stability policy);
+    - a family not being exported falls back to config_dir's own jax/
+      tree (copied), so the result always serves.
+    """
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    from fireredtts2_tpu.runtime.checkpoint import save_params
+
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(os.path.join(out_dir, "jax"), exist_ok=True)
+    summary: dict[str, Any] = {"out_dir": out_dir, "exported": []}
+
+    for name in ("config_llm.json", "config_codec.json"):
+        src = os.path.join(config_dir, name)
+        if not os.path.exists(src):
+            raise FileNotFoundError(f"{src} (need both config jsons)")
+        shutil.copyfile(src, os.path.join(out_dir, name))
+
+    ckptr = ocp.StandardCheckpointer()
+    lm_name = "llm_pretrain" if gen_type == "monologue" else "llm_posttrain"
+    if lm_ckpt:
+        state = ckptr.restore(os.path.abspath(lm_ckpt))
+        save_params(os.path.join(out_dir, "jax", lm_name), state["params"])
+        summary["exported"].append(lm_name)
+        summary["lm_step"] = int(state["step"])
+    if codec_ckpt:
+        state = ckptr.restore(os.path.abspath(codec_ckpt))
+        save_params(os.path.join(out_dir, "jax", "codec"),
+                    {**state["params"], **state["frozen"]})
+        summary["exported"].append("codec")
+        summary["codec_step"] = int(state["step"])
+
+    # Fall back to config_dir's converted trees for the missing family.
+    for name in (lm_name, "codec"):
+        dst = os.path.join(out_dir, "jax", name)
+        src = os.path.join(config_dir, "jax", name)
+        if not os.path.isdir(dst):
+            if not os.path.isdir(src):
+                raise FileNotFoundError(
+                    f"no checkpoint given for '{name}' and no fallback "
+                    f"tree at {src}")
+            shutil.copytree(src, dst)
+            summary["exported"].append(f"{name} (copied from config_dir)")
+    return summary
+
+
+def export_main(args) -> int:
+    summary = run_export(args.out, args.config_dir, lm_ckpt=args.lm_ckpt,
+                         codec_ckpt=args.codec_ckpt,
+                         gen_type=args.gen_type)
+    print(json.dumps(summary, indent=2, default=str))
+    return 0

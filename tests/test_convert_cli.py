@@ -123,3 +123,39 @@ def test_convert_missing_lm_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         llm_over, codec_over = _overrides()
         run_convert(d, llm_overrides=llm_over, codec_overrides=codec_over)
+
+
+def test_engine_serves_orbax_trees_without_torch(fixture_dir):
+    """After the drill, the engine prefers DIR/jax/ (Orbax) and loads
+    WITHOUT the torch pickles — same audio as the torch path bit-for-bit
+    (identical dtype policies in runtime/checkpoint.py:load_converted_*)."""
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    llm_over, codec_over = _overrides()
+    if not os.path.isdir(os.path.join(fixture_dir, "jax", "codec")):
+        run_convert(fixture_dir, llm_overrides=llm_over,
+                    codec_overrides=codec_over)
+    kw = dict(pretrained_dir=fixture_dir, gen_type="dialogue",
+              llm_overrides=llm_over, codec_overrides=codec_over)
+
+    jax_dir = os.path.join(fixture_dir, "jax")
+    os.rename(jax_dir, jax_dir + ".hidden")  # force the torch path
+    try:
+        audio_torch = FireRedTTS2Engine(**kw).generate(
+            "Hello there.", "[S1]", [], max_audio_length_ms=240)
+    finally:
+        os.rename(jax_dir + ".hidden", jax_dir)
+
+    hidden = []
+    for n in ("llm_posttrain.pt", "codec.pt"):  # force the Orbax path
+        p = os.path.join(fixture_dir, n)
+        os.rename(p, p + ".hidden")
+        hidden.append(p)
+    try:
+        audio_orbax = FireRedTTS2Engine(**kw).generate(
+            "Hello there.", "[S1]", [], max_audio_length_ms=240)
+    finally:
+        for p in hidden:
+            os.rename(p + ".hidden", p)
+
+    np.testing.assert_array_equal(audio_torch, audio_orbax)
