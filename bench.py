@@ -136,6 +136,8 @@ def main() -> int:
         "batched_per_stream_min_rtf": b8.get("per_stream_min_rtf"),
         "streams16_aggregate_rtf": b16.get("aggregate_rtf"),
         "streams16_per_stream_min_rtf": b16.get("per_stream_min_rtf"),
+        "streams16_host_ms_per_frame": b16.get("host_ms_per_frame"),
+        "streams16_fetch_ms_per_frame": b16.get("fetch_ms_per_frame"),
         "backend": fpl.get("backend"),
         **done.get("device", {}),
     }
@@ -317,6 +319,7 @@ def _bench_batched(engine, n_streams: int, n_frames: int = 50) -> dict:
         for h in warm:
             for _ in h:
                 pass
+        batcher.reset_host_stats()  # keep compile out of the attribution
         t0 = time.perf_counter()
         handles = [batcher.submit(t, "[S1]", max_audio_length_ms=n_frames * 80)
                    for t in texts]
@@ -327,11 +330,16 @@ def _bench_batched(engine, n_streams: int, n_frames: int = 50) -> dict:
         wall = time.perf_counter() - t0
         per_stream = [h.samples / 24_000.0 / h.finished_s
                       for h in handles if h.finished_s]
+        host = batcher.host_stats()
         return {
             "aggregate_rtf": round((total_samples / 24_000.0) / wall, 2),
             "per_stream_min_rtf": (round(min(per_stream), 3)
                                    if per_stream else None),
             "n_streams": n_streams,
+            # host-side cost attribution (dispatch + fanout = pure host
+            # overhead per frame; fetch includes device wait)
+            "host_ms_per_frame": round(host["host_ms_per_frame"], 3),
+            "fetch_ms_per_frame": round(host["fetch_ms_per_frame"], 3),
         }
     finally:
         batcher.stop()

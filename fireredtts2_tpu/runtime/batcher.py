@@ -157,6 +157,14 @@ class ContinuousBatcher:
                 ladder=(1, 4, 16), start_block=self.block_frames))
         self.policy = policy
         self.chunk_drops = 0
+        # Host-cost attribution (PERF.md round 2: past 8 streams the
+        # bottleneck was HOST-side, not the device step). Cumulative
+        # seconds split by phase: dispatch (trace+enqueue of the block
+        # program, async), fetch (np.asarray of the packed block — tunnel
+        # transfer + any wait for the device), fanout (pure numpy slicing
+        # + queue puts). host_stats() reports per-frame ms.
+        self._host = {"blocks": 0, "frames": 0, "dispatch_s": 0.0,
+                      "fetch_s": 0.0, "fanout_s": 0.0}
 
         self._key = jax.random.PRNGKey(int(time.time()) & 0xFFFF)
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -337,6 +345,7 @@ class ContinuousBatcher:
                     block=K, temperature=jnp.asarray(self.temps)[:, None],
                     topk=jnp.asarray(self.topks))
                 self._step_count += K
+                self._host["dispatch_s"] += time.perf_counter() - t_block
                 nxt = (packed, K, active, t_block)
             if in_flight is not None:
                 self._fan_out(*in_flight)
@@ -359,9 +368,11 @@ class ContinuousBatcher:
         streams, PERF.md round 2): a stream accepts frames up to its first
         EOS flag / its frame cap, as one contiguous audio chunk."""
         cs, ts = self._cs, self._ts
+        t_fetch0 = time.perf_counter()
         pk = np.asarray(packed)
         now = time.perf_counter()
         self.policy.record(K, now - t_block)
+        self._host["fetch_s"] += now - t_fetch0
         eos = pk[:, K * (cs + ts):] > 0.5        # (B, K)
         for b, handle in active:
             slot = self.slots[b]
@@ -391,3 +402,27 @@ class ContinuousBatcher:
                     continue
             if hit_eos or capped:
                 self._finish(b)
+        self._host["fanout_s"] += time.perf_counter() - now
+        self._host["blocks"] += 1
+        self._host["frames"] += K * len(active)
+
+    def reset_host_stats(self) -> None:
+        """Zero the attribution counters — call after a warmup wave so
+        first-dispatch compile time doesn't pollute dispatch_ms."""
+        for k in self._host:
+            self._host[k] = type(self._host[k])(0)
+
+    def host_stats(self) -> dict:
+        """Per-frame host-cost breakdown in ms (phase meanings: see
+        __init__). fetch includes waiting for the device when the host is
+        ahead, so dispatch+fanout is the pure host overhead — the number
+        that must stay under (80 ms x streams)/frame for the 16-stream
+        realtime bar."""
+        h = dict(self._host)
+        f = max(h.pop("frames"), 1)
+        out = {"blocks": h.pop("blocks"), "frames": f}
+        out.update({k[:-2] + "_ms_per_frame": 1e3 * v / f
+                    for k, v in h.items()})
+        out["host_ms_per_frame"] = (out["dispatch_ms_per_frame"]
+                                    + out["fanout_ms_per_frame"])
+        return out

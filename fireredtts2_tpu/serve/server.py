@@ -446,6 +446,7 @@ class WebSocketTTSServer:
             out["queue_depth"] = batcher.pending.qsize()
             out["chunk_drops"] = batcher.chunk_drops
             out["block_policy"] = batcher.policy.snapshot()
+            out["host"] = batcher.host_stats()
         from fireredtts2_tpu.runtime.perf import load_perf_budget
         from fireredtts2_tpu.runtime.policy import RecommendationEngine
 

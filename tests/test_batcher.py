@@ -158,3 +158,18 @@ def test_mid_block_frame_cap_is_exact(greedy_engine, batcher):
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
+def test_host_stats_attribution(batcher):
+    """host_stats() attributes the block loop's host costs (dispatch /
+    fetch / fanout) per frame — the instrumentation the 16-stream
+    realtime-bar analysis reads (PERF.md round 2: host-side bottleneck)."""
+    h = batcher.submit("host stats probe", "[S1]", max_audio_length_ms=640)
+    _collect(h)
+    stats = batcher.host_stats()
+    assert stats["blocks"] > 0 and stats["frames"] > 0
+    for k in ("dispatch_ms_per_frame", "fetch_ms_per_frame",
+              "fanout_ms_per_frame", "host_ms_per_frame"):
+        assert np.isfinite(stats[k]) and stats[k] >= 0.0, k
+    assert stats["host_ms_per_frame"] == pytest.approx(
+        stats["dispatch_ms_per_frame"] + stats["fanout_ms_per_frame"])

@@ -69,7 +69,7 @@ async def _one_client(uri: str, text: str, max_ms: float, out: list) -> None:
 
 
 async def run_load(uri: str, n_streams: int, text: str, max_ms: float,
-                   warmup: bool = True) -> dict:
+                   warmup: bool = True, after_warmup=None) -> dict:
     if warmup:  # compile the batched programs before the timed wave
         # Same text + max_ms as the timed wave: the whole-utterance LM
         # program is shape-specialized on the frame budget, so a shorter
@@ -77,6 +77,8 @@ async def run_load(uri: str, n_streams: int, text: str, max_ms: float,
         w: list = []
         await asyncio.gather(*[
             _one_client(uri, text, max_ms, w) for _ in range(n_streams)])
+        if after_warmup is not None:  # e.g. reset host-cost attribution
+            after_warmup()
     out: list = []
     t0 = time.perf_counter()
     await asyncio.gather(*[
@@ -150,12 +152,22 @@ def main() -> int:
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
 
+    server = None
     if args.self_host:
-        _self_host(args.self_host, args.port, max_streams=args.streams)
+        server = _self_host(args.self_host, args.port,
+                            max_streams=args.streams)
     uri = f"ws://{args.host}:{args.port}"
+    batcher = getattr(getattr(server, "service", None), "batcher", None)
     res = asyncio.run(
         run_load(uri, args.streams, args.text, args.max_ms,
-                 warmup=not args.no_warmup))
+                 warmup=not args.no_warmup,
+                 after_warmup=(batcher.reset_host_stats
+                               if batcher is not None else None)))
+    if batcher is not None:
+        # host-cost attribution (runtime/batcher.py:host_stats): dispatch
+        # + fanout = pure host overhead; fetch includes device wait.
+        res["host"] = {k: round(v, 3) if isinstance(v, float) else v
+                       for k, v in batcher.host_stats().items()}
     print(json.dumps(res))
     return 0 if res["ok"] == args.streams else 1
 
