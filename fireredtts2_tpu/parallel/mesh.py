@@ -28,9 +28,15 @@ def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        assert n % tp == 0, (n, tp)
+        if n % tp:
+            raise ValueError(
+                f"tp={tp} does not divide the {n} visible device(s); "
+                f"pass --tp that divides the device count (CPU tests use "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=8)")
         dp = n // tp
-    assert dp * tp <= n, (dp, tp, n)
+    if dp * tp > n:
+        raise ValueError(f"dp={dp} x tp={tp} exceeds the {n} visible "
+                         f"device(s)")
     arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
