@@ -155,11 +155,15 @@ class WhisperASR:
                  model_cfg: Optional[WhisperASRModelConfig] = None,
                  detokenizer: Optional[Detokenizer] = None,
                  alignment_heads: Optional[tuple] = None,
-                 seed: int = 0, warmup: bool = True, mesh=None):
+                 seed: int = 0, warmup: bool = True, mesh=None,
+                 quantize_int8: bool = False):
         """mesh: optional jax.sharding Mesh (parallel/mesh.py:make_mesh)
         — transcription runs tp-SHARDED (encoder/decoder stacks
         Megatron-split, vocab-split tied embedding; XLA inserts the
         collectives), same tokens as unsharded (tests/test_multichip.py).
+        quantize_int8: weight-only int8 on the hot matmuls
+        (asr/model.py:quantize_asr_params_int8) — halves per-token weight
+        reads; composes with mesh (scales shard with their weights).
         """
         self.config = config or ASRConfig()
         self.model_cfg = model_cfg or TINY_ASR
@@ -180,6 +184,9 @@ class WhisperASR:
                                          self.model_cfg.num_heads))
         self.params = params if params is not None else init_asr_params(
             jax.random.PRNGKey(seed), self.model_cfg)
+        if quantize_int8:
+            from fireredtts2_tpu.asr.model import quantize_asr_params_int8
+            self.params = quantize_asr_params_int8(self.params)
         self.mesh = mesh
         if mesh is not None:
             from fireredtts2_tpu.parallel.mesh import (

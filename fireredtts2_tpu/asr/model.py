@@ -25,6 +25,7 @@ from jax import Array
 
 from fireredtts2_tpu.models.codec.whisper_nn import (
     init_whisper_encoder, whisper_encoder_forward, layer_norm,
+    quantize_whisper_layers_int8, _wmm,
 )
 from fireredtts2_tpu.ops.attention import mha_attention
 
@@ -139,6 +140,35 @@ class ASRDecodeState(NamedTuple):
     pos: Array            # () int32 — shared across the batch (no padding)
 
 
+_DECODER_INT8_KEYS = ("self_wq", "self_wk", "self_wv", "self_wo",
+                      "cross_wq", "cross_wo", "fc1_w", "fc2_w")
+
+
+def quantize_asr_params_int8(params: Params) -> Params:
+    """Weight-only int8 (per-output-channel symmetric) for the
+    transcription hot path: the encoder stack and the decoder's PER-STEP
+    matmuls. cross_wk/cross_wv stay fp — they run once per utterance in
+    precompute_cross_kv, not per token; so does the tied token embedding
+    (quality-sensitive logits). At whisper-large-v3 dims AR decode is
+    weight-read-bound, so int8 halves the per-token HBM traffic (same
+    recipe as the TTS LM backbone, models/lm/transformer.py)."""
+    out = dict(params)
+    enc = dict(params["encoder"])
+    enc["layers"] = quantize_whisper_layers_int8(enc["layers"])
+    out["encoder"] = enc
+    dec = dict(params["decoder"])
+    lp = dict(dec["layers"])
+    for k in _DECODER_INT8_KEYS:
+        w = lp[k].astype(jnp.float32)
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0, 1e-8)
+        lp[k] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        lp[k + "_scale"] = scale  # (L, 1, out) fp32
+    dec["layers"] = lp
+    out["decoder"] = dec
+    return out
+
+
 def init_asr_decode_state(cfg: WhisperASRModelConfig, batch: int,
                           dtype=jnp.float32) -> ASRDecodeState:
     shape = (cfg.decoder_layers, batch, cfg.max_target_positions,
@@ -174,31 +204,34 @@ def _decoder_layer(h: Array, lp: Params, cfg: WhisperASRModelConfig,
     B, S, D = h.shape
     H, Dh = cfg.num_heads, cfg.head_dim
 
-    # self-attention over the KV slab
+    # self-attention over the KV slab (matmuls via _wmm: transparent
+    # weight-only int8, whisper_nn.py)
     x = layer_norm(h, lp["self_ln_w"], lp["self_ln_b"])
-    q = (x @ lp["self_wq"] + lp["self_bq"]).reshape(B, S, H, Dh)
-    k = (x @ lp["self_wk"]).reshape(B, S, H, Dh)
-    v = (x @ lp["self_wv"] + lp["self_bv"]).reshape(B, S, H, Dh)
+    q = (_wmm(x, lp, "self_wq") + lp["self_bq"]).reshape(B, S, H, Dh)
+    k = _wmm(x, lp, "self_wk").reshape(B, S, H, Dh)
+    v = (_wmm(x, lp, "self_wv") + lp["self_bv"]).reshape(B, S, H, Dh)
     k_slab = jax.lax.dynamic_update_slice(
         k_slab, k.astype(k_slab.dtype), (0, cache_pos, 0, 0))
     v_slab = jax.lax.dynamic_update_slice(
         v_slab, v.astype(v_slab.dtype), (0, cache_pos, 0, 0))
     attn = mha_attention(q, k_slab.astype(h.dtype), v_slab.astype(h.dtype),
                          self_mask)
-    h = h + (attn.reshape(B, S, D) @ lp["self_wo"] + lp["self_bo"]).astype(h.dtype)
+    h = h + (_wmm(attn.reshape(B, S, D), lp, "self_wo")
+             + lp["self_bo"]).astype(h.dtype)
 
     # cross-attention over precomputed encoder K/V
     cross_in = h                     # saved for alignment-head re-projection
     x = layer_norm(h, lp["cross_ln_w"], lp["cross_ln_b"])
-    q = (x @ lp["cross_wq"] + lp["cross_bq"]).reshape(B, S, H, Dh)
+    q = (_wmm(x, lp, "cross_wq") + lp["cross_bq"]).reshape(B, S, H, Dh)
     attn = mha_attention(q, cross_k.astype(h.dtype), cross_v.astype(h.dtype),
                          cross_mask)
-    h = h + (attn.reshape(B, S, D) @ lp["cross_wo"] + lp["cross_bo"]).astype(h.dtype)
+    h = h + (_wmm(attn.reshape(B, S, D), lp, "cross_wo")
+             + lp["cross_bo"]).astype(h.dtype)
 
     # FFN
     x = layer_norm(h, lp["ffn_ln_w"], lp["ffn_ln_b"])
-    x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
-    h = h + (x @ lp["fc2_w"] + lp["fc2_b"]).astype(h.dtype)
+    x = jax.nn.gelu(_wmm(x, lp, "fc1_w") + lp["fc1_b"], approximate=False)
+    h = h + (_wmm(x, lp, "fc2_w") + lp["fc2_b"]).astype(h.dtype)
     return h, k_slab, v_slab, cross_in
 
 

@@ -110,9 +110,10 @@ def lm_param_pspecs(params: Any) -> Any:
 # asr/model.py:73): attention (+ optional cross-attention) + GELU MLP
 # with (L, in, out) matmuls.
 _WHISPER_COL = ("wq", "wk", "wv", "fc1_w", "cross_wq", "cross_wk",
-                "cross_wv")
-_WHISPER_ROW = ("wo", "fc2_w", "cross_wo")
-_WHISPER_COL_BIAS = ("bq", "bv", "fc1_b", "cross_bq", "cross_bv")
+                "cross_wv", "self_wq", "self_wk", "self_wv")
+_WHISPER_ROW = ("wo", "fc2_w", "cross_wo", "self_wo")
+_WHISPER_COL_BIAS = ("bq", "bv", "fc1_b", "cross_bq", "cross_bv",
+                     "self_bq", "self_bv")
 
 
 def _whisper_layer_spec(key: str, leaf) -> P:

@@ -495,3 +495,40 @@ def test_hf_whisper_dir_loads_into_ssl_encoder(rng, tmp_path):
         params, cfg.num_heads, jnp.asarray(mel), jnp.asarray([T], jnp.int32))
     assert int(lengths[0]) == T // 2
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_int8_quantized_asr_runs_and_composes_with_mesh():
+    """Weight-only int8 on the transcription hot path
+    (asr/model.py:quantize_asr_params_int8): per-channel dequantization
+    error is small, the pipeline runs end to end, and the int8 scales
+    shard with their weights under a tp mesh."""
+    from fireredtts2_tpu.asr.asr import WhisperASR, ASRConfig
+    from fireredtts2_tpu.parallel.mesh import make_mesh
+
+    t = np.arange(8_000) / 16_000.0
+    tone = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    cfg = ASRConfig(max_new_tokens=8)
+
+    a8 = WhisperASR(config=cfg, warmup=False, quantize_int8=True)
+    lp = a8.params["decoder"]["layers"]
+    assert lp["self_wq"].dtype == jnp.int8 and "self_wq_scale" in lp
+    assert lp["cross_wk"].dtype != jnp.int8  # once-per-utterance: stays fp
+    enc = a8.params["encoder"]["layers"]
+    assert enc["wq"].dtype == jnp.int8 and "wq_scale" in enc
+
+    orig = WhisperASR(config=cfg, warmup=False).params
+    w0 = np.asarray(orig["decoder"]["layers"]["self_wq"], np.float32)
+    deq = (np.asarray(lp["self_wq"], np.float32)
+           * np.asarray(lp["self_wq_scale"], np.float32))
+    rel = np.linalg.norm(deq - w0) / np.linalg.norm(w0)
+    assert rel < 0.01, rel
+
+    r = a8.transcribe(tone)
+    assert r.segments and np.isfinite(r.segments[0]["avg_logprob"])
+
+    am = WhisperASR(config=cfg, warmup=False, quantize_int8=True,
+                    mesh=make_mesh(tp=4))
+    s = am.params["decoder"]["layers"]["self_wq_scale"]
+    assert s.sharding.shard_shape(s.shape)[-1] == s.shape[-1] // 4
+    rm = am.transcribe(tone)
+    assert rm.segments and np.isfinite(rm.segments[0]["avg_logprob"])

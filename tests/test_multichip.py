@@ -253,6 +253,8 @@ def test_asr_sharded_matches_unsharded():
     a1 = WhisperASR(config=cfg, warmup=False, mesh=make_mesh(tp=4))
     wq = a1.params["encoder"]["layers"]["wq"]
     assert wq.sharding.shard_shape(wq.shape)[-1] == wq.shape[-1] // 4
+    swq = a1.params["decoder"]["layers"]["self_wq"]
+    assert swq.sharding.shard_shape(swq.shape)[-1] == swq.shape[-1] // 4
 
     r0 = a0.transcribe(tone)
     r1 = a1.transcribe(tone)
