@@ -41,6 +41,13 @@ if [ "$1" != quick ]; then
   run python tools/dialogue_fpl.py 6 --fused=gate=r8,up=s8,down=s8
 fi
 
+# 5b. On-TPU ASR RTF, fp vs int8 hot path (beyond-reference: the
+#     reference runs whisper on CUDA/CPU outside the serving chip).
+if [ "$1" != quick ]; then
+  run python tools/asr_bench.py
+  run python tools/asr_bench.py --int8
+fi
+
 # 6. Full headline bench (outage-hardened; writes the one-line JSON).
 if [ "$1" != quick ]; then
   run python bench.py
