@@ -164,7 +164,8 @@ def _cmd_train(args):
                    os.path.join(args.pretrained_dir, "config_llm.json"))
                if args.pretrained_dir else tiny_engine_config().llm)
         tcfg = TrainConfig(
-            batch_size=args.batch_size, peak_lr=args.lr,
+            batch_size=args.batch_size, seq_len=args.seq_len,
+            peak_lr=args.lr,
             checkpoint_dir=args.ckpt_dir, checkpoint_every=args.ckpt_every,
             log_every=args.log_every, dp=args.dp, tp=args.tp,
             mixed_precision=args.bf16, eval_every=args.eval_every,
@@ -302,6 +303,8 @@ def main(argv=None):
                    help="append jsonl train/eval metrics here")
     t.add_argument("--dp", type=int, default=None)
     t.add_argument("--tp", type=int, default=1)
+    t.add_argument("--seq-len", type=int, default=256,
+                   help="lm only: training sequence length (frames)")
     t.add_argument("--window-samples", type=int, default=32_000,
                    help="codec only: 16 kHz window length (multiple of "
                         "1280 = one 12.5 Hz token)")
