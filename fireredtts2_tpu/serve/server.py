@@ -694,6 +694,10 @@ class HealthHTTPServer:
                 elif (parts[:3] == ["api", "v1", "conversations"]
                       and len(parts) == 5 and parts[4] == "turn"):
                     self._conversation_turn(parts[3])
+                elif self.path == "/v1/audio/speech":
+                    if not self._guard():
+                        return
+                    self._openai_speech()
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -822,6 +826,92 @@ class HealthHTTPServer:
                 self._json(200, {"sample_rate": sr, "format": "pcm16",
                                  "duration_s": len(audio) / sr,
                                  "voice": p.name, "data": pcm16_hex(audio)})
+
+            def _openai_speech(self):
+                """OpenAI-compatible TTS: POST /v1/audio/speech
+                {"model", "input", "voice"?, "response_format"? wav|pcm}
+                -> binary audio. Drop-in for openai-python's
+                client.audio.speech.create (the reference has no
+                compatible surface; its REST is bespoke,
+                api_interfaces.py:201-541). "voice" matching a stored
+                profile id/name clones that voice; anything else (or
+                empty) uses the default speaker."""
+                req = self._body()
+                if req is None:
+                    return
+                text = req.get("input", "")
+                v = validate_text_input(text)
+                if not v.ok:
+                    self._json(400, {"error": {
+                        "message": v.reason,
+                        "type": "invalid_request_error"}})
+                    return
+                fmt = req.get("response_format", "wav")
+                if fmt not in ("wav", "pcm"):
+                    self._json(400, {"error": {
+                        "message": f"unsupported response_format {fmt!r} "
+                                   f"(wav | pcm)",
+                        "type": "invalid_request_error"}})
+                    return
+                want = str(req.get("voice", "") or "")
+                prof = None
+                if voices and want:
+                    prof = voices.get(want) or next(
+                        (p for p in voices.list_profiles()
+                         if p.name == want), None)
+                if prof is not None:
+                    done = threading.Event()
+                    result: dict = {}
+
+                    def on_done(audio, err):
+                        result["audio"], result["err"] = audio, err
+                        done.set()
+
+                    ws_server.service.submit(TTSRequest(
+                        request_id=uuid.uuid4().hex, text=text,
+                        speaker="[S1]",
+                        temperature=float(req.get("temperature", 0.75)),
+                        topk=20, streaming=False, mode="monologue_clone",
+                        prompt_wav=prof.wav_path,
+                        prompt_text=prof.reference_text,
+                        prompt_tokens=voices.prompt_tokens(prof.profile_id),
+                        on_chunk=lambda c: None, on_done=on_done))
+                    if not done.wait(timeout=600):
+                        self._json(504, {"error": {
+                            "message": "generation timed out"}})
+                        return
+                    audio, err = result["audio"], result["err"]
+                else:
+                    audio, err = run_tts(text, {
+                        "speaker": req.get("speaker", "[S1]"),
+                        "temperature": req.get("temperature", 0.9)})
+                if err is not None:
+                    self._json(500, {"error": {"message": str(err)}})
+                    return
+                self._binary_audio(audio, fmt)
+
+            def _binary_audio(self, audio, fmt: str):
+                import struct
+
+                from fireredtts2_tpu.utils.native import f32_to_pcm16
+
+                sr = ws_server.service.engine.output_sample_rate
+                pcm = f32_to_pcm16(audio)
+                if fmt == "wav":
+                    data = (b"RIFF" + struct.pack("<I", 36 + len(pcm))
+                            + b"WAVEfmt "
+                            + struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                          sr * 2, 2, 16)
+                            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+                    ctype = "audio/wav"
+                else:
+                    data, ctype = pcm, "application/octet-stream"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("X-Sample-Rate", str(sr))
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
 
             def _voice_create(self):
                 req = self._body()

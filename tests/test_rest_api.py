@@ -195,3 +195,58 @@ def test_demo_page_has_cloning_ui(rest):
     assert "voices/create" in page and "tts/clone" in page
     assert "generate_speech" in page   # single-utterance path intact
     assert "generate_dialogue" in page  # KV-persistent dialogue streaming
+
+
+# -------------------------------------------------- OpenAI-compatible TTS
+
+
+def _post_raw(base, path, obj, timeout=600):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def test_openai_speech_wav_and_pcm(rest):
+    """POST /v1/audio/speech (openai-python drop-in): wav bytes with a
+    valid RIFF header, and raw pcm16 when response_format=pcm."""
+    st, hdrs, body = _post_raw(rest["base"], "/v1/audio/speech",
+                               {"model": "fireredtts2", "input": "Hello."})
+    assert st == 200 and hdrs["Content-Type"] == "audio/wav"
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    sr = int(hdrs["X-Sample-Rate"])
+    n = int.from_bytes(body[40:44], "little") // 2   # data chunk samples
+    assert sr == 24_000 and n > 0 and len(body) == 44 + 2 * n
+
+    st, hdrs, pcm = _post_raw(rest["base"], "/v1/audio/speech",
+                              {"input": "Hello.", "response_format": "pcm"})
+    assert st == 200 and hdrs["Content-Type"] == "application/octet-stream"
+    assert len(pcm) % 2 == 0 and len(pcm) > 0
+    x = np.frombuffer(pcm, "<i2").astype(np.float32) / 32767.0
+    assert np.isfinite(x).all()
+
+
+def test_openai_speech_rejects_bad_format_and_empty_input(rest):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(rest["base"], "/v1/audio/speech",
+                  {"input": "hi", "response_format": "opus"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_raw(rest["base"], "/v1/audio/speech", {"input": ""})
+    assert e.value.code == 400
+
+
+def test_openai_speech_with_stored_voice(rest):
+    """voice=<profile name> routes through the clone path."""
+    t = np.arange(8_000) / 16_000.0
+    wav = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+    st, created = _post(rest["base"], "/api/v1/voices/create", {
+        "name": "openai-voice", "reference_text": "a reference sentence",
+        "data": pcm.hex(), "sample_rate": 16_000})
+    assert st == 200
+    st, hdrs, body = _post_raw(
+        rest["base"], "/v1/audio/speech",
+        {"input": "Hello there.", "voice": "openai-voice"}, timeout=900)
+    assert st == 200 and body[:4] == b"RIFF" and len(body) > 44
