@@ -112,6 +112,20 @@ def _cmd_serve(args):
         primary=args.llm_primary, hf_model_dir=args.llm_model_dir,
         openai_base_url=args.openai_base_url, openai_model=args.openai_model,
         openai_api_key=os.environ.get("OPENAI_API_KEY"))
+    transcriber = None
+    if args.asr:
+        from fireredtts2_tpu.asr import WhisperASR
+
+        if args.asr_dir:
+            from fireredtts2_tpu.asr import load_hf_whisper
+            params, model_cfg = load_hf_whisper(args.asr_dir)
+            asr = WhisperASR(params=params, model_cfg=model_cfg,
+                             quantize_int8=args.asr_int8)
+        else:
+            print("[warn] serve --asr without --asr-dir: tiny random-"
+                  "weight dev ASR (transcripts are noise)")
+            asr = WhisperASR(warmup=False, quantize_int8=args.asr_int8)
+        transcriber = asr.as_transcriber()
     if args.profiler_port:
         # Live jax.profiler gRPC endpoint: `xprof --port 6006
         # --grpc_port <port>` or TensorBoard's profile tab can attach to a
@@ -123,7 +137,7 @@ def _cmd_serve(args):
     serve(engine, ws_port=args.ws_port, http_port=args.http_port,
           session_dir=args.session_dir, max_streams=args.max_streams,
           voice_dir=args.voice_dir, responder=responder,
-          require_auth=args.require_auth)
+          require_auth=args.require_auth, transcriber=transcriber)
 
 
 def _cmd_qa(args):
@@ -267,6 +281,14 @@ def main(argv=None):
     s.add_argument("--require-auth", action="store_true",
                    help="demand Bearer tokens on WS TTS + /api/v1 REST "
                         "(secret via FRTTS2_TOKEN_SECRET)")
+    s.add_argument("--asr", action="store_true",
+                   help="wire the on-TPU whisper ASR: enables "
+                        "POST /v1/audio/transcriptions")
+    s.add_argument("--asr-dir", default=None,
+                   help="local HF whisper checkout (e.g. whisper-large-v3);"
+                        " omitted = tiny random dev ASR")
+    s.add_argument("--asr-int8", action="store_true",
+                   help="weight-only int8 ASR hot path")
     s.add_argument("--llm-primary", default="rule_based",
                    choices=["rule_based", "local", "openai"],
                    help="primary conversation-LLM backend")

@@ -492,7 +492,7 @@ class HealthHTTPServer:
 
     def __init__(self, ws_server: WebSocketTTSServer, host: str = "0.0.0.0",
                  port: int = 8080, voice_dir: Optional[str] = None,
-                 responder=None):
+                 responder=None, transcriber=None):
         import base64
 
         from fireredtts2_tpu.serve.security import validate_text_input
@@ -698,6 +698,10 @@ class HealthHTTPServer:
                     if not self._guard():
                         return
                     self._openai_speech()
+                elif self.path == "/v1/audio/transcriptions":
+                    if not self._guard():
+                        return
+                    self._openai_transcription()
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -890,6 +894,76 @@ class HealthHTTPServer:
                     return
                 self._binary_audio(audio, fmt)
 
+            def _openai_transcription(self):
+                """OpenAI-compatible ASR: POST /v1/audio/transcriptions
+                -> {"text": ...}. Drop-in for openai-python's
+                client.audio.transcriptions.create: multipart/form-data
+                with a wav `file` field, or (extension) the JSON audio
+                payload the rest of this API uses. Backed by the on-TPU
+                whisper (serve --asr); 503 when no transcriber is wired."""
+                if transcriber is None:
+                    self._json(503, {"error": {
+                        "message": "no ASR wired (start with serve --asr)"}})
+                    return
+                ctype = self.headers.get("Content-Type", "")
+                try:
+                    if ctype.startswith("multipart/form-data"):
+                        audio = self._multipart_wav()
+                    else:
+                        req = self._body()
+                        if req is None:
+                            return
+                        audio = decode_audio_payload(req)
+                except ValueError as e:
+                    self._json(400, {"error": {
+                        "message": f"invalid audio payload: {e}",
+                        "type": "invalid_request_error"}})
+                    return
+                if audio.size < 160:            # >= 10 ms
+                    self._json(400, {"error": {
+                        "message": "audio too short",
+                        "type": "invalid_request_error"}})
+                    return
+                self._json(200, {"text": transcriber(audio)})
+
+            def _multipart_wav(self) -> np.ndarray:
+                """Parse a multipart/form-data body and decode the first
+                wav file part to 16 kHz float32 mono (stdlib only — no
+                python-multipart in this image)."""
+                import io
+                from email import message_from_bytes
+                from email.policy import HTTP
+
+                from scipy.io import wavfile
+
+                n = int(self.headers.get("Content-Length", "0"))
+                if n > MAX_BODY_BYTES:
+                    raise ValueError(f"body too large (> {MAX_BODY_BYTES})")
+                raw = (b"Content-Type: "
+                       + self.headers["Content-Type"].encode()
+                       + b"\r\n\r\n" + self.rfile.read(n))
+                msg = message_from_bytes(raw, policy=HTTP)
+                if not msg.is_multipart():
+                    raise ValueError("not multipart")
+                for part in msg.iter_parts():
+                    if part.get_filename() or \
+                            part.get_param("name",
+                                           header="content-disposition") == "file":
+                        sr, data = wavfile.read(
+                            io.BytesIO(part.get_payload(decode=True)))
+                        if data.ndim > 1:
+                            data = data[:, 0]
+                        if data.dtype == np.int16:
+                            audio = data.astype(np.float32) / 32768.0
+                        else:
+                            audio = data.astype(np.float32)
+                        if len(audio) > MAX_PROMPT_SECONDS * sr:
+                            raise ValueError("audio too long")
+                        if sr != 16_000:
+                            audio = resample(audio, sr, 16_000)
+                        return audio
+                raise ValueError("no file part")
+
             def _binary_audio(self, audio, fmt: str):
                 import struct
 
@@ -987,7 +1061,7 @@ class HealthHTTPServer:
 def serve(engine, ws_port: int = 8765, http_port: int = 8080,
           session_dir: Optional[str] = None, max_streams: int = 1,
           voice_dir: Optional[str] = None, responder=None,
-          require_auth: bool = False) -> None:
+          require_auth: bool = False, transcriber=None) -> None:
     """Blocking entry point: WebSocket TTS + HTTP REST. max_streams > 1
     serves concurrent requests through the continuous batcher; voice_dir
     enables the /api/v1/voices CRUD; responder backs the conversations API
@@ -1011,7 +1085,7 @@ def serve(engine, ws_port: int = 8765, http_port: int = 8080,
     server = WebSocketTTSServer(engine, port=ws_port, session_dir=session_dir,
                                 max_streams=max_streams, security=security)
     health = HealthHTTPServer(server, port=http_port, voice_dir=voice_dir,
-                              responder=responder)
+                              responder=responder, transcriber=transcriber)
 
     async def main():
         await server.start()

@@ -250,3 +250,71 @@ def test_openai_speech_with_stored_voice(rest):
         rest["base"], "/v1/audio/speech",
         {"input": "Hello there.", "voice": "openai-voice"}, timeout=900)
     assert st == 200 and body[:4] == b"RIFF" and len(body) > 44
+
+
+# -------------------------------------------- OpenAI-compatible ASR
+
+
+@pytest.fixture(scope="module")
+def rest_asr(tmp_path_factory):
+    """A second server with the REAL (tiny random-weight) on-TPU whisper
+    wired as the transcriber."""
+    from fireredtts2_tpu.asr import WhisperASR
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.server import (
+        WebSocketTTSServer, HealthHTTPServer,
+    )
+
+    engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=18784)
+    http_srv = HealthHTTPServer(
+        ws, host="127.0.0.1", port=18794,
+        transcriber=WhisperASR(warmup=False).as_transcriber())
+    http_srv.start()
+    yield {"base": "http://127.0.0.1:18794"}
+    http_srv.stop()
+    ws.service.shutdown()
+
+
+def _tone_pcm16(n=8000):
+    t = np.arange(n) / 16_000.0
+    wav = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    return (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+
+
+def test_openai_transcription_json_payload(rest_asr):
+    st, out = _post(rest_asr["base"], "/v1/audio/transcriptions",
+                    {"data": _tone_pcm16().hex(), "sample_rate": 16_000})
+    assert st == 200 and isinstance(out["text"], str)
+
+
+def test_openai_transcription_multipart_wav(rest_asr):
+    import io
+    import struct
+
+    pcm = _tone_pcm16()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 16_000, 32_000, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    boundary = "frtts2boundary"
+    body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="file"; filename="a.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n").encode() + wav + \
+        f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        rest_asr["base"] + "/v1/audio/transcriptions", data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = json.loads(r.read())
+        assert r.status == 200
+    assert isinstance(out["text"], str)
+
+
+def test_openai_transcription_503_without_asr(rest):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(rest["base"], "/v1/audio/transcriptions",
+              {"data": _tone_pcm16().hex()})
+    assert e.value.code == 503
