@@ -191,10 +191,14 @@ def test_stream_ring_nonuniform_split_exact(monkeypatch):
     params_q = dict(params, decoder=bundle["xla_decoder"])
     key = jax.random.PRNGKey(31)
     xla = _depth_decode(params_q, cfg, last_h, c0, key, 10, 0.75)
-    # Ih = 384 = 3 tiles; q=2 -> widths (256, 128): genuinely non-uniform
-    fused = fused_depth_decode(bundle, cfg, last_h, c0, key, 10, 0.75,
-                               plan=plan, interpret=True, stream_cfg=(2, 2))
-    assert (xla == fused).all()
+    # Ih = 384 = 3 tiles; q=2 -> widths (256, 128): genuinely non-uniform.
+    # Also cover the whole on-chip A/B ladder (tools/onchip_r3.sh):
+    # (3, 2) = one chunk per tile, (1, 2) = single big chunk.
+    for stream_cfg in ((2, 2), (3, 2), (1, 2)):
+        fused = fused_depth_decode(bundle, cfg, last_h, c0, key, 10, 0.75,
+                                   plan=plan, interpret=True,
+                                   stream_cfg=stream_cfg)
+        assert (xla == fused).all(), stream_cfg
 
 
 @pytest.mark.parametrize("stream_cfg", [(2, 2), (2, 4), (4, 2), (4, 4)])
