@@ -297,3 +297,30 @@ def test_codec_sharded_train_step(rng):
         lambda c, p, o: make_codec_sharded_train_step(mesh, c, p, o))
     assert np.isfinite(plain) and np.isfinite(shard)
     assert abs(plain - shard) / max(abs(plain), 1e-6) < 2e-4, (plain, shard)
+
+
+def test_engine_sharded_serving_int8_backbone():
+    """The flagship serving combination: weight-only int8 backbone UNDER
+    the (dp, tp) mesh — lm_param_pspecs must shard the int8 weights AND
+    their per-output-channel scales together, and the sharded engine must
+    synthesize the same audio as the unsharded int8 engine (greedy-ish:
+    topk=1 + depth_topk=1 keeps near-tie sampling out of the comparison
+    across all-reduce summation orders)."""
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    kw = dict(config=tiny_engine_config(depth_topk=1), seed=7,
+              llm_overrides={"dtype": "float32",
+                             "quantize_backbone": True})
+    gen = dict(max_audio_length_ms=400, temperature=0.6, topk=1)
+    a0 = FireRedTTS2Engine(**kw).generate("Hello there.", "[S1]", [], **gen)
+
+    e1 = FireRedTTS2Engine(**kw, mesh=make_mesh(tp=4))
+    wq = e1.lm_params["backbone"]["wq"]
+    assert wq.dtype == jnp.int8
+    assert wq.sharding.shard_shape(wq.shape)[-1] == wq.shape[-1] // 4
+    sc = e1.lm_params["backbone"]["wq_scale"]
+    assert sc.sharding.shard_shape(sc.shape)[-1] == sc.shape[-1] // 4
+    a1 = e1.generate("Hello there.", "[S1]", [], **gen)
+    assert a0.shape == a1.shape
+    np.testing.assert_allclose(a0, a1, atol=2e-5)
