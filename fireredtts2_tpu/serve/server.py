@@ -79,8 +79,12 @@ class TTSRequest:
     prompt_wav: Optional[str] = None
     prompt_text: Optional[str] = None
     # dialogue_stream mode: the utterance list ([S1]/[S2]-prefixed);
-    # on_chunk then receives (utterance_index, chunk) pairs.
+    # on_chunk then receives (utterance_index, chunk) pairs. The optional
+    # per-speaker prompt lists (voices.dialogue_prompts format) clone each
+    # speaker's voice (reference enhanced_gradio_demo.py:245-340).
     text_list: Optional[list] = None
+    prompt_wav_list: Optional[list] = None
+    prompt_text_list: Optional[list] = None
     # Pre-encoded prompt frames from the voice store (voices.prompt_tokens):
     # lets repeat clone requests skip the per-request SSL encode.
     prompt_tokens: Optional[tuple] = None
@@ -99,7 +103,10 @@ def _run_dialogue_stream(engine, req: "TTSRequest") -> np.ndarray:
     chunks flow to on_chunk as (utterance_index, chunk) while decoding."""
     total: list[np.ndarray] = []
     for i, chunk in engine.generate_dialogue_stream(
-            list(req.text_list or []), temperature=req.temperature,
+            list(req.text_list or []),
+            prompt_wav_list=req.prompt_wav_list,
+            prompt_text_list=req.prompt_text_list,
+            temperature=req.temperature,
             topk=req.topk, max_utterance_ms=req.max_audio_length_ms):
         total.append(chunk)
         if req.streaming:
@@ -376,6 +383,31 @@ class WebSocketTTSServer:
             await self._send(ws, {"type": MSG_ERROR, "error": check.reason})
             return
         request_id = msg.get("request_id") or uuid.uuid4().hex
+        # Optional per-speaker voice cloning: {"voices": {"[S1]": <profile
+        # id or name>, ...}} resolves through the voice store
+        # (voices.dialogue_prompts; reference enhanced_gradio_demo.py:245).
+        wav_list = text_prompt_list = None
+        speaker_map = msg.get("voices")
+        if speaker_map:
+            store = getattr(self, "voices", None)
+            if store is None:
+                await self._send(ws, {"type": MSG_ERROR,
+                                      "error": "no voice store configured "
+                                               "(serve --voice-dir)"})
+                return
+            try:
+                resolved = {}
+                for spk, want in dict(speaker_map).items():
+                    p = store.get(str(want)) or next(
+                        (q for q in store.list_profiles()
+                         if q.name == str(want)), None)
+                    if p is None:
+                        raise KeyError(f"unknown voice: {want}")
+                    resolved[str(spk)] = p.profile_id
+                wav_list, text_prompt_list = store.dialogue_prompts(resolved)
+            except (KeyError, TypeError, AttributeError) as e:
+                await self._send(ws, {"type": MSG_ERROR, "error": str(e)})
+                return
         out_q: asyncio.Queue = asyncio.Queue()
 
         def on_chunk(pair) -> None:
@@ -390,6 +422,7 @@ class WebSocketTTSServer:
             topk=int(msg.get("top_k", 20)), streaming=True,
             max_audio_length_ms=float(msg.get("max_utterance_ms", 30_000)),
             mode="dialogue_stream", text_list=[str(t) for t in text_list],
+            prompt_wav_list=wav_list, prompt_text_list=text_prompt_list,
             on_chunk=on_chunk, on_done=on_done))
         await self._send(ws, {"type": MSG_TTS_STARTED,
                               "request_id": request_id,
@@ -1086,6 +1119,7 @@ def serve(engine, ws_port: int = 8765, http_port: int = 8080,
                                 max_streams=max_streams, security=security)
     health = HealthHTTPServer(server, port=http_port, voice_dir=voice_dir,
                               responder=responder, transcriber=transcriber)
+    server.voices = health.voices  # WS dialogue voice-mapping shares the store
 
     async def main():
         await server.start()

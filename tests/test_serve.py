@@ -318,3 +318,61 @@ def test_stats_includes_batcher_and_recommendation_telemetry():
             assert {"severity", "code", "message", "action"} <= set(r)
     finally:
         server.service.batcher.stop()
+
+
+def test_websocket_dialogue_with_voice_mapping(tmp_path):
+    """generate_dialogue with {"voices": {"[S1]": <name>}}: the speaker's
+    stored profile becomes the clone prompt (voices.dialogue_prompts);
+    unknown voices and a missing store error cleanly."""
+    import websockets
+
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+    from fireredtts2_tpu.serve.server import WebSocketTTSServer
+    from fireredtts2_tpu.serve.voices import VoiceProfileManager
+    from fireredtts2_tpu.utils.audio_io import save_wav
+
+    engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18766)
+
+    t = np.arange(8_000) / 16_000.0
+    ref = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    wav_path = str(tmp_path / "ref.wav")
+    save_wav(wav_path, ref, 16_000)
+    store = VoiceProfileManager(str(tmp_path / "profiles"))
+    prof = store.create_profile("alice", "[S1]reference words",
+                                wav_path=wav_path)
+    server.voices = store
+
+    async def scenario():
+        await server.start()
+        try:
+            async with websockets.connect("ws://127.0.0.1:18766") as ws:
+                # unknown voice -> clean error
+                await ws.send(json.dumps({
+                    "type": "generate_dialogue",
+                    "text_list": ["[S1]Hello."],
+                    "voices": {"[S1]": "nobody"}}))
+                bad = json.loads(await asyncio.wait_for(ws.recv(), 60))
+                # by name
+                await ws.send(json.dumps({
+                    "type": "generate_dialogue",
+                    "text_list": ["[S1]Hello there."],
+                    "voices": {"[S1]": "alice"},
+                    "max_utterance_ms": 1600}))
+                chunks = 0
+                while True:
+                    msg = json.loads(await asyncio.wait_for(ws.recv(), 600))
+                    if msg["type"] == "audio_chunk":
+                        chunks += 1
+                    elif msg["type"] == "generation_complete":
+                        return bad, chunks
+                    elif msg["type"] == "error":
+                        raise AssertionError(msg)
+        finally:
+            await server.stop()
+
+    bad, chunks = asyncio.run(scenario())
+    assert bad["type"] == "error" and "nobody" in bad["error"]
+    assert chunks >= 1
+    assert prof.profile_id in {p.profile_id for p in store.list_profiles()}
