@@ -159,6 +159,55 @@ class FireRedTTSClient:
                 raise item
             yield item
 
+    def stream_dialogue_ws(self, text_list: list[str],
+                           voices: Optional[dict] = None,
+                           max_utterance_ms: float = 30_000
+                           ) -> Iterator[tuple[int, np.ndarray]]:
+        """WebSocket streaming dialogue -> (utterance_index, chunk) pairs.
+        voices: optional {"[S1]": <profile id or name>} clone mapping
+        (server needs --voice-dir)."""
+        import asyncio
+        import queue as _q
+        import threading
+
+        out: "_q.Queue" = _q.Queue()
+
+        async def run():
+            import websockets
+
+            async with websockets.connect(self.ws_url,
+                                          max_size=1 << 24) as ws:
+                msg: dict = {"type": "generate_dialogue",
+                             "text_list": list(text_list),
+                             "max_utterance_ms": max_utterance_ms}
+                if voices:
+                    msg["voices"] = dict(voices)
+                if self.api_key:
+                    msg["token"] = self.api_key
+                await ws.send(json.dumps(msg))
+                while True:
+                    m = json.loads(await asyncio.wait_for(
+                        ws.recv(), self.timeout))
+                    if m["type"] == "audio_chunk":
+                        out.put((int(m["utterance"]),
+                                 _pcm16_to_f32(bytes.fromhex(m["data"]))))
+                    elif m["type"] == "generation_complete":
+                        out.put(None)
+                        return
+                    elif m["type"] == "error":
+                        out.put(RuntimeError(m.get("error", "server error")))
+                        return
+
+        threading.Thread(target=lambda: asyncio.run(run()),
+                         daemon=True).start()
+        while True:
+            item = out.get(timeout=self.timeout)
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
     # -------------------------------------------------- OpenAI-compat
 
     def speech(self, input: str, voice: Optional[str] = None,

@@ -99,3 +99,11 @@ def test_conversation(client):
     sid = client.start_conversation(language="English")
     out = client.conversation_turn(sid, "Hello, how are you?")
     assert out["response_text"] and out["data"]
+
+
+def test_stream_dialogue_ws(client):
+    pairs = list(client.stream_dialogue_ws(
+        ["[S1]Hello there.", "[S2]Hi back."], max_utterance_ms=1600))
+    utts = {u for u, _ in pairs}
+    assert utts == {0, 1}
+    assert sum(len(c) for _, c in pairs) > 0
