@@ -31,7 +31,7 @@ import time
 
 
 BASELINE_FIRST_PACKET_MS = 140.0
-STAGES = ("fpl", "offline", "batched8", "batched16", "device")
+STAGES = ("fpl", "offline", "clone", "batched8", "batched16", "device")
 _RETRYABLE_RC = 17
 _TRANSIENT_MARKERS = (
     "UNAVAILABLE", "DEADLINE_EXCEEDED", "RESOURCE_EXHAUSTED", "INTERNAL",
@@ -139,6 +139,7 @@ def main() -> int:
         "streams16_host_ms_per_frame": b16.get("host_ms_per_frame"),
         "streams16_fetch_ms_per_frame": b16.get("fetch_ms_per_frame"),
         "backend": fpl.get("backend"),
+        **done.get("clone", {}),
         **done.get("device", {}),
     }
     if errors:
@@ -214,6 +215,7 @@ def worker(results_path: str, skip: set[str]) -> int:
     stage_fns = {
         "fpl": lambda: _stage_fpl(engine, text, jax),
         "offline": lambda: {"offline_rtf": round(_bench_offline(engine, text), 2)},
+        "clone": lambda: _stage_clone(engine),
         "batched8": lambda: _bench_batched(engine, 8),
         "batched16": lambda: _bench_batched(engine, 16),
         "device": lambda: _bench_device(engine, llm),
@@ -255,6 +257,44 @@ def _stage_fpl(engine, text: str, jax) -> dict:
                      / min(r[2] for r in runs), 2),
         "frames": runs[0][3],
         "backend": jax.default_backend(),
+    }
+
+
+def _stage_clone(engine) -> dict:
+    """Voice-clone path: streaming FPL WITH a prompt segment, cold (full
+    32-layer SSL + RVQ prompt encode) vs cached (per-voice prompt-token
+    cache / VoiceProfile tokens, engine/engine.py:_tokenize_audio). The
+    delta is the per-request win of storing tokens per voice — the
+    reference re-encodes the prompt on every call
+    (/root/reference/fireredtts2/fireredtts2.py:90-115)."""
+    import numpy as np
+    from fireredtts2_tpu.engine.engine import Segment
+
+    rng = np.random.default_rng(0)
+    text = "Cloned voice benchmark sentence for the prompt token cache."
+
+    def run(audio16k):
+        seg = Segment(speaker="[S1]", text="A short voice prompt.",
+                      audio=audio16k)
+        for _ in engine.generate_stream(text, "[S1]", [seg],
+                                        max_audio_length_ms=12 * 80):
+            pass
+        return engine._first_packet_s * 1000.0
+
+    def noise():
+        # fresh content every time -> guaranteed token-cache miss; encode
+        # cost is content-independent (fixed-shape device programs)
+        return (rng.standard_normal(24_000) * 0.05).astype(np.float32)
+
+    run(noise())  # compiles the encode program + this prompt-length bucket
+    colds = [run(noise()) for _ in range(3)]
+    warm_audio = noise()
+    run(warm_audio)  # populate the cache entry that the warm runs hit
+    warms = [run(warm_audio) for _ in range(3)]
+    return {
+        "clone_fpl_cold_ms": round(min(colds), 2),
+        "clone_fpl_warm_ms": round(min(warms), 2),
+        "prompt_encode_ms": round(min(colds) - min(warms), 2),
     }
 
 

@@ -183,7 +183,9 @@ def _cmd_train(args):
             checkpoint_dir=args.ckpt_dir, checkpoint_every=args.ckpt_every,
             log_every=args.log_every, dp=args.dp, tp=args.tp,
             mixed_precision=args.bf16, eval_every=args.eval_every,
-            metrics_path=args.metrics_path)
+            metrics_path=args.metrics_path,
+            zero1=args.zero1, remat=args.remat,
+            grad_accum=args.grad_accum)
         data = jsonl_batches(args.data, cfg, tcfg) if args.data else None
         train(cfg, tcfg, data=data, num_steps=args.steps, seed=args.seed)
     else:
@@ -204,7 +206,8 @@ def _cmd_train(args):
             window_samples=args.window_samples,
             checkpoint_dir=args.ckpt_dir, checkpoint_every=args.ckpt_every,
             log_every=args.log_every, dp=args.dp, tp=args.tp,
-            eval_every=args.eval_every, metrics_path=args.metrics_path)
+            eval_every=args.eval_every, metrics_path=args.metrics_path,
+            zero1=args.zero1)
         data = wav_dir_batches(args.data, tcfg) if args.data else None
         train_codec(cfg, tcfg, data=data, num_steps=args.steps,
                     seed=args.seed)
@@ -332,6 +335,15 @@ def main(argv=None):
                         "1280 = one 12.5 Hz token)")
     t.add_argument("--bf16", action="store_true",
                    help="lm only: bf16 forward/backward, fp32 master params")
+    t.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1 — shard the AdamW moments over dp "
+                        "(8 bytes/param/chip saved; values unchanged)")
+    t.add_argument("--remat", default="", choices=["", "full", "dots"],
+                   help="lm only: per-layer rematerialization (activation "
+                        "memory for recompute; values unchanged)")
+    t.add_argument("--grad-accum", type=int, default=1,
+                   help="lm only: micro-batches accumulated per optimizer "
+                        "update (batch-size must divide evenly)")
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=_cmd_train)
 

@@ -135,6 +135,13 @@ class LLMConfig:
     # unchanged either way (the draft only changes verify-round count).
     depth_draft_head: bool = False
     draft_loss_weight: float = 0.1
+    # Training-only: per-layer rematerialization on lm_loss's stateless
+    # forwards ("full" = save nothing per layer, "dots" = keep weight-dot
+    # outputs; models/lm/transformer.py:remat_layer). Trades backward-pass
+    # recompute FLOPs for activation HBM, so longer sequences / bigger
+    # per-chip batches fit. Loss/grad VALUES are unchanged. Decode ignores
+    # it (nothing is differentiated there).
+    train_remat: str = ""
 
     @property
     def backbone(self) -> TransformerConfig:

@@ -625,7 +625,8 @@ def lm_loss(params: Params, cfg: LLMConfig, tokens: Array, tokens_mask: Array,
     attn = (causal & pair) | jnp.eye(S, dtype=jnp.bool_)[None]
 
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
-    h_out, _ = transformer_forward(params["backbone"], bb_cfg, h, positions, attn)
+    h_out, _ = transformer_forward(params["backbone"], bb_cfg, h, positions,
+                                   attn, remat=cfg.train_remat or None)
 
     # Codebook-0: h at position p predicts the audio frame at p+1
     # (audio_mask rolled left by 1, llm.py:210-215).
@@ -670,7 +671,8 @@ def lm_loss(params: Params, cfg: LLMConfig, tokens: Array, tokens_mask: Array,
         [sub_h[:, None, :], c_embeds.astype(dtype)], axis=1) @ params["projection"]
     dec_pos = jnp.broadcast_to(jnp.arange(ncb, dtype=jnp.int32)[None], (n_sub, ncb))
     dec_attn = jnp.broadcast_to(mask_ops.causal_mask(ncb)[None], (n_sub, ncb, ncb))
-    dec_h, _ = transformer_forward(params["decoder"], dec_cfg, dec_in, dec_pos, dec_attn)
+    dec_h, _ = transformer_forward(params["decoder"], dec_cfg, dec_in, dec_pos,
+                                   dec_attn, remat=cfg.train_remat or None)
 
     # Position i (1..ncb-1) predicts codebook i via audio_head[i-1]
     # (einsum bsd,sdv->bsv, llm.py:252).

@@ -214,6 +214,29 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
     return h, k_slab, v_slab
 
 
+def remat_layer(body, mode: str):
+    """Wrap a scan body in jax.checkpoint for training memory.
+
+    Per-layer rematerialization trades FLOPs for activation memory: the
+    backward pass recomputes each layer instead of keeping its
+    intermediates alive across the whole stack. Modes:
+
+    - "full": save nothing inside the layer (max memory win, recomputes
+      every matmul on the backward pass);
+    - "dots": save matmul outputs without batch dims (weight-dot results
+      stay; attention scores / elementwise temporaries are recomputed) —
+      the usual TPU sweet spot, since the MXU recompute is cheap relative
+      to the HBM the saved activations would occupy.
+    """
+    if mode == "full":
+        return jax.checkpoint(body)
+    if mode == "dots":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f"remat mode {mode!r} not in ('full', 'dots')")
+
+
 def transformer_forward(
     params: Params,
     cfg: TransformerConfig,
@@ -224,6 +247,7 @@ def transformer_forward(
     cache_pos: Optional[Array] = None,
     unroll: int | bool = 1,
     live_window: Optional[tuple[Array, Array]] = None,
+    remat: Optional[str] = None,
 ) -> tuple[Array, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -241,6 +265,10 @@ def transformer_forward(
             is enabled), attention runs in the Pallas decode kernel, which
             reads only [start, end) from HBM. The mask path is the fallback
             and the numerical reference.
+        remat: "full" | "dots" | None — per-layer jax.checkpoint on the
+            STATELESS path (training); see :func:`remat_layer`. Ignored when
+            a KV cache is given (decode never differentiates). Values are
+            unchanged — remat only alters what the backward pass saves.
 
     Returns:
         (h_out (B, S, D) after final norm, updated cache or None).
@@ -273,6 +301,8 @@ def transformer_forward(
             hh, _, _ = _layer(hh, lp, cfg, cos, sin, mask, None, None, None)
             return hh, None
 
+        if remat:
+            body = remat_layer(body, remat)
         layer_params = {k: v for k, v in params.items() if k != "final_norm"}
         h, _ = jax.lax.scan(body, h, layer_params, unroll=unroll)
         new_cache = None

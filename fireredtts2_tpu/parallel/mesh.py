@@ -192,6 +192,38 @@ def sanitize_pspecs(mesh: Mesh, tree: Any, pspecs: Any) -> Any:
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def zero1_pspecs(mesh: Mesh, params: Any, pspecs: Any) -> Any:
+    """ZeRO-1 shardings for optimizer-moment trees (AdamW mu/nu).
+
+    The moments are updated ELEMENTWISE, so any partitioning is valid —
+    unlike the weights, they are never contracted against activations.
+    Replicating them across dp wastes 8 bytes/param/chip (fp32 mu + nu);
+    this augments each param's tp spec with "dp" on the first axis that
+    dp divides and tp left unsharded (the leading stacked-L axis for
+    transformer weights), so each dp rank holds 1/dp of the moments.
+    GSPMD then reduce-scatters the grads into the sharded update and
+    all-gathers the applied deltas — the same bytes as the all-reduce it
+    replaces, but 2x params x fp32 less HBM per chip.
+
+    Leaves that dp cannot divide (scalars, tiny norms) stay on their
+    param spec: correctness never depends on the augmentation.
+    """
+    dp = mesh.shape["dp"]
+
+    def aug(spec: P, leaf) -> P:
+        if dp <= 1 or not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return spec
+        names = list(spec) + [None] * (leaf.ndim - len(spec))
+        for i, (dim, name) in enumerate(zip(leaf.shape, names)):
+            if name is None and dim % dp == 0 and dim >= dp:
+                names[i] = "dp"
+                return P(*names)
+        return spec
+
+    return jax.tree.map(aug, pspecs, params,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
 def lm_state_pspecs(state) -> Any:
     """LMState sharding: batch (stream) dim on dp; kv heads replicated.
 

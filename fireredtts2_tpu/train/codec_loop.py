@@ -56,6 +56,8 @@ class CodecTrainConfig:
     eval_every: int = 0
     eval_batches: int = 8
     metrics_path: Optional[str] = None
+    # ZeRO-1: shard the AdamW moments over dp (train/codec_step.py).
+    zero1: bool = False
 
     # samples per RVQ token at the input rate
     TOKEN_SAMPLES = 1280
@@ -188,7 +190,8 @@ def train_codec(cfg: CodecConfig, tcfg: CodecTrainConfig, data=None,
                                      tcfg.total_steps, tcfg.weight_decay,
                                      tcfg.max_grad_norm)
     step_fn, state = make_codec_sharded_train_step(mesh, cfg, params,
-                                                   optimizer)
+                                                   optimizer,
+                                                   zero1=tcfg.zero1)
     eval_fn = None
     if tcfg.eval_every:
         # cfg is closed over (same pattern as codec_step): one compiled

@@ -143,14 +143,15 @@ def make_codec_train_step(cfg: CodecConfig, params: Any, optimizer,
 
 
 def make_codec_sharded_train_step(mesh: Mesh, cfg: CodecConfig, params: Any,
-                                  optimizer):
+                                  optimizer, zero1: bool = False):
     """(dp, tp)-sharded jitted step (mirrors train/step.py:
-    make_sharded_train_step). -> (step_fn, state); feed step_fn batches
-    whose leading (batch) dim divides dp."""
+    make_sharded_train_step, incl. the zero1 AdamW-moment dp-sharding).
+    -> (step_fn, state); feed step_fn batches whose leading (batch) dim
+    divides dp."""
     from functools import partial
 
     from fireredtts2_tpu.parallel.mesh import (
-        codec_param_pspecs, sanitize_pspecs, to_named,
+        codec_param_pspecs, sanitize_pspecs, to_named, zero1_pspecs,
     )
 
     trainable, frozen = split_codec_params(params)
@@ -167,13 +168,21 @@ def make_codec_sharded_train_step(mesh: Mesh, cfg: CodecConfig, params: Any,
         lambda x: jax.device_put(x, rep)
         if (hasattr(x, "ndim") and x.ndim == 0) else x,
         optimizer.init(trainable))
+    if zero1:
+        from fireredtts2_tpu.train.step import _shard_adam_moments
+
+        mspec = sanitize_pspecs(
+            mesh, trainable, zero1_pspecs(mesh, trainable, tspec))
+        opt_state = _shard_adam_moments(opt_state, to_named(mesh, mspec))
     state = CodecTrainState(trainable, frozen, opt_state,
                             jax.device_put(jnp.zeros((), jnp.int32), rep))
 
     batch_sharding = NamedSharding(mesh, P("dp"))
+    state_shardings = jax.tree.map(lambda x: x.sharding, state)
     fn = partial(codec_train_step, cfg=cfg, optimizer=optimizer)
     step_fn = jax.jit(fn, donate_argnums=(0,),
-                      in_shardings=(jax.tree.map(lambda x: x.sharding, state),
+                      in_shardings=(state_shardings,
                                     batch_sharding, batch_sharding,
-                                    batch_sharding))
+                                    batch_sharding),
+                      out_shardings=(state_shardings, None))
     return step_fn, state

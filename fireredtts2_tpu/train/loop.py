@@ -13,6 +13,7 @@ checkpointing (no training loop ships)"). This completes the story:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -83,6 +84,17 @@ class TrainConfig:
     tp: int = 1
     # Mixed precision: fp32 master params, bf16 forward/backward.
     mixed_precision: bool = False
+    # ZeRO-1: shard the AdamW moments over dp (train/step.py) — saves
+    # 8 bytes/param/chip of fp32 mu+nu; step values are unchanged.
+    zero1: bool = False
+    # Per-layer rematerialization: "" (off), "full", or "dots"
+    # (models/lm/transformer.py:remat_layer). Activation-memory /
+    # recompute trade for long seq_len; loss values are unchanged.
+    remat: str = ""
+    # In-step gradient accumulation: k micro-batches of batch_size/k per
+    # optimizer update (train/step.py) — one compiled program, activation
+    # memory of one micro-batch.
+    grad_accum: int = 1
     # Eval cadence: run eval_batches of held-out data every eval_every steps
     # (0 = off); metrics stream to metrics_path as jsonl if set.
     eval_every: int = 0
@@ -174,13 +186,17 @@ def train(cfg: LLMConfig, tcfg: TrainConfig, data=None, num_steps: int = 100,
           seed: int = 0, log=print, eval_data=None) -> TrainState:
     """Run `num_steps` of training; resumes from tcfg.checkpoint_dir."""
     mesh = make_mesh(dp=tcfg.dp, tp=tcfg.tp)
+    if tcfg.remat:
+        cfg = dataclasses.replace(cfg, train_remat=tcfg.remat)
     params = init_lm_params(jax.random.PRNGKey(seed), cfg, jnp.float32)
     optimizer = make_optimizer(tcfg.peak_lr, tcfg.warmup_steps,
                                tcfg.total_steps, tcfg.weight_decay,
                                tcfg.max_grad_norm)
     compute_dtype = jnp.bfloat16 if tcfg.mixed_precision else None
     step_fn, state = make_sharded_train_step(mesh, cfg, params, optimizer,
-                                             compute_dtype=compute_dtype)
+                                             compute_dtype=compute_dtype,
+                                             zero1=tcfg.zero1,
+                                             grad_accum=tcfg.grad_accum)
     eval_fn = make_sharded_eval_step(mesh, cfg, compute_dtype=compute_dtype) \
         if tcfg.eval_every else None
 

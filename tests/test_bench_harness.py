@@ -59,8 +59,25 @@ def test_merge_keeps_error_for_never_completed_stage(tmp_path):
     assert errors == {"device": "boom"} and done == {}
 
 
+def test_clone_stage_measures_prompt_cache():
+    """The clone stage's warm runs must be served from the prompt-token
+    cache: exactly 5 true encodes (compile + 3 cold + 1 warm seed), zero
+    for the 3 warm repeats."""
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    tiny_engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
+    before = tiny_engine.encode_calls
+    out = bench._stage_clone(tiny_engine)
+    assert set(out) == {"clone_fpl_cold_ms", "clone_fpl_warm_ms",
+                        "prompt_encode_ms"}
+    assert out["clone_fpl_cold_ms"] > 0 and out["clone_fpl_warm_ms"] > 0
+    assert tiny_engine.encode_calls - before == 5
+
+
 def test_stage_list_covers_verdict_fields():
-    """BENCH_r03 must carry FPL, streaming/offline RTF, batched aggregate
+    """BENCH_r03 must carry FPL, streaming/offline RTF, the clone-path
+    FPL A/B (prompt-token cache win, VERDICT r2 #4), batched aggregate
     AND per-stream-min at 8 and 16 streams, and the device accounting."""
-    assert bench.STAGES == ("fpl", "offline", "batched8", "batched16",
-                            "device")
+    assert bench.STAGES == ("fpl", "offline", "clone", "batched8",
+                            "batched16", "device")
