@@ -207,7 +207,7 @@ def _cmd_train(args):
             checkpoint_dir=args.ckpt_dir, checkpoint_every=args.ckpt_every,
             log_every=args.log_every, dp=args.dp, tp=args.tp,
             eval_every=args.eval_every, metrics_path=args.metrics_path,
-            zero1=args.zero1)
+            zero1=args.zero1, remat=args.remat)
         data = wav_dir_batches(args.data, tcfg) if args.data else None
         train_codec(cfg, tcfg, data=data, num_steps=args.steps,
                     seed=args.seed)
@@ -339,8 +339,8 @@ def main(argv=None):
                    help="ZeRO-1 — shard the AdamW moments over dp "
                         "(8 bytes/param/chip saved; values unchanged)")
     t.add_argument("--remat", default="", choices=["", "full", "dots"],
-                   help="lm only: per-layer rematerialization (activation "
-                        "memory for recompute; values unchanged)")
+                   help="per-layer rematerialization (activation memory "
+                        "for recompute; values unchanged)")
     t.add_argument("--grad-accum", type=int, default=1,
                    help="lm only: micro-batches accumulated per optimizer "
                         "update (batch-size must divide evenly)")

@@ -18,7 +18,7 @@ Layout: features are (B, T, C); convs convert internally.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -245,7 +245,9 @@ def _head_spectrum(params: Params, x: Array) -> tuple[Array, Array]:
 
 
 def acoustic_decoder_forward(params: Params, cfg: AcousticDecoderConfig,
-                             x: Array, lengths: Array) -> tuple[Array, Array]:
+                             x: Array, lengths: Array,
+                             remat: Optional[str] = None
+                             ) -> tuple[Array, Array]:
     """Batch decode: (B, T50, D), lengths at 50 Hz -> ((B, T50*2*hop), lengths).
 
     Backbone attention uses the 8-block-causal mask so batch == streaming
@@ -269,7 +271,8 @@ def acoustic_decoder_forward(params: Params, cfg: AcousticDecoderConfig,
         hc = resnet_forward(params["prior1"], hc)
         valid = jnp.arange(T)[None, :] < lengths[:, None]
         mask = valid[:, None, :] & jnp.ones((1, T, 1), bool)
-    hc, _ = whisper_layers_forward(params["layers"], cfg.num_heads, hc, mask)
+    hc, _ = whisper_layers_forward(params["layers"], cfg.num_heads, hc, mask,
+                                   remat=remat)
     if cfg.causal:
         hc = causal_resnet_forward(params["post0"], hc)
         hc = causal_resnet_forward(params["post1"], hc)

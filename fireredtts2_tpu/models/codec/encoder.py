@@ -8,7 +8,7 @@ Capability parity with reference fireredtts2/codec/model.py:19-120:
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,13 +41,15 @@ def init_ssl_adaptor(key: Array, cfg: SslAdaptorConfig, dtype=jnp.float32) -> Pa
 
 
 def ssl_adaptor_forward(params: Params, cfg: SslAdaptorConfig,
-                        x: Array, lengths: Array) -> tuple[Array, Array]:
+                        x: Array, lengths: Array,
+                        remat: Optional[str] = None) -> tuple[Array, Array]:
     """x: (B, T, in_dim) -> (B, T, out_dim) (reference codec/model.py:53-66)."""
     h = x @ params["in_proj_w"] + params["in_proj_b"]
     T = h.shape[1]
     valid = jnp.arange(T)[None, :] < lengths[:, None]
     mask = valid[:, None, :] & jnp.ones((1, T, 1), bool)
-    h, _ = whisper_layers_forward(params["layers"], cfg.num_heads, h, mask)
+    h, _ = whisper_layers_forward(params["layers"], cfg.num_heads, h, mask,
+                                  remat=remat)
     h = layer_norm(h, params["ln_w"], params["ln_b"])
     return h @ params["out_proj_w"] + params["out_proj_b"], lengths
 

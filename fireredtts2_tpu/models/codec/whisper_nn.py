@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from fireredtts2_tpu.ops.attention import mha_attention
+from fireredtts2_tpu.ops.remat import remat_layer
 
 Params = dict[str, Any]
 
@@ -134,9 +135,13 @@ def whisper_layers_forward(
     mask: Optional[Array] = None,
     cache: Optional[dict[str, Array]] = None,
     cache_pos: Optional[Array] = None,
+    remat: Optional[str] = None,
 ) -> tuple[Array, Optional[dict[str, Array]]]:
     """Run the stacked layer scan. cache (if given): k/v slabs of shape
-    (L, B, T_max, H, Dh) written at cache_pos."""
+    (L, B, T_max, H, Dh) written at cache_pos. remat ("full"/"dots",
+    ops/remat.py) applies per-layer jax.checkpoint on the STATELESS path —
+    codec training windows are long (30 s = 1500 mel frames), so saved
+    layer activations dominate training HBM; values are unchanged."""
     if cache is not None:
         def body(hh, xs):
             lp, ks, vs = xs
@@ -148,6 +153,8 @@ def whisper_layers_forward(
         def body(hh, lp):
             hh, _, _ = _whisper_layer(hh, lp, num_heads, mask, None, None, None)
             return hh, None
+        if remat:
+            body = remat_layer(body, remat)
         h, _ = jax.lax.scan(body, h, params)
         return h, None
 
@@ -201,7 +208,8 @@ def init_whisper_encoder(key: Array, in_dim: int, embed_dim: int,
 
 
 def whisper_encoder_forward(params: Params, num_heads: int, mel: Array,
-                            mel_lengths: Array, apply_position: bool = True
+                            mel_lengths: Array, apply_position: bool = True,
+                            remat: Optional[str] = None
                             ) -> tuple[Array, Array]:
     """mel: (B, T, n_mels) -> (B, T//2, D), lengths halved.
 
@@ -218,6 +226,7 @@ def whisper_encoder_forward(params: Params, num_heads: int, mel: Array,
     T = x.shape[1]
     valid = jnp.arange(T)[None, :] < lengths[:, None]
     mask = valid[:, None, :] & jnp.ones((1, T, 1), bool)  # (B, T, T) keys masked
-    h, _ = whisper_layers_forward(params["layers"], num_heads, x, mask)
+    h, _ = whisper_layers_forward(params["layers"], num_heads, x, mask,
+                                  remat=remat)
     h = layer_norm(h, params["ln_w"], params["ln_b"])
     return h, lengths

@@ -33,6 +33,7 @@ from fireredtts2_tpu.ops.attention import gqa_attention
 from fireredtts2_tpu.ops.pallas_attention import (
     pallas_decode_attention, use_pallas_decode,
 )
+from fireredtts2_tpu.ops.remat import remat_layer
 from fireredtts2_tpu.ops.rope import rope_angles, apply_rope
 
 Params = dict[str, Any]
@@ -212,29 +213,6 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
     up = _mm(x, lp, "w_up")
     h = h + _mm(gate * up, lp, "w_down").astype(h.dtype)
     return h, k_slab, v_slab
-
-
-def remat_layer(body, mode: str):
-    """Wrap a scan body in jax.checkpoint for training memory.
-
-    Per-layer rematerialization trades FLOPs for activation memory: the
-    backward pass recomputes each layer instead of keeping its
-    intermediates alive across the whole stack. Modes:
-
-    - "full": save nothing inside the layer (max memory win, recomputes
-      every matmul on the backward pass);
-    - "dots": save matmul outputs without batch dims (weight-dot results
-      stay; attention scores / elementwise temporaries are recomputed) —
-      the usual TPU sweet spot, since the MXU recompute is cheap relative
-      to the HBM the saved activations would occupy.
-    """
-    if mode == "full":
-        return jax.checkpoint(body)
-    if mode == "dots":
-        return jax.checkpoint(
-            body,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    raise ValueError(f"remat mode {mode!r} not in ('full', 'dots')")
 
 
 def transformer_forward(

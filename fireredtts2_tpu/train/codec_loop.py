@@ -58,6 +58,9 @@ class CodecTrainConfig:
     metrics_path: Optional[str] = None
     # ZeRO-1: shard the AdamW moments over dp (train/codec_step.py).
     zero1: bool = False
+    # Per-layer remat of the trained whisper stacks ("", "full", "dots") —
+    # activation memory for recompute; values unchanged (ops/remat.py).
+    remat: str = ""
 
     # samples per RVQ token at the input rate
     TOKEN_SAMPLES = 1280
@@ -191,7 +194,8 @@ def train_codec(cfg: CodecConfig, tcfg: CodecTrainConfig, data=None,
                                      tcfg.max_grad_norm)
     step_fn, state = make_codec_sharded_train_step(mesh, cfg, params,
                                                    optimizer,
-                                                   zero1=tcfg.zero1)
+                                                   zero1=tcfg.zero1,
+                                                   remat=tcfg.remat or None)
     eval_fn = None
     if tcfg.eval_every:
         # cfg is closed over (same pattern as codec_step): one compiled

@@ -57,23 +57,29 @@ def split_codec_params(params: Any) -> tuple[dict, dict]:
 
 
 def codec_train_forward(params: Any, cfg: CodecConfig, audio16k, lengths,
-                        target24k) -> dict:
+                        target24k, remat: str | None = None) -> dict:
     """Differentiable full pass -> loss dict (codec_train_losses keys).
 
     audio16k: (B, T16) float32; lengths: (B,) valid samples;
     target24k: (B, T16 * 3 // 2) float32 ground-truth at the output rate
     (the decoder emits exactly 1.5 samples per input sample: 160-hop mel,
     /2 whisper conv, x4 down, x4 up, x2 + 240-hop vocoder head).
+
+    remat ("full"/"dots", ops/remat.py) applies per-layer jax.checkpoint
+    to every TRAINED whisper stack — at 30 s windows the saved layer
+    activations dominate training HBM. The frozen SSL teacher is left
+    alone: its output is stop_gradient'ed, so no activations are kept
+    for it either way.
     """
     mel, mel_len = _mel(params, cfg, audio16k, lengths)
     ssl_t, ssl_len = whisper_encoder_forward(
         params["ssl"], cfg.ssl.num_heads, mel, mel_len)
     ssl_t = jax.lax.stop_gradient(ssl_t)                  # frozen teacher
     sem, _ = ssl_adaptor_forward(params["ssl_adaptor"], cfg.ssl_adaptor,
-                                 ssl_t, ssl_len)
+                                 ssl_t, ssl_len, remat=remat)
     aco, aco_len = whisper_encoder_forward(
         params["acoustic_encoder"], cfg.acoustic_encoder.num_heads,
-        mel, mel_len)
+        mel, mel_len, remat=remat)
     feats = jnp.concatenate([sem, aco], axis=-1)
     down, down_len = down_conv_forward(params["downsample"],
                                        cfg.downsample_factor, feats, aco_len)
@@ -84,9 +90,11 @@ def codec_train_forward(params: Any, cfg: CodecConfig, audio16k, lengths,
                         q.astype(dtype))
     up_len = down_len * cfg.upsample_stride               # back at 50 Hz
     pred_ssl, _ = ssl_adaptor_forward(params["semantic_decoder"],
-                                      cfg.semantic_decoder, up, up_len)
+                                      cfg.semantic_decoder, up, up_len,
+                                      remat=remat)
     wav, _ = acoustic_decoder_forward(params["acoustic_decoder"],
-                                      cfg.acoustic_decoder, up, up_len)
+                                      cfg.acoustic_decoder, up, up_len,
+                                      remat=remat)
     return codec_train_losses(
         wav.astype(jnp.float32), target24k, vq_losses,
         pred_ssl=pred_ssl.astype(jnp.float32), target_ssl=ssl_t,
@@ -113,10 +121,12 @@ def make_codec_optimizer(peak_lr: float = 2e-4, warmup_steps: int = 1000,
 
 
 def codec_train_step(state: CodecTrainState, audio16k, lengths, target24k,
-                     *, cfg: CodecConfig, optimizer) -> tuple:
+                     *, cfg: CodecConfig, optimizer,
+                     remat: str | None = None) -> tuple:
     def loss_fn(trainable):
         losses = codec_train_forward({**trainable, **state.frozen}, cfg,
-                                     audio16k, lengths, target24k)
+                                     audio16k, lengths, target24k,
+                                     remat=remat)
         return losses["loss"], losses
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -131,19 +141,20 @@ def codec_train_step(state: CodecTrainState, audio16k, lengths, target24k,
 
 
 def make_codec_train_step(cfg: CodecConfig, params: Any, optimizer,
-                          donate: bool = True):
+                          donate: bool = True, remat: str | None = None):
     """Single-device jitted step. -> (step_fn, state)."""
     from functools import partial
 
     trainable, frozen = split_codec_params(params)
     state = CodecTrainState(trainable, frozen,
                             optimizer.init(trainable), jnp.zeros((), jnp.int32))
-    fn = partial(codec_train_step, cfg=cfg, optimizer=optimizer)
+    fn = partial(codec_train_step, cfg=cfg, optimizer=optimizer, remat=remat)
     return jax.jit(fn, donate_argnums=(0,) if donate else ()), state
 
 
 def make_codec_sharded_train_step(mesh: Mesh, cfg: CodecConfig, params: Any,
-                                  optimizer, zero1: bool = False):
+                                  optimizer, zero1: bool = False,
+                                  remat: str | None = None):
     """(dp, tp)-sharded jitted step (mirrors train/step.py:
     make_sharded_train_step, incl. the zero1 AdamW-moment dp-sharding).
     -> (step_fn, state); feed step_fn batches whose leading (batch) dim
@@ -179,7 +190,7 @@ def make_codec_sharded_train_step(mesh: Mesh, cfg: CodecConfig, params: Any,
 
     batch_sharding = NamedSharding(mesh, P("dp"))
     state_shardings = jax.tree.map(lambda x: x.sharding, state)
-    fn = partial(codec_train_step, cfg=cfg, optimizer=optimizer)
+    fn = partial(codec_train_step, cfg=cfg, optimizer=optimizer, remat=remat)
     step_fn = jax.jit(fn, donate_argnums=(0,),
                       in_shardings=(state_shardings,
                                     batch_sharding, batch_sharding,

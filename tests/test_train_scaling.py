@@ -89,6 +89,45 @@ def test_remat_train_step_matches(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_codec_remat_loss_and_grads_match(rng):
+    """Codec trainer remat: loss and grads identical with/without
+    per-layer checkpointing of the trained whisper stacks."""
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.models.codec.model import init_codec_params
+    from fireredtts2_tpu.train.codec_step import (
+        codec_train_forward, split_codec_params,
+    )
+
+    ccfg = tiny_engine_config().codec
+    params = init_codec_params(jax.random.PRNGKey(0), ccfg)
+    trainable, frozen = split_codec_params(params)
+    audio = jnp.asarray((rng.standard_normal((1, 2560)) * 0.1)
+                        .astype(np.float32))
+    lengths = jnp.full((1,), 2560, jnp.int32)
+    target = jnp.asarray((rng.standard_normal((1, 3840)) * 0.1)
+                         .astype(np.float32))
+
+    def loss_of(remat):
+        def f(t):
+            return codec_train_forward({**t, **frozen}, ccfg, audio,
+                                       lengths, target, remat=remat)["loss"]
+        return jax.jit(jax.value_and_grad(f))(trainable)
+
+    base_loss, base_grads = loss_of(None)
+    loss, grads = loss_of("dots")
+    assert np.allclose(float(loss), float(base_loss), rtol=1e-6)
+    # Tensor-scale relative error, not elementwise rtol: checkpointing
+    # changes XLA fusion order on the recompute, and codec grad tensors
+    # span ~6 orders of magnitude (multiscale-mel terms) — near-zero
+    # elements then fail any elementwise rtol while the tensors agree to
+    # f32 precision (measured worst: 6e-7 of the tensor max).
+    for gb, gr in zip(jax.tree.leaves(base_grads), jax.tree.leaves(grads)):
+        gb, gr = np.asarray(gb), np.asarray(gr)
+        scale = np.max(np.abs(gb)) + 1e-8
+        err = np.max(np.abs(gr - gb)) / scale
+        assert err <= 2e-5, (err, gb.shape)
+
+
 # ---------------------------------------------------------------------------
 # gradient accumulation
 # ---------------------------------------------------------------------------

@@ -48,7 +48,16 @@ if [ "$1" != quick ]; then
   run python tools/asr_bench.py --int8
 fi
 
-# 6. Full headline bench (outage-hardened; writes the one-line JSON).
+# 5c. Training throughput (steps/s, tokens/s, MFU from the XLA cost
+#     model). qwen-500m fits one v5e with fp32 master + moments; bf16
+#     compute + remat is the production config.
+if [ "$1" != quick ]; then
+  run python tools/train_bench.py --bf16 --remat dots --batch 4 --seq 512
+  run python tools/train_bench.py --bf16 --remat dots --batch 8 --seq 512 --grad-accum 2
+fi
+
+# 6. Full headline bench (outage-hardened; writes the one-line JSON —
+#    now includes the clone stage: cold vs cached prompt-encode FPL).
 if [ "$1" != quick ]; then
   run python bench.py
 fi
