@@ -329,6 +329,17 @@ def _bench_device(engine, llm_cfg) -> dict:
         "mbu": round(u["mbu"], 3),
         "chip": u["chip"],
     }
+    try:
+        # VERDICT r2 #3's other bar: LM device <= 9 ms/frame at B=8. A
+        # fresh B=8 config (max_batch_size drives the compiled step's
+        # state shape); failure here must not kill the B=1 numbers.
+        import dataclasses
+        ms8 = measure_lm_device_ms_per_frame(
+            engine.lm_params, dataclasses.replace(llm_cfg, max_batch_size=8),
+            frames=100, batch=8)
+        out["device_ms_per_frame_b8"] = round(ms8, 2)
+    except Exception as e:  # noqa: BLE001
+        out["device_b8_error"] = f"{type(e).__name__}: {e}"
     budget_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "perf_budget.json")
     if os.path.exists(budget_path):

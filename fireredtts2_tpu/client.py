@@ -263,3 +263,11 @@ class FireRedTTSClient:
         """Text turn -> {"response_text", "data" (hex pcm16), ...}."""
         return self._post(f"/api/v1/conversations/{session_id}/turn",
                           {"text": text})
+
+    def admin_reload(self, pretrained_dir: str,
+                     timeout_s: float = 300.0) -> dict:
+        """Hot-swap the server's checkpoint weights (drains live streams;
+        serve/server.py /api/v1/admin/reload). Same auth as every API
+        route; the dir must hold the same model shapes."""
+        return self._post("/api/v1/admin/reload",
+                          {"dir": pretrained_dir, "timeout_s": timeout_s})

@@ -132,33 +132,8 @@ class FireRedTTS2Engine:
                                   max_seq_len=llm_cfg.max_seq_len,
                                   prefill_buckets=buckets)
             self.config = config
-            from fireredtts2_tpu.runtime.checkpoint import (
-                load_lm_checkpoint, load_codec_checkpoint, find_hf_whisper_dir,
-                load_converted_lm, load_converted_codec,
-            )
-            lm_name = ("llm_pretrain" if gen_type == "monologue"
-                       else "llm_posttrain")
-            # Prefer the Orbax trees the `convert` drill persisted under
-            # DIR/jax/ — loads without torch (the one-time-cost promise,
-            # runtime/convert.py); fall back to the torch pickles.
-            jax_lm = os.path.join(pretrained_dir, "jax", lm_name)
-            jax_codec = os.path.join(pretrained_dir, "jax", "codec")
-            if os.path.isdir(jax_lm) and os.path.isdir(jax_codec):
-                self.lm_params = load_converted_lm(
-                    jax_lm, _dtype_of(llm_cfg.dtype))
-                self.codec_params = load_converted_codec(
-                    jax_codec, _dtype_of(codec_cfg.dtype))
-            else:
-                self.lm_params = load_lm_checkpoint(
-                    os.path.join(pretrained_dir, lm_name + ".pt"), llm_cfg,
-                    _dtype_of(llm_cfg.dtype))
-                # The frozen SSL encoder ships as an HF whisper-large-v3
-                # checkout when not embedded in codec.pt (reference
-                # codec/whisper.py:333).
-                self.codec_params = load_codec_checkpoint(
-                    os.path.join(pretrained_dir, "codec.pt"), codec_cfg,
-                    _dtype_of(codec_cfg.dtype),
-                    hf_whisper_dir=find_hf_whisper_dir(pretrained_dir))
+            self.lm_params, self.codec_params = self._load_checkpoint_trees(
+                pretrained_dir, llm_cfg, codec_cfg)
             tok_dir = os.path.join(pretrained_dir, "Qwen2.5-1.5B")
             # Byte fallback when the Qwen tokenizer isn't shipped next to
             # the weights (dev fixtures, the convert drill) — loud, since
@@ -181,55 +156,9 @@ class FireRedTTS2Engine:
                                                   _dtype_of(config.codec.dtype))
             self.tokenizer = load_tokenizer(None)
 
-        if (self.config.llm.fused_depth_plan or self.config.llm.quantize_depth
-                or self.config.llm.quantize_backbone):
-            from fireredtts2_tpu.models.lm.transformer import (
-                quantize_transformer_int8, quantize_transformer_int4,
-            )
-            self.lm_params = dict(self.lm_params)
-            if self.config.llm.fused_depth_plan:
-                # Fused depth-chain kernel: quantizes the decoder per the
-                # placement plan and installs the kernel bundle.
-                from fireredtts2_tpu.ops.pallas_depth import enable_fused_depth
-                self.lm_params = enable_fused_depth(self.lm_params,
-                                                    self.config.llm)
-            elif self.config.llm.quantize_depth:
-                quant = (quantize_transformer_int4
-                         if self.config.llm.quantize_depth_bits == 4
-                         else quantize_transformer_int8)
-                self.lm_params["decoder"] = quant(self.lm_params["decoder"])
-            if self.config.llm.quantize_backbone:
-                self.lm_params["backbone"] = quantize_transformer_int8(
-                    self.lm_params["backbone"])
-        if self.config.codec.quantize_vocoder:
-            from fireredtts2_tpu.models.codec.whisper_nn import (
-                quantize_whisper_layers_int8,
-            )
-            self.codec_params = dict(self.codec_params)
-            ad = dict(self.codec_params["acoustic_decoder"])
-            ad["layers"] = quantize_whisper_layers_int8(ad["layers"])
-            self.codec_params["acoustic_decoder"] = ad
-
         self.mesh = mesh
-        if mesh is not None:
-            from fireredtts2_tpu.parallel.mesh import (
-                lm_param_pspecs, codec_param_pspecs, sanitize_pspecs,
-                to_named,
-            )
-            # Megatron-style placement for whatever tree the serving
-            # transforms produced (bf16 / int8+scales / fused depth
-            # bundle); sanitize_pspecs keeps device_put legal on dims the
-            # hand rules can't split (tiny configs, size-1 scale dims).
-            specs = sanitize_pspecs(mesh, self.lm_params,
-                                    lm_param_pspecs(self.lm_params))
-            self.lm_params = jax.device_put(self.lm_params,
-                                            to_named(mesh, specs))
-            # Codec: the whisper-style stacks (incl. the per-frame
-            # vocoder) shard over tp too; convs/RVQ/norms replicate.
-            cspecs = sanitize_pspecs(mesh, self.codec_params,
-                                     codec_param_pspecs(self.codec_params))
-            self.codec_params = jax.device_put(self.codec_params,
-                                               to_named(mesh, cspecs))
+        self.lm_params, self.codec_params = self._apply_serving_transforms(
+            self.lm_params, self.codec_params)
 
         self.sample_rate = self.config.codec.input_sample_rate      # 16 kHz in
         self.output_sample_rate = self.config.codec.output_sample_rate  # 24 kHz out
@@ -283,10 +212,13 @@ class FireRedTTS2Engine:
         # Incremental-dialogue rewind (models/lm/model.py:rewind_lm_state).
         from fireredtts2_tpu.models.lm.model import rewind_lm_state
         self._rewind_fn = jax.jit(rewind_lm_state, donate_argnames=("state",))
-        # Bound to the engine's codec params: codec_encode calls it as
-        # encode_fn(audio_batch, lengths).
-        self._encode_fn = jax.jit(
-            lambda a, l: encode_window(self.codec_params, codec_cfg, a, l))
+        # codec_encode calls it as encode_fn(audio_batch, lengths); params
+        # ride as a jit ARGUMENT (closing over the tree would embed the
+        # whole codec — incl. whisper-large SSL — as compile-time
+        # constants, and would pin reload_checkpoint to stale weights).
+        self._encode_jit = jax.jit(
+            lambda p, a, l: encode_window(p, codec_cfg, a, l))
+        self._encode_fn = lambda a, l: self._encode_jit(self.codec_params, a, l)
         self._decode_fn = jax.jit(partial(codec_decode_chunks, cfg=codec_cfg))
         # Fused K-frame stream blocks: one dispatch + one packed fetch per K
         # frames (the host<->device round trip dominates per-frame loops on
@@ -303,6 +235,151 @@ class FireRedTTS2Engine:
         self._tail_samples = (acfg.n_fft - acfg.hop_length) \
             - (acfg.n_fft - acfg.hop_length) // 2
         self._lead_samples = self._tail_samples
+
+    # ------------------------------------------------------------------
+    # Checkpoint loading / hot reload
+    # ------------------------------------------------------------------
+
+    def _load_checkpoint_trees(self, pretrained_dir: str, llm_cfg, codec_cfg):
+        """Raw (lm_params, codec_params) from a serving dir: prefers the
+        torch-free DIR/jax/ Orbax trees the `convert`/`export` drills
+        persist (runtime/convert.py); falls back to the torch pickles
+        (reference checkpoint layout, fireredtts2/fireredtts2.py:16-43)."""
+        from fireredtts2_tpu.runtime.checkpoint import (
+            load_lm_checkpoint, load_codec_checkpoint, find_hf_whisper_dir,
+            load_converted_lm, load_converted_codec,
+        )
+        lm_name = ("llm_pretrain" if self.gen_type == "monologue"
+                   else "llm_posttrain")
+        jax_lm = os.path.join(pretrained_dir, "jax", lm_name)
+        jax_codec = os.path.join(pretrained_dir, "jax", "codec")
+        if os.path.isdir(jax_lm) and os.path.isdir(jax_codec):
+            lm = load_converted_lm(jax_lm, _dtype_of(llm_cfg.dtype))
+            codec = load_converted_codec(jax_codec, _dtype_of(codec_cfg.dtype))
+        else:
+            lm = load_lm_checkpoint(
+                os.path.join(pretrained_dir, lm_name + ".pt"), llm_cfg,
+                _dtype_of(llm_cfg.dtype))
+            # The frozen SSL encoder ships as an HF whisper-large-v3
+            # checkout when not embedded in codec.pt (reference
+            # codec/whisper.py:333).
+            codec = load_codec_checkpoint(
+                os.path.join(pretrained_dir, "codec.pt"), codec_cfg,
+                _dtype_of(codec_cfg.dtype),
+                hf_whisper_dir=find_hf_whisper_dir(pretrained_dir))
+        return lm, codec
+
+    def _apply_serving_transforms(self, lm_params, codec_params):
+        """Quantization / fused-depth-kernel / mesh placement for raw
+        param trees, per self.config and self.mesh. Pure w.r.t. engine
+        state: safe to run on a CANDIDATE tree while serving continues on
+        the current one (prepare_checkpoint)."""
+        if (self.config.llm.fused_depth_plan or self.config.llm.quantize_depth
+                or self.config.llm.quantize_backbone):
+            from fireredtts2_tpu.models.lm.transformer import (
+                quantize_transformer_int8, quantize_transformer_int4,
+            )
+            lm_params = dict(lm_params)
+            if self.config.llm.fused_depth_plan:
+                # Fused depth-chain kernel: quantizes the decoder per the
+                # placement plan and installs the kernel bundle.
+                from fireredtts2_tpu.ops.pallas_depth import enable_fused_depth
+                lm_params = enable_fused_depth(lm_params, self.config.llm)
+            elif self.config.llm.quantize_depth:
+                quant = (quantize_transformer_int4
+                         if self.config.llm.quantize_depth_bits == 4
+                         else quantize_transformer_int8)
+                lm_params["decoder"] = quant(lm_params["decoder"])
+            if self.config.llm.quantize_backbone:
+                lm_params["backbone"] = quantize_transformer_int8(
+                    lm_params["backbone"])
+        if self.config.codec.quantize_vocoder:
+            from fireredtts2_tpu.models.codec.whisper_nn import (
+                quantize_whisper_layers_int8,
+            )
+            codec_params = dict(codec_params)
+            ad = dict(codec_params["acoustic_decoder"])
+            ad["layers"] = quantize_whisper_layers_int8(ad["layers"])
+            codec_params["acoustic_decoder"] = ad
+
+        if self.mesh is not None:
+            from fireredtts2_tpu.parallel.mesh import (
+                lm_param_pspecs, codec_param_pspecs, sanitize_pspecs,
+                to_named,
+            )
+            # Megatron-style placement for whatever tree the serving
+            # transforms produced (bf16 / int8+scales / fused depth
+            # bundle); sanitize_pspecs keeps device_put legal on dims the
+            # hand rules can't split (tiny configs, size-1 scale dims).
+            specs = sanitize_pspecs(self.mesh, lm_params,
+                                    lm_param_pspecs(lm_params))
+            lm_params = jax.device_put(lm_params, to_named(self.mesh, specs))
+            # Codec: the whisper-style stacks (incl. the per-frame
+            # vocoder) shard over tp too; convs/RVQ/norms replicate.
+            cspecs = sanitize_pspecs(self.mesh, codec_params,
+                                     codec_param_pspecs(codec_params))
+            codec_params = jax.device_put(codec_params,
+                                          to_named(self.mesh, cspecs))
+        return lm_params, codec_params
+
+    @staticmethod
+    def _shape_guard(name: str, loaded, reference) -> None:
+        """Loaded tree must match the running model's structure + leaf
+        shapes — every compiled program is shape-keyed, so a mismatched
+        checkpoint must fail HERE with a readable error, not as a stale
+        jit cache miss mid-stream."""
+        ld, rd = (jax.tree_util.tree_structure(loaded),
+                  jax.tree_util.tree_structure(reference))
+        if ld != rd:
+            raise ValueError(f"reload {name} tree structure differs from "
+                             f"the running model: {ld} != {rd}")
+        for (path, a), b in zip(
+                jax.tree_util.tree_flatten_with_path(loaded)[0],
+                jax.tree_util.tree_leaves(reference)):
+            if tuple(a.shape) != tuple(b.shape):
+                keys = "/".join(str(getattr(k, "key", k)) for k in path)
+                raise ValueError(
+                    f"reload {name} leaf {keys} has shape {tuple(a.shape)}, "
+                    f"running model expects {tuple(b.shape)}")
+
+    def prepare_checkpoint(self, pretrained_dir: str):
+        """Load + transform NEW weights without touching live serving
+        state (the expensive half of a hot reload — runs concurrently
+        with generation). Returns the handle for apply_checkpoint.
+
+        The dir's checkpoint must hold the SAME model shapes as the
+        running engine (validated leaf by leaf against the config's
+        canonical init shapes): every compiled program is reused as-is,
+        only the weight buffers change. The reference has no reload at
+        all — restart is its only path to new weights."""
+        lm, codec = self._load_checkpoint_trees(
+            pretrained_dir, self.config.llm, self.config.codec)
+        ref_lm = jax.eval_shape(
+            lambda: init_lm_params(jax.random.PRNGKey(0), self.config.llm,
+                                   _dtype_of(self.config.llm.dtype)))
+        ref_codec = jax.eval_shape(
+            lambda: init_codec_params(jax.random.PRNGKey(0),
+                                      self.config.codec,
+                                      _dtype_of(self.config.codec.dtype)))
+        self._shape_guard("LM", lm, ref_lm)
+        self._shape_guard("codec", codec, ref_codec)
+        return self._apply_serving_transforms(lm, codec)
+
+    def apply_checkpoint(self, prepared) -> None:
+        """Swap in weights from prepare_checkpoint. NOT safe concurrent
+        with in-flight generation on OTHER threads — callers must drain
+        first (ContinuousBatcher.reload does); KV caches hold activations
+        of the weights that produced them. The prompt-token cache is
+        cleared: RVQ tokens are a function of the codec weights."""
+        lm_params, codec_params = prepared
+        self.lm_params = lm_params
+        self.codec_params = codec_params
+        self._audio_token_cache.clear()
+
+    def reload_checkpoint(self, pretrained_dir: str) -> None:
+        """prepare + apply in one call (idle engines; serving goes through
+        ContinuousBatcher.reload, which drains live streams between)."""
+        self.apply_checkpoint(self.prepare_checkpoint(pretrained_dir))
 
     # ------------------------------------------------------------------
     # Tokenization to interleaved frames

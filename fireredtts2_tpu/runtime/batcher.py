@@ -122,6 +122,10 @@ class ContinuousBatcher:
         self._step_count = 0
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        # Hot reload (reload()): while set, pending requests stay queued
+        # instead of being admitted, so live slots drain naturally.
+        self._admit_paused = threading.Event()
+        self._reload_lock = threading.Lock()
 
         # ---- jitted programs ----
         # Fused K-frame blocks (models/pipeline.py): one dispatch + one
@@ -182,6 +186,43 @@ class ContinuousBatcher:
         self._stop.set()
         self._worker.join(timeout=10)
 
+    def reload(self, pretrained_dir: str, timeout_s: float = 300.0) -> None:
+        """Hot-swap checkpoint weights with zero dropped requests.
+
+        Sequence: (1) load + transform the new trees WHILE serving
+        continues on the old ones (the slow half — disk + device_put);
+        (2) pause admissions so live slots drain naturally (pending
+        requests stay queued, mid-stream audio keeps its own weights —
+        KV caches hold activations of the weights that made them);
+        (3) swap the engine's param references (the block program reads
+        them per dispatch, and shapes are unchanged, so every compiled
+        program is reused); (4) resume admissions.
+
+        Raises TimeoutError (and resumes on the OLD weights) if live
+        streams don't finish within timeout_s. The reference has no
+        reload path at all — restart is its only way to new weights.
+        """
+        with self._reload_lock:
+            prepared = self.engine.prepare_checkpoint(pretrained_dir)
+            self._admit_paused.set()
+            try:
+                deadline = time.monotonic() + timeout_s
+                while self.active_streams:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"{self.active_streams} live stream(s) did not "
+                            f"finish within {timeout_s}s; still serving the "
+                            f"old weights")
+                    time.sleep(0.05)
+                # One loop tick of grace: a just-finished slot's in-flight
+                # double-buffered block only touches host queues after
+                # this, and its device output is already computed from the
+                # old weights.
+                time.sleep(0.1)
+                self.engine.apply_checkpoint(prepared)
+            finally:
+                self._admit_paused.clear()
+
     def submit(self, text: str, speaker: str = "[S1]",
                context=(), temperature: Optional[float] = None,
                topk: Optional[int] = None,
@@ -215,6 +256,8 @@ class ContinuousBatcher:
         batched prefill dispatch (burst arrivals cost one program, not N —
         prompts are padded to the widest bucket in the burst; extra left
         padding is exact thanks to RoPE shift invariance + slot_valid)."""
+        if self._admit_paused.is_set():
+            return
         free = [i for i, s in enumerate(self.slots) if not s.active]
         reqs: list[_Pending] = []
         slot_ids: list[int] = []

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import queue
 import threading
 import time
@@ -727,6 +728,8 @@ class HealthHTTPServer:
                 elif (parts[:3] == ["api", "v1", "conversations"]
                       and len(parts) == 5 and parts[4] == "turn"):
                     self._conversation_turn(parts[3])
+                elif self.path == "/api/v1/admin/reload":
+                    self._admin_reload()
                 elif self.path == "/v1/audio/speech":
                     if not self._guard():
                         return
@@ -755,6 +758,37 @@ class HealthHTTPServer:
                     self._json(404, {"error": "not found"})
 
             # -------------------------------------------------- handlers
+
+            def _admin_reload(self):
+                """POST /api/v1/admin/reload {"dir": ...}: hot-swap
+                checkpoint weights (auth-gated like every /api/v1 route).
+                Batched mode drains live streams between prepare and
+                apply (runtime/batcher.py:reload); the single-worker
+                service swaps directly (its worker serializes requests).
+                The reference has no reload — restart only."""
+                req = self._body()
+                if req is None:
+                    return
+                d = req.get("dir", "")
+                if not d or not os.path.isdir(d):
+                    self._json(400, {"error": f"not a directory: {d!r}"})
+                    return
+                t0 = time.time()
+                try:
+                    batcher = getattr(ws_server.service, "batcher", None)
+                    if batcher is not None:
+                        batcher.reload(d, timeout_s=float(
+                            req.get("timeout_s", 300.0)))
+                    else:
+                        ws_server.service.engine.reload_checkpoint(d)
+                except TimeoutError as e:
+                    self._json(503, {"error": str(e)})
+                    return
+                except (ValueError, FileNotFoundError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self._json(200, {"reloaded": d,
+                                 "took_s": round(time.time() - t0, 2)})
 
             def _tts(self, streaming: bool):
                 req = self._body()

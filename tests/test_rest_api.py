@@ -318,3 +318,42 @@ def test_openai_transcription_503_without_asr(rest):
         _post(rest["base"], "/v1/audio/transcriptions",
               {"data": _tone_pcm16().hex()})
     assert e.value.code == 503
+
+
+# ------------------------------------------------------------ admin reload
+
+
+def test_admin_reload_bad_dir_400(rest):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(rest["base"], "/api/v1/admin/reload", {"dir": "/no/such/dir"})
+    assert e.value.code == 400
+
+
+def test_admin_reload_swaps_weights(rest, tmp_path):
+    """POST /api/v1/admin/reload with a DIR/jax/ layout hot-swaps the
+    serving weights (engine.prepare/apply_checkpoint through the
+    batcher's drain); the server keeps answering afterwards."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.models.codec.model import init_codec_params
+    from fireredtts2_tpu.models.lm.model import init_lm_params
+    from fireredtts2_tpu.runtime.checkpoint import save_params
+
+    tiny = tiny_engine_config()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(99))
+    new_lm = init_lm_params(k1, tiny.llm, jnp.float32)
+    save_params(os.path.join(str(tmp_path), "jax", "llm_posttrain"), new_lm)
+    save_params(os.path.join(str(tmp_path), "jax", "codec"),
+                init_codec_params(k2, tiny.codec, jnp.float32))
+
+    status, out = _post(rest["base"], "/api/v1/admin/reload",
+                        {"dir": str(tmp_path)})
+    assert status == 200 and out["reloaded"] == str(tmp_path)
+    # serving continues on the new weights
+    status, out = _post(rest["base"], "/api/v1/tts/generate",
+                        {"text": "after reload"})
+    assert status == 200 and out["duration_s"] > 0
