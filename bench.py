@@ -52,8 +52,14 @@ def _is_transient(msg: str) -> bool:
 def _probe_backend(timeout_s: float = 240.0) -> bool:
     """Run one tiny device matmul in a throwaway subprocess; True if the
     chip answered. np.asarray (not block_until_ready) per CLAUDE.md: scalar
-    results can return before the relay finishes."""
-    code = ("import jax, numpy as np; x = jax.numpy.ones((8, 128));"
+    results can return before the relay finishes. The probe REQUIRES a
+    non-CPU backend (unless BENCH_ALLOW_CPU=1, for harness tests): a silent
+    jax CPU fallback would otherwise produce a valid-looking rc=0 artifact
+    full of CPU-speed numbers."""
+    platform_check = ("" if os.environ.get("BENCH_ALLOW_CPU") == "1" else
+                      "assert jax.default_backend() != 'cpu', 'cpu fallback';")
+    code = ("import jax, numpy as np;" + platform_check +
+            "x = jax.numpy.ones((8, 128));"
             "print(float(np.asarray(x @ x.T)[0][0]))")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
@@ -184,6 +190,14 @@ def _merge(path: str, done: dict, errors: dict) -> None:
 def worker(results_path: str, skip: set[str]) -> int:
     import jax
 
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("BENCH_ALLOW_CPU") != "1"):
+        # The tunnel died between the parent's probe and our jax init and
+        # jax fell back to CPU — CPU numbers must never enter the artifact.
+        print("[bench-worker] jax came up on CPU (tunnel fallback); retrying",
+              file=sys.stderr)
+        return _RETRYABLE_RC
+
     from fireredtts2_tpu.config import EngineConfig, LLMConfig, CodecConfig
     from fireredtts2_tpu.engine import FireRedTTS2Engine
 
@@ -262,10 +276,12 @@ def _stage_fpl(engine, text: str, jax) -> dict:
 
 def _stage_clone(engine) -> dict:
     """Voice-clone path: streaming FPL WITH a prompt segment, cold (full
-    32-layer SSL + RVQ prompt encode) vs cached (per-voice prompt-token
-    cache / VoiceProfile tokens, engine/engine.py:_tokenize_audio). The
-    delta is the per-request win of storing tokens per voice — the
-    reference re-encodes the prompt on every call
+    32-layer SSL + RVQ prompt encode + full prefill) vs cached (per-voice
+    prompt-token cache + KV prefix cache: the warm runs copy the cached
+    context KV slab and prefill only the new text,
+    engine/engine.py:_tokenize_audio/_context_state). The delta is the
+    per-request win of storing tokens + prefix KV per voice — the
+    reference re-encodes AND re-prefills the prompt on every call
     (/root/reference/fireredtts2/fireredtts2.py:90-115)."""
     import numpy as np
     from fireredtts2_tpu.engine.engine import Segment

@@ -383,6 +383,18 @@ class EngineConfig:
     # through a tunnel) at the cost of chunk cadence; a client jitter
     # buffer absorbs it.
     stream_block_cap: int = 16
+    # Per-voice KV prefix cache capacity (entries; 0 disables). The LM
+    # state after prefilling a request's CONTEXT segments (voice-clone
+    # prompt) is kept on device, keyed by the context's token content;
+    # repeat requests with the same context copy the cached slab and
+    # append-prefill only the new text (O(text) prefill instead of
+    # O(context+text)). Greedy decode is exact vs the uncached layout
+    # (RoPE shift invariance — same equivalence class as incremental
+    # dialogue); each entry holds a full KV slab (~90 MB at flagship
+    # dims), so the capacity is deliberately small. The reference
+    # re-encodes AND re-prefills the prompt on every call
+    # (fireredtts2/fireredtts2.py:90-115, 131-201).
+    voice_state_cache: int = 4
 
 
 def tiny_engine_config(**overrides) -> EngineConfig:

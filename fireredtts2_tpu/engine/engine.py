@@ -171,6 +171,11 @@ class FireRedTTS2Engine:
         from collections import OrderedDict
         self._audio_token_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self.encode_calls = 0
+        # Per-voice KV prefix cache (see _context_state): context token
+        # hash -> (LMState after context prefill, context length).
+        self._voice_state_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._voice_ctx_seen: "OrderedDict[str, bool]" = OrderedDict()
+        self.voice_state_builds = 0  # cache-build counter (tests/bench)
 
         # ---- compiled functions (cfg objects are hashable -> static) ----
         llm_cfg, codec_cfg = self.config.llm, self.config.codec
@@ -212,6 +217,18 @@ class FireRedTTS2Engine:
         # Incremental-dialogue rewind (models/lm/model.py:rewind_lm_state).
         from fireredtts2_tpu.models.lm.model import rewind_lm_state
         self._rewind_fn = jax.jit(rewind_lm_state, donate_argnames=("state",))
+        # Voice-state cache programs: context-only prefill (the sampled
+        # frame is discarded by the rewind that follows — only the KV slab
+        # matters, so greedy/any sampling params are fine), and a deep
+        # state copy so cached slabs survive downstream buffer donation.
+        self._ctx_prefill_fn = jax.jit(
+            lambda p, state, tokens, tokens_mask, valid, real_len:
+            lm_generate_frame(p, llm_cfg, state, tokens, tokens_mask, valid,
+                              jax.random.PRNGKey(0), temperature=1.0,
+                              topk=1, real_len=real_len)[0],
+            donate_argnames=("state",))
+        self._copy_state_fn = jax.jit(
+            lambda s: jax.tree_util.tree_map(jnp.copy, s))
         # codec_encode calls it as encode_fn(audio_batch, lengths); params
         # ride as a jit ARGUMENT (closing over the tree would embed the
         # whole codec — incl. whisper-large SSL — as compile-time
@@ -375,6 +392,10 @@ class FireRedTTS2Engine:
         self.lm_params = lm_params
         self.codec_params = codec_params
         self._audio_token_cache.clear()
+        # Cached KV prefixes are activations of the OLD weights (and the
+        # seen-keys are hashes of old-weight codec tokens).
+        self._voice_state_cache.clear()
+        self._voice_ctx_seen.clear()
 
     def reload_checkpoint(self, pretrained_dir: str) -> None:
         """prepare + apply in one call (idle engines; serving goes through
@@ -508,6 +529,98 @@ class FireRedTTS2Engine:
         mask[0, pad:] = prompt_mask
         valid[0, pad:] = True
         return bucket, tokens, mask, valid
+
+    def _right_pad(self, win: np.ndarray, wmask: np.ndarray):
+        """Right-pad an append window into its static bucket (content
+        LEFT-aligned; used with real_len — see lm_generate_frame)."""
+        L = win.shape[0]
+        bucket = self._bucket(L)
+        tokens = np.zeros((1, bucket, self._ncols), np.int32)
+        mask = np.zeros((1, bucket, self._ncols), bool)
+        valid = np.zeros((1, bucket), bool)
+        tokens[0, :L] = win
+        mask[0, :L] = wmask
+        valid[0, :L] = True
+        return bucket, tokens, mask, valid
+
+    def _context_state(self, context: List[Segment]):
+        """(state_copy, pos) for this context's cached KV prefix, or None
+        when the cache is disabled / there is no context.
+
+        A context is cached on its SECOND use (one-shot prompts keep the
+        plain path with zero overhead): the context segments are prefilled
+        ONCE into a fresh slab at absolute positions 0..L-1 (right-padded
+        window + rewind over the pad), and the slab is cached on device
+        keyed by the context's token CONTENT (so identical prompts hit
+        regardless of how the Segments were constructed). Hits hand out a
+        deep copy — the decode programs donate their state buffers.
+
+        Exactness class: the cached layout places context+text at
+        contiguous absolute positions (vs one left-padded window in the
+        uncached path); RoPE shift invariance makes GREEDY decode exact
+        across the two layouts (tests/test_voice_state_cache.py), sampled
+        decode same-distribution — the incremental-dialogue equivalence
+        class (CLAUDE.md invariants)."""
+        if self.config.voice_state_cache <= 0 or not context:
+            return None
+        pieces = [self._tokenize_segment(s) for s in context]
+        win = np.concatenate([p[0] for p in pieces])
+        wmask = np.concatenate([p[1] for p in pieces])
+        L = int(win.shape[0])
+        key = hashlib.sha256(win.tobytes() + wmask.tobytes()).hexdigest()
+        hit = self._voice_state_cache.get(key)
+        if hit is None:
+            # Cache on SECOND use: a one-shot prompt takes the plain
+            # left-padded path with zero overhead; only a context seen
+            # again pays the one-time prefix build.
+            if key not in self._voice_ctx_seen:
+                self._voice_ctx_seen[key] = True
+                self._voice_ctx_seen.move_to_end(key)
+                while len(self._voice_ctx_seen) > \
+                        8 * self.config.voice_state_cache:
+                    self._voice_ctx_seen.popitem(last=False)
+                return None
+            self.voice_state_builds += 1
+            _, tokens, mask, valid = self._right_pad(win, wmask)
+            state = self._ctx_prefill_fn(
+                self.lm_params, self._new_lm_state(1), jnp.asarray(tokens),
+                jnp.asarray(mask), jnp.asarray(valid),
+                jnp.asarray([L], jnp.int32))
+            state = self._rewind_fn(state, jnp.asarray([L], jnp.int32))
+            hit = (state, L)
+            self._voice_state_cache[key] = hit
+            while len(self._voice_state_cache) > self.config.voice_state_cache:
+                self._voice_state_cache.popitem(last=False)
+        else:
+            self._voice_state_cache.move_to_end(key)
+        return self._copy_state_fn(hit[0]), hit[1]
+
+    def _run_ar_from(self, state, pos: int, win: np.ndarray,
+                     wmask: np.ndarray, max_generation_len: int,
+                     temperature: float, topk: int) -> np.ndarray:
+        """Whole-utterance AR generation appended onto an existing KV
+        state at absolute position pos (voice-state cache path). Same
+        single-dispatch loop as _run_ar; the window holds only the NEW
+        tokens (right-padded, real_len mode)."""
+        L = win.shape[0]
+        bucket, tokens, mask, valid = self._right_pad(win, wmask)
+        if pos + bucket > self.max_seq_len:
+            raise ValueError(
+                f"prompt too long: {pos} + {bucket} > {self.max_seq_len}")
+        # Buffer capacity stays a per-bucket static (one compiled program
+        # per bucket, like _run_ar); the reachable cap is traced.
+        max_frames = self.max_seq_len - bucket
+        cap = min(max_generation_len, self.max_seq_len - pos - L - 1)
+        state, buf, n_frames = self._gen_loop_fn(
+            self.lm_params, state=state, tokens=jnp.asarray(tokens),
+            tokens_mask=jnp.asarray(mask), valid=jnp.asarray(valid),
+            key=self._next_key(), max_frames=max_frames,
+            frame_cap=jnp.int32(cap), temperature=temperature, topk=topk,
+            depth_topk=self.config.depth_topk,
+            depth_temperature=self.config.depth_temperature,
+            real_len=jnp.asarray([L], jnp.int32))
+        n = int(n_frames[0])
+        return np.asarray(buf[0, :n])
 
     def _run_ar(self, prompt: np.ndarray, prompt_mask: np.ndarray,
                 max_generation_len: int, temperature: float, topk: int
@@ -657,10 +770,21 @@ class FireRedTTS2Engine:
                  max_audio_length_ms: float = 90_000,
                  temperature: float = 0.9, topk: int = 20) -> np.ndarray:
         """One utterance conditioned on context -> (n,) float32 @24 kHz
-        (reference fireredtts2.py:131-201)."""
-        prompt, mask = self._build_prompt(context, text, speaker)
+        (reference fireredtts2.py:131-201).
+
+        With a cached voice state for this context (_context_state), only
+        the new text is prefilled — the context KV is copied from the
+        per-voice cache."""
         max_len = int(max_audio_length_ms / 80)
-        gen = self._run_ar(prompt, mask, max_len, temperature, topk)
+        ctx = self._context_state(context)
+        if ctx is not None:
+            state, pos = ctx
+            win, wmask = self._tokenize_text_segment(text, speaker)
+            gen = self._run_ar_from(state, pos, win, wmask, max_len,
+                                    temperature, topk)
+        else:
+            prompt, mask = self._build_prompt(context, text, speaker)
+            gen = self._run_ar(prompt, mask, max_len, temperature, topk)
         return self._decode_tokens(gen)
 
     def generate_single(self, context: List[Segment], temperature: float = 0.9,
@@ -681,16 +805,29 @@ class FireRedTTS2Engine:
         Implements the pipeline the reference sketched but disabled
         (fireredtts2.py:259-343): while the LM samples token t, the vocoder
         decodes token t-1, so audio flows after two frames.
+
+        With a cached voice state for this context (_context_state), the
+        first dispatch append-prefills only the new text onto a copy of
+        the cached context KV.
         """
-        prompt, mask = self._build_prompt(context, text, speaker)
         max_len = int(max_audio_length_ms / 80)
         t_start = time.perf_counter()
         self._first_packet_s = None
 
-        bucket, tokens, tmask, valid = self._bucketize(prompt, mask)
-        max_len = min(max_len, self.max_seq_len - bucket)
-
-        state = self._new_lm_state(1)
+        ctx = self._context_state(context)
+        if ctx is not None:
+            state, pos = ctx
+            win, wmask = self._tokenize_text_segment(text, speaker)
+            L = win.shape[0]
+            _, tokens, tmask, valid = self._right_pad(win, wmask)
+            real_len = jnp.asarray([L], jnp.int32)
+            max_len = min(max_len, self.max_seq_len - pos - L - 1)
+        else:
+            prompt, mask = self._build_prompt(context, text, speaker)
+            bucket, tokens, tmask, valid = self._bucketize(prompt, mask)
+            real_len = None
+            max_len = min(max_len, self.max_seq_len - bucket)
+            state = self._new_lm_state(1)
         vstate = self._new_vstate(1)
 
         kw = dict(temperature=temperature, topk=topk,
@@ -716,7 +853,8 @@ class FireRedTTS2Engine:
         state, vstate, frame, emitted, packed = self._prefill_block_fn(
             self.lm_params, self.codec_params, state=state, vstate=vstate,
             tokens=jnp.asarray(tokens), tokens_mask=jnp.asarray(tmask),
-            valid=jnp.asarray(valid), key=utt_key, block=block, **kw)
+            valid=jnp.asarray(valid), key=utt_key, block=block,
+            real_len=real_len, **kw)
         while True:
             # one fetch per block; layout (B, K*cs + K*ts + K):
             # [middles | per-cut tails | eos flags] (models/pipeline.py)

@@ -9,9 +9,23 @@ cd "$(dirname "$0")/.."
 # Reach the TPU through the axon site dir (append, never override).
 export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}:/root/.axon_site"
 LOG=/tmp/onchip_r3.log
+STAGEDIR=/tmp/onchip_r3_stages
 : > "$LOG"
+mkdir -p "$STAGEDIR"
+N=0
 
-run() { echo "== $*" | tee -a "$LOG"; timeout 1800 "$@" 2>&1 | tail -20 | tee -a "$LOG"; }
+# Full output goes to a per-stage file (diagnosable after the fact);
+# the tail goes to the main log. bench.py gets a longer leash than the
+# default 30 min — its own internal deadline is 45 min.
+run() {
+  N=$((N+1)); f="$STAGEDIR/$(printf %02d "$N")_$(echo "$*" | tr ' /=,' '__--' | cut -c1-80).log"
+  echo "== $*" | tee -a "$LOG"
+  t=1800; case "$*" in *bench.py*) t=3600;; esac
+  timeout "$t" "$@" >"$f" 2>&1
+  rc=$?
+  tail -20 "$f" | tee -a "$LOG"
+  [ "$rc" -ne 0 ] && echo "== rc=$rc (full log: $f)" | tee -a "$LOG"
+}
 
 # 1. Depth-kernel split A/B (VERDICT r2 #3): old (5,4) baseline vs the
 #    new non-uniform splits. Expect (3,2)/(2,2) to cut the ~2.4 ms issue
