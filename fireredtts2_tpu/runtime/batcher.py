@@ -169,6 +169,13 @@ class ContinuousBatcher:
         # + queue puts). host_stats() reports per-frame ms.
         self._host = {"blocks": 0, "frames": 0, "dispatch_s": 0.0,
                       "fetch_s": 0.0, "fanout_s": 0.0}
+        # Event timeline for latency forensics (ws_load --timeline): one
+        # entry per admission and per block, host-clock relative seconds.
+        # Admission host cost is dispatch-only (prefill is async); a slow
+        # first block AFTER an admit shows up as that block's wall.
+        from collections import deque
+        self._tl_t0 = time.perf_counter()
+        self.timeline: "deque[dict]" = deque(maxlen=256)
 
         self._key = jax.random.PRNGKey(int(time.time()) & 0xFFFF)
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -270,6 +277,7 @@ class ContinuousBatcher:
             slot_ids.append(free.pop())
         if not reqs:
             return
+        t_admit = time.perf_counter()
 
         for b in slot_ids:
             self.lm_state = self._reset_lm(self.lm_state, jnp.int32(b))
@@ -306,6 +314,9 @@ class ContinuousBatcher:
             topk=jnp.asarray(topks))
         self.frames = self.frames.at[jnp.asarray(bs[:N])].set(frames[:N])
         now = time.perf_counter()
+        self.timeline.append({
+            "t": round(now - self._tl_t0, 4), "ev": "admit", "n": N,
+            "S": S, "host_ms": round((now - t_admit) * 1e3, 2)})
         for i, req in enumerate(reqs):
             b = slot_ids[i]
             self.emitted = self.emitted.at[b].set(0)
@@ -416,6 +427,9 @@ class ContinuousBatcher:
         now = time.perf_counter()
         self.policy.record(K, now - t_block)
         self._host["fetch_s"] += now - t_fetch0
+        self.timeline.append({
+            "t": round(t_block - self._tl_t0, 4), "ev": "block", "K": K,
+            "n": len(active), "wall_ms": round((now - t_block) * 1e3, 1)})
         eos = pk[:, K * (cs + ts):] > 0.5        # (B, K)
         for b, handle in active:
             slot = self.slots[b]

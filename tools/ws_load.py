@@ -150,6 +150,9 @@ def main() -> int:
                     help="spin up a server in-process (tiny = CPU check, "
                     "flagship = serving config on the chip)")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--timeline", action="store_true",
+                    help="dump the batcher's admit/block event timeline "
+                    "after the timed wave (latency forensics)")
     args = ap.parse_args()
 
     server = None
@@ -169,6 +172,10 @@ def main() -> int:
         res["host"] = {k: round(v, 3) if isinstance(v, float) else v
                        for k, v in batcher.host_stats().items()}
     print(json.dumps(res))
+    if args.timeline and batcher is not None:
+        # One line per event; block walls > K*12.5 ms stall the consumers.
+        for ev in list(batcher.timeline):
+            print(json.dumps(ev), file=sys.stderr)
     return 0 if res["ok"] == args.streams else 1
 
 
