@@ -770,8 +770,12 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
     # cuts the tiles as evenly as possible (unequal widths are fine — ring
     # slots size to the widest). Prefer the fewest chunks that fit (fewer
     # dot issues + DMA waits per step); shallow rings for big chunks (each
-    # DMA is long), deeper rings once chunks shrink.
-    options = [(q, s) for q in (1, 2, 3, 5, 7)
+    # DMA is long), deeper rings once chunks shrink. q=3 is EXCLUDED on
+    # measurement: at flagship dims its shallow-ring mid-size chunks are
+    # strictly worse than both neighbours ((3,2) 4.87 ms/frame vs (5,4)
+    # 4.65 / (2,2) 4.60, tools/depth_only.py on-chip A/B) — the kernel is
+    # at its small-M weight-consume floor and only that pocket regresses.
+    options = [(q, s) for q in (1, 2, 5, 7)
                for s in ((2, 4) if q <= 3 else (4, 2))]
     stream_sub, stream_slots = options[-1]
     for q, s in options:
