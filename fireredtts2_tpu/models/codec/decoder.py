@@ -297,8 +297,10 @@ class VocoderStreamState(NamedTuple):
     up2_cache: Array      # (B, D, 2)   acoustic ConvT k3 s1 input tail
     in_proj_cache: Array  # (B, D, 6)   backbone CausalConv k7
     rb_caches: Array      # (4, 2, B, D, 2) four resnet blocks x two convs
-    kv_k: Array           # (L, B, T_max, H, Dh) attention slab
-    kv_v: Array
+    kv_k: Array           # (L, B, T_max, H*Dh) attention slab — heads
+    kv_v: Array           # MERGED: Dh=64 < the 128-lane tile, so a
+                          # (..., H, Dh) layout pays 2x tile padding
+                          # (2.20 GB for 1.10 GB of slab at B=16)
     istft_cache: Array    # (B, n_fft, 3) trailing windowed ifft frames
     pos: Array            # (B,) int32 latents written so far (100 Hz)
 
@@ -307,7 +309,8 @@ def stream_state_init(cfg: AcousticDecoderConfig, batch: int,
                       dtype=jnp.float32) -> VocoderStreamState:
     d = cfg.embed_dim
     slab = init_kv_slab(cfg.num_layers, batch, cfg.max_stream_latents,
-                        cfg.num_heads, d // cfg.num_heads, dtype)
+                        cfg.num_heads, d // cfg.num_heads, dtype,
+                        merged=True)
     return VocoderStreamState(
         up1_cache=jnp.zeros((batch, d, 1), dtype),
         up2_cache=jnp.zeros((batch, d, 2), dtype),
@@ -362,21 +365,17 @@ def stream_decode_chunk(params: Params, cfg: AcousticDecoderConfig,
     hc, c1a, c1b = causal_resnet_chunk(params["prior1"], hc, rb[1, 0], rb[1, 1])
 
     # Attention: this chunk's 8 latents see every written slot plus themselves.
-    T_max = state.kv_k.shape[2]
-    B = hc.shape[0]
     # 8-block-causal within the chunk (reference decoder.py:263-266): a
     # query latent sees every slot up to the END of its own 8-latent token
     # block, never later tokens. For S == 8 (one token) this equals the
     # old full pos + S window; chunks are whole tokens so pos is 8-aligned.
-    q_end = (state.pos[:, None, None]
-             + ((jnp.arange(S, dtype=jnp.int32)[None, :, None]
-                 // VOCODER_CHUNK) + 1) * VOCODER_CHUNK)
-    mask = jnp.broadcast_to(
-        jnp.arange(T_max, dtype=jnp.int32)[None, None, :] < q_end,
-        (B, S, T_max))
+    q_end = (state.pos[:, None]
+             + ((jnp.arange(S, dtype=jnp.int32)[None, :]
+                 // VOCODER_CHUNK) + 1) * VOCODER_CHUNK)        # (B, S)
     cache = {"k": state.kv_k, "v": state.kv_v}
-    hc, cache = whisper_layers_forward(params["layers"], cfg.num_heads, hc,
-                                       mask, cache, state.pos)
+    hc, cache = whisper_layers_forward(
+        params["layers"], cfg.num_heads, hc, None, cache, state.pos,
+        q_end=q_end, live_hi=jnp.max(state.pos) + S)
 
     hc, c2a, c2b = causal_resnet_chunk(params["post0"], hc, rb[2, 0], rb[2, 1])
     hc, c3a, c3b = causal_resnet_chunk(params["post1"], hc, rb[3, 0], rb[3, 1])
@@ -412,21 +411,17 @@ def _vocoder_backbone_chunk(params: Params, cfg: AcousticDecoderConfig,
     rb = state.rb_caches
     hc, c0a, c0b = causal_resnet_chunk(params["prior0"], hc, rb[0, 0], rb[0, 1])
     hc, c1a, c1b = causal_resnet_chunk(params["prior1"], hc, rb[1, 0], rb[1, 1])
-    T_max = state.kv_k.shape[2]
-    B = hc.shape[0]
     # 8-block-causal within the chunk (reference decoder.py:263-266): a
     # query latent sees every slot up to the END of its own 8-latent token
     # block, never later tokens. For S == 8 (one token) this equals the
     # old full pos + S window; chunks are whole tokens so pos is 8-aligned.
-    q_end = (state.pos[:, None, None]
-             + ((jnp.arange(S, dtype=jnp.int32)[None, :, None]
-                 // VOCODER_CHUNK) + 1) * VOCODER_CHUNK)
-    mask = jnp.broadcast_to(
-        jnp.arange(T_max, dtype=jnp.int32)[None, None, :] < q_end,
-        (B, S, T_max))
+    q_end = (state.pos[:, None]
+             + ((jnp.arange(S, dtype=jnp.int32)[None, :]
+                 // VOCODER_CHUNK) + 1) * VOCODER_CHUNK)        # (B, S)
     cache = {"k": state.kv_k, "v": state.kv_v}
-    hc, cache = whisper_layers_forward(params["layers"], cfg.num_heads, hc,
-                                       mask, cache, state.pos)
+    hc, cache = whisper_layers_forward(
+        params["layers"], cfg.num_heads, hc, None, cache, state.pos,
+        q_end=q_end, live_hi=jnp.max(state.pos) + S)
     hc, c2a, c2b = causal_resnet_chunk(params["post0"], hc, rb[2, 0], rb[2, 1])
     hc, c3a, c3b = causal_resnet_chunk(params["post1"], hc, rb[3, 0], rb[3, 1])
     hc = layer_norm(hc, params["final_ln_w"], params["final_ln_b"], eps=1e-6)
@@ -646,16 +641,14 @@ def stream_decode_scan(params: Params, cfg: AcousticDecoderConfig,
         rb = st.rb_caches
         hc, c0a, c0b = causal_resnet_chunk(params["prior0"], hc, rb[0, 0], rb[0, 1])
         hc, c1a, c1b = causal_resnet_chunk(params["prior1"], hc, rb[1, 0], rb[1, 1])
-        T_max = st.kv_k.shape[2]
         # 8-block-causal within the chunk: query q (latent index within this
         # chunk) sees keys < pos + 8*(q//8 + 1) — its own token's block plus
         # all earlier slots. For G=1 this is the original "whole chunk" mask.
         q_end = st.pos[:, None] + 8 * (jnp.arange(S, dtype=jnp.int32)[None] // 8 + 1)
-        mask = (jnp.arange(T_max, dtype=jnp.int32)[None, None, :]
-                < q_end[:, :, None])                      # (B, S, T_max)
         cache = {"k": st.kv_k, "v": st.kv_v}
-        hc, cache = whisper_layers_forward(params["layers"], cfg.num_heads, hc,
-                                           mask, cache, st.pos)
+        hc, cache = whisper_layers_forward(
+            params["layers"], cfg.num_heads, hc, None, cache, st.pos,
+            q_end=q_end, live_hi=jnp.max(st.pos) + S)
         hc, c2a, c2b = causal_resnet_chunk(params["post0"], hc, rb[2, 0], rb[2, 1])
         hc, c3a, c3b = causal_resnet_chunk(params["post1"], hc, rb[3, 0], rb[3, 1])
         hc = layer_norm(hc, params["final_ln_w"], params["final_ln_b"], eps=1e-6)

@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from fireredtts2_tpu.ops.attention import mha_attention
+from fireredtts2_tpu.ops.attention import (
+    mha_attention, gqa_attention_bounded,
+)
 from fireredtts2_tpu.ops.remat import remat_layer
 
 Params = dict[str, Any]
@@ -97,7 +99,9 @@ def _wmm(x: Array, lp: Params, name: str) -> Array:
 
 def _whisper_layer(h: Array, lp: Params, num_heads: int, mask: Optional[Array],
                    k_slab: Optional[Array], v_slab: Optional[Array],
-                   cache_pos: Optional[Array]):
+                   cache_pos: Optional[Array],
+                   q_end: Optional[Array] = None,
+                   live_hi: Optional[Array] = None):
     B, S, D = h.shape
     Dh = D // num_heads
 
@@ -107,19 +111,43 @@ def _whisper_layer(h: Array, lp: Params, num_heads: int, mask: Optional[Array],
     v = (_wmm(x, lp, "wv") + lp["bv"]).reshape(B, S, num_heads, Dh)
 
     if k_slab is not None:
+        # MERGED slab layout (B, T, H*Dh): with Dh = 64 < the 128-lane
+        # tile, a (B, T, H, Dh) slab gets 2x tile padding from XLA
+        # (measured: the 1.10 GB vocoder slab occupies 2.20 GB HBM at
+        # B=16) — merging the head dims tiles cleanly, halving slab HBM
+        # and every slab read/write.
+        merged = k_slab.ndim == 3
+        kw = k.reshape(B, S, D) if merged else k
+        vw = v.reshape(B, S, D) if merged else v
         # scalar cache_pos = shared slot; (B,) = per-stream slots
         if getattr(cache_pos, "ndim", 0) == 1:
+            zeros = (0,) if merged else (0, 0)
             upd = jax.vmap(
                 lambda slab_b, x_b, p: jax.lax.dynamic_update_slice(
-                    slab_b, x_b, (p, 0, 0)))
-            k_slab = upd(k_slab, k.astype(k_slab.dtype), cache_pos)
-            v_slab = upd(v_slab, v.astype(v_slab.dtype), cache_pos)
+                    slab_b, x_b, (p, *zeros)))
+            k_slab = upd(k_slab, kw.astype(k_slab.dtype), cache_pos)
+            v_slab = upd(v_slab, vw.astype(v_slab.dtype), cache_pos)
         else:
+            zeros = (0, 0) if merged else (0, 0, 0)
             k_slab = jax.lax.dynamic_update_slice(
-                k_slab, k.astype(k_slab.dtype), (0, cache_pos, 0, 0))
+                k_slab, kw.astype(k_slab.dtype), (0, cache_pos, *zeros[1:]))
             v_slab = jax.lax.dynamic_update_slice(
-                v_slab, v.astype(v_slab.dtype), (0, cache_pos, 0, 0))
-        attn = mha_attention(q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
+                v_slab, vw.astype(v_slab.dtype), (0, cache_pos, *zeros[1:]))
+        if q_end is not None:
+            # Slab-decode fast path: touch only live chunks — the dense
+            # path's cost scales with the slab CAPACITY (ops/attention.py:
+            # gqa_attention_bounded; measured 31 ms/block of pure
+            # T_max=3008 capacity cost at B=16, tools/block_probe.py).
+            attn = gqa_attention_bounded(q, k_slab.astype(h.dtype),
+                                         v_slab.astype(h.dtype),
+                                         q_end, live_hi)
+        else:
+            kf, vf = k_slab.astype(h.dtype), v_slab.astype(h.dtype)
+            if merged:
+                T = kf.shape[1]
+                kf = kf.reshape(B, T, num_heads, Dh)
+                vf = vf.reshape(B, T, num_heads, Dh)
+            attn = mha_attention(q, kf, vf, mask)
     else:
         attn = mha_attention(q, k, v, mask)
     h = h + (_wmm(attn.reshape(B, S, D), lp, "wo") + lp["bo"]).astype(h.dtype)
@@ -136,16 +164,25 @@ def whisper_layers_forward(
     cache: Optional[dict[str, Array]] = None,
     cache_pos: Optional[Array] = None,
     remat: Optional[str] = None,
+    q_end: Optional[Array] = None,
+    live_hi: Optional[Array] = None,
 ) -> tuple[Array, Optional[dict[str, Array]]]:
     """Run the stacked layer scan. cache (if given): k/v slabs of shape
     (L, B, T_max, H, Dh) written at cache_pos. remat ("full"/"dots",
     ops/remat.py) applies per-layer jax.checkpoint on the STATELESS path —
     codec training windows are long (30 s = 1500 mel frames), so saved
-    layer activations dominate training HBM; values are unchanged."""
+    layer activations dominate training HBM; values are unchanged.
+
+    q_end (B, S) int32 + live_hi () int32 (slab path only): per-query
+    exclusive attention bounds + the max live slot — selects the bounded
+    decode attention whose cost scales with live context instead of slab
+    capacity (every query must attend >= 1 slot of the slab's first chunk,
+    i.e. q_end > 0; block-causal decode masks always satisfy this)."""
     if cache is not None:
         def body(hh, xs):
             lp, ks, vs = xs
-            hh, ks, vs = _whisper_layer(hh, lp, num_heads, mask, ks, vs, cache_pos)
+            hh, ks, vs = _whisper_layer(hh, lp, num_heads, mask, ks, vs,
+                                        cache_pos, q_end, live_hi)
             return hh, (ks, vs)
         h, (nk, nv) = jax.lax.scan(body, h, (params, cache["k"], cache["v"]))
         return h, {"k": nk, "v": nv}
@@ -160,8 +197,13 @@ def whisper_layers_forward(
 
 
 def init_kv_slab(num_layers: int, batch: int, max_len: int, num_heads: int,
-                 head_dim: int, dtype=jnp.float32) -> dict[str, Array]:
-    shape = (num_layers, batch, max_len, num_heads, head_dim)
+                 head_dim: int, dtype=jnp.float32,
+                 merged: bool = False) -> dict[str, Array]:
+    """merged=True stores (L, B, T, H*Dh) — the tile-padding-free layout
+    when head_dim < 128 lanes (a (..., H, 64) slab occupies 2x its real
+    bytes under XLA's (8, 128) tiling); _whisper_layer handles both."""
+    shape = ((num_layers, batch, max_len, num_heads * head_dim) if merged
+             else (num_layers, batch, max_len, num_heads, head_dim))
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 

@@ -94,7 +94,7 @@ class ContinuousBatcher:
     """Batched multi-stream decoder over a shared engine's params."""
 
     def __init__(self, engine, max_streams: int = 16, topk: int = 20,
-                 policy=None):
+                 policy=None, warmup_blocks: Optional[bool] = None):
         self.engine = engine
         self.B = max_streams
         self.default_topk = topk
@@ -177,6 +177,18 @@ class ContinuousBatcher:
         self._tl_t0 = time.perf_counter()
         self.timeline: "deque[dict]" = deque(maxlen=256)
 
+        # Block-ladder warmup (default: on when a real accelerator backend
+        # is live, off on CPU where tests construct many batchers): the
+        # policy may pick ANY ladder K mid-serving — e.g. throughput-mode
+        # jumps straight to the largest K — and an XLA compile inside a
+        # live dispatch stalls every active stream for the compile's
+        # duration (measured 2026-08-18: bench batched8 dispatch
+        # 299 ms/frame with the K=16 block program compiling inside the
+        # timed window). The worker compiles one block per ladder K before
+        # admitting anything; wait_ready() lets benchmarks exclude it.
+        self._warmup_blocks_on = (jax.default_backend() != "cpu"
+                                  if warmup_blocks is None else warmup_blocks)
+        self._ready = threading.Event()
         self._key = jax.random.PRNGKey(int(time.time()) & 0xFFFF)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._lead = (codec_cfg.acoustic_decoder.n_fft
@@ -188,6 +200,34 @@ class ContinuousBatcher:
 
     def start(self) -> None:
         self._worker.start()
+
+    def wait_ready(self, timeout: Optional[float] = None) -> bool:
+        """Block until the worker's block-ladder warmup is done (True) or
+        timeout (False). Requests submitted before ready just queue —
+        admission happens after warmup — so calling this is only needed
+        when measuring latency."""
+        return self._ready.wait(timeout)
+
+    def _warmup_ladder(self) -> None:
+        """Compile + run one block per ladder K the policy can choose.
+        All slots are inactive here, so the dispatches are pure warmup:
+        the outputs are garbage rows that admission resets (reset_lm /
+        reset_vo / frames / emitted), exactly like post-EOS lanes."""
+        pcfg = getattr(self.policy, "cfg", None)
+        ladder = tuple(getattr(pcfg, "ladder", (self.block_frames,)))
+        cadence = getattr(pcfg, "max_cadence_ms", float("inf"))
+        for k in ladder:
+            if k * 80.0 > cadence:
+                continue  # choose() never returns K past the cadence cap
+            (self.lm_state, self.vo_state, self.frames, self.emitted,
+             packed) = self._block(
+                self.engine.lm_params, self.engine.codec_params,
+                state=self.lm_state, vstate=self.vo_state,
+                frame=self.frames, emitted=self.emitted,
+                key=self._next_key(), t_base=jnp.int32(0),
+                block=int(k), temperature=jnp.asarray(self.temps)[:, None],
+                topk=jnp.asarray(self.topks))
+            np.asarray(packed)  # force execution through any relay
 
     def stop(self) -> None:
         self._stop.set()
@@ -372,6 +412,11 @@ class ContinuousBatcher:
         the donated state chain stays correct; a slot that hits EOS in
         block k wastes its lanes in the already-in-flight k+1 (the host
         discards them), which is the price of never idling the chip."""
+        try:
+            if self._warmup_blocks_on:
+                self._warmup_ladder()
+        finally:
+            self._ready.set()
         in_flight = None   # (packed, K, active_slots, t_dispatch)
         while not self._stop.is_set():
             self._admit()

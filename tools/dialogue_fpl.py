@@ -98,15 +98,14 @@ def main():
                                    audio=audio16))
         return fpl
 
-    # compile pass (both paths share the block programs; one short
-    # dialogue warms prefill buckets used by both)
-    print("warmup (compile)...", flush=True)
-    for _ in engine.generate_dialogue_stream(texts[:2],
-                                             max_utterance_ms=1_000):
-        pass
-    for _ in engine.generate_stream(texts[0][4:], texts[0][:4], [],
-                                    max_audio_length_ms=1_000):
-        pass
+    # Compile pass: run BOTH full A/B arms once. A shorter warmup leaves
+    # later turns' shapes cold (the re-prefill arm walks a NEW prompt
+    # bucket as the context grows, and the incremental arm compiles one
+    # append-prefill shape per new-token bucket) — the 2026-08-18 on-chip
+    # run had 67-77 s compile stalls inside turns 1/2/4 from exactly that.
+    print("warmup (compile): full A/B pass...", flush=True)
+    run_incremental_per_turn()
+    run_reprefill_per_turn()
 
     inc = run_incremental_per_turn()
     rep = run_reprefill_per_turn()
