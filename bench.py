@@ -376,6 +376,7 @@ def _bench_batched(engine, n_streams: int, n_frames: int = 50) -> dict:
 
     batcher = ContinuousBatcher(engine, max_streams=n_streams)
     batcher.start()
+    batcher.wait_ready(timeout=3600)  # ladder+prefill compile, not serving
     try:
         texts = [f"Stream number {i}: a short benchmark sentence about "
                  f"tensor processing units and speech synthesis."

@@ -564,6 +564,31 @@ def reset_vocoder_slot(state: VocoderStreamState, b: Array) -> VocoderStreamStat
     )
 
 
+def reset_vocoder_slots(state: VocoderStreamState,
+                        bs: Array) -> VocoderStreamState:
+    """Zero a VECTOR of slots' caches in one program (admission-burst
+    counterpart of reset_vocoder_slot): bs is (B,) int32 padded with
+    out-of-range B for unused entries — those scatters drop. Only the
+    addressed rows are written; the KV slabs are scattered per row, not
+    rewritten whole."""
+    def zero_rows(arr: Array, axis: int) -> Array:
+        upd_shape = arr.shape[:axis] + (bs.shape[0],) + arr.shape[axis + 1:]
+        upd = jnp.zeros(upd_shape, arr.dtype)
+        idx = (slice(None),) * axis + (bs,)
+        return arr.at[idx].set(upd, mode="drop")
+
+    return VocoderStreamState(
+        up1_cache=zero_rows(state.up1_cache, 0),
+        up2_cache=zero_rows(state.up2_cache, 0),
+        in_proj_cache=zero_rows(state.in_proj_cache, 0),
+        rb_caches=zero_rows(state.rb_caches, 2),
+        kv_k=zero_rows(state.kv_k, 1),
+        kv_v=zero_rows(state.kv_v, 1),
+        istft_cache=zero_rows(state.istft_cache, 0),
+        pos=state.pos.at[bs].set(0, mode="drop"),
+    )
+
+
 def stream_decode_tail(cfg: AcousticDecoderConfig,
                        state: VocoderStreamState) -> Array:
     """Emit the closing samples held back by the last non-last chunk.

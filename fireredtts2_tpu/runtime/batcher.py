@@ -37,9 +37,9 @@ import jax.numpy as jnp
 
 from fireredtts2_tpu.config import EngineConfig
 from fireredtts2_tpu.models.lm.model import (
-    init_lm_state, prefill_into_slots, reset_lm_slot,
+    init_lm_state, prefill_into_slots, reset_lm_slots,
 )
-from fireredtts2_tpu.models.codec.decoder import reset_vocoder_slot
+from fireredtts2_tpu.models.codec.decoder import reset_vocoder_slots
 from fireredtts2_tpu.models.codec.model import stream_decode_init
 
 
@@ -144,8 +144,8 @@ class ContinuousBatcher:
                     depth_topk=cfg.depth_topk,
                     depth_temperature=cfg.depth_temperature),
             donate_argnames=("state",))
-        self._reset_lm = jax.jit(reset_lm_slot, donate_argnames=("state",))
-        self._reset_vo = jax.jit(reset_vocoder_slot, donate_argnames=("state",))
+        self._reset_lm = jax.jit(reset_lm_slots, donate_argnames=("state",))
+        self._reset_vo = jax.jit(reset_vocoder_slots, donate_argnames=("state",))
         self.emitted = jnp.zeros((self.B,), jnp.int32)
         self._cs = 8 * codec_cfg.acoustic_decoder.hop_length
         self._ts = (codec_cfg.acoustic_decoder.n_fft
@@ -228,6 +228,33 @@ class ContinuousBatcher:
                 block=int(k), temperature=jnp.asarray(self.temps)[:, None],
                 topk=jnp.asarray(self.topks))
             np.asarray(packed)  # force execution through any relay
+        # Admission-path warmup: the two prefill burst shapes (Np=1 single
+        # arrival, Np=B burst) for the smallest prompt bucket, plus the
+        # vectorized resets and the frames scatter — a cold prefill
+        # compile measured 45 s INSIDE the first admission (2026-08-19
+        # timeline: prefill_ms=45266). Larger buckets compile on first
+        # use; engine.warmup() covers them when a deployment wants all.
+        llm_cfg = self.cfg.llm
+        S0 = min(self.cfg.prefill_buckets)
+        C = llm_cfg.audio_num_codebooks + 1
+        dummy = np.full((self.B,), self.B, np.int32)
+        for Np in (1, self.B):
+            temps = np.full((Np,), self.cfg.default_temperature, np.float32)
+            topks = np.full((Np,), self.default_topk, np.int32)
+            self.lm_state, frames = self._prefill_slots(
+                self.engine.lm_params, state=self.lm_state,
+                bs=jnp.asarray(dummy[:Np]),
+                tokens=jnp.zeros((Np, S0, C), jnp.int32),
+                tokens_mask=jnp.zeros((Np, S0, C), bool),
+                valid=jnp.zeros((Np, S0), bool), key=self._next_key(),
+                temperature=jnp.asarray(temps)[:, None],
+                topk=jnp.asarray(topks))
+            self.frames = self.frames.at[jnp.asarray(dummy[:Np])].set(
+                frames, mode="drop")
+        rsj = jnp.asarray(dummy)
+        self.lm_state = self._reset_lm(self.lm_state, rsj)
+        self.vo_state = self._reset_vo(self.vo_state, rsj)
+        np.asarray(self.frames)  # force everything through the relay
 
     def stop(self) -> None:
         self._stop.set()
@@ -319,9 +346,16 @@ class ContinuousBatcher:
             return
         t_admit = time.perf_counter()
 
-        for b in slot_ids:
-            self.lm_state = self._reset_lm(self.lm_state, jnp.int32(b))
-            self.vo_state = self._reset_vo(self.vo_state, jnp.int32(b))
+        # ONE vectorized reset dispatch per state (not one per slot: each
+        # eager dispatch costs a ~55 ms tunnel RTT — 16 of them was 886 ms
+        # of pure RTT per admission burst, 2026-08-19 timeline). Fixed
+        # (B,) shape padded with out-of-range B → one compiled program.
+        rs = np.full((self.B,), self.B, np.int32)
+        rs[:len(slot_ids)] = slot_ids
+        rsj = jnp.asarray(rs)
+        self.lm_state = self._reset_lm(self.lm_state, rsj)
+        self.vo_state = self._reset_vo(self.vo_state, rsj)
+        t_reset = time.perf_counter()
 
         # Pad the burst to one of TWO static row counts (1 for the common
         # single arrival, B for any burst) so exactly two prefill programs
@@ -346,17 +380,29 @@ class ContinuousBatcher:
             temps[i] = req.temperature
             topks[i] = req.topk
             bs[i] = slot_ids[i]
+        t_pack = time.perf_counter()
         self.lm_state, frames = self._prefill_slots(
             self.engine.lm_params, state=self.lm_state, bs=jnp.asarray(bs),
             tokens=jnp.asarray(tokens), tokens_mask=jnp.asarray(mask),
             valid=jnp.asarray(valid), key=self._next_key(),
             temperature=jnp.asarray(temps)[:, None],
             topk=jnp.asarray(topks))
-        self.frames = self.frames.at[jnp.asarray(bs[:N])].set(frames[:N])
+        t_disp = time.perf_counter()
+        # Fixed-shape scatter (full Np rows, dummies drop at index B): a
+        # bs[:N]-shaped update would compile a NEW program per distinct
+        # burst size MID-SERVING (~2.3 s each through the tunnel, measured
+        # update_ms in the admission timeline).
+        self.frames = self.frames.at[jnp.asarray(bs)].set(frames, mode="drop")
         now = time.perf_counter()
         self.timeline.append({
             "t": round(now - self._tl_t0, 4), "ev": "admit", "n": N,
-            "S": S, "host_ms": round((now - t_admit) * 1e3, 2)})
+            "S": S, "host_ms": round((now - t_admit) * 1e3, 2),
+            # phase attribution: reset = eager per-slot state resets,
+            # prefill = the _prefill_slots dispatch (async unless the
+            # runtime blocks), update = the frames scatter
+            "reset_ms": round((t_reset - t_admit) * 1e3, 1),
+            "prefill_ms": round((t_disp - t_pack) * 1e3, 1),
+            "update_ms": round((now - t_disp) * 1e3, 1)})
         for i, req in enumerate(reqs):
             b = slot_ids[i]
             self.emitted = self.emitted.at[b].set(0)

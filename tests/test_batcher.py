@@ -173,3 +173,26 @@ def test_host_stats_attribution(batcher):
         assert np.isfinite(stats[k]) and stats[k] >= 0.0, k
     assert stats["host_ms_per_frame"] == pytest.approx(
         stats["dispatch_ms_per_frame"] + stats["fanout_ms_per_frame"])
+
+
+def test_warmup_ladder_then_serving_matches_single_engine(greedy_engine):
+    """warmup_blocks=True pre-compiles every ladder-K block, both prefill
+    burst shapes, the vectorized resets, and the frames scatter BEFORE
+    admission (runtime/batcher.py:_warmup_ladder) — a compile landing
+    inside a live dispatch stalls every active stream (measured 2026-08-18
+    on chip). The warmup dispatches garbage rows through real programs, so
+    the test asserts (a) readiness signals, (b) the first REAL stream
+    after warmup still matches the single-stream engine bit-for-bit."""
+    b = ContinuousBatcher(greedy_engine, max_streams=4, topk=1,
+                          warmup_blocks=True)
+    b.start()
+    try:
+        assert b.wait_ready(timeout=600)
+        text, speaker = "warmup then serve", "[S1]"
+        want = greedy_engine.generate(text, speaker, [],
+                                      max_audio_length_ms=640, topk=1)
+        got = _collect(b.submit(text, speaker, max_audio_length_ms=640))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+    finally:
+        b.stop()

@@ -161,6 +161,12 @@ def main() -> int:
                             max_streams=args.streams)
     uri = f"ws://{args.host}:{args.port}"
     batcher = getattr(getattr(server, "service", None), "batcher", None)
+    if batcher is not None:
+        # Exclude the block-ladder + prefill warmup (pure compile time;
+        # can be many minutes cold on the flagship) from the waves — a
+        # cold warmup longer than the client recv timeout would
+        # otherwise fail every warmup-wave client.
+        batcher.wait_ready(timeout=3600)
     res = asyncio.run(
         run_load(uri, args.streams, args.text, args.max_ms,
                  warmup=not args.no_warmup,
