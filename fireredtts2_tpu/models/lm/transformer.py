@@ -22,6 +22,7 @@ fireredtts2/llm/llm.py:9-13).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -29,7 +30,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from fireredtts2_tpu.config import TransformerConfig
-from fireredtts2_tpu.ops.attention import gqa_attention
+from fireredtts2_tpu.ops.attention import gqa_attention, gqa_attention_bounded
 from fireredtts2_tpu.ops.pallas_attention import (
     pallas_decode_attention, use_pallas_decode,
 )
@@ -166,7 +167,8 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
            cos: Array, sin: Array, mask: Optional[Array],
            k_slab: Optional[Array], v_slab: Optional[Array],
            cache_pos: Optional[Array],
-           live_window: Optional[tuple[Array, Array]] = None):
+           live_window: Optional[tuple[Array, Array]] = None,
+           bounded: Optional[tuple[Array, Array, Array, Array]] = None):
     """One transformer layer. Returns (h, new_k_slab, new_v_slab)."""
     B, S, D = h.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -200,6 +202,15 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
             start, end = live_window
             attn = pallas_decode_attention(
                 q[:, 0], k_slab, v_slab, start, end)[:, None]
+        elif bounded is not None:
+            # Online-softmax attention over only the LIVE chunks of the
+            # slab: cost scales with content, not the 3100-slot capacity.
+            # Same fix as the vocoder's (PERF.md round 3: full-slab
+            # attention was pure capacity cost).
+            q_start, q_end, live_lo, live_hi = bounded
+            attn = gqa_attention_bounded(
+                q, k_slab.astype(h.dtype), v_slab.astype(h.dtype),
+                q_end, live_hi, q_start=q_start, live_lo=live_lo)
         else:
             attn = gqa_attention(
                 q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
@@ -253,8 +264,18 @@ def transformer_forward(
     """
     cos, sin = rope_angles(positions, cfg.head_dim, cfg.rope_base)
 
+    bounded = None
     if live_window is not None and not (h.shape[1] == 1
                                         and use_pallas_decode(cfg.head_dim)):
+        if os.environ.get("FRTTS2_BOUNDED_LM", "1") != "0":
+            start, end = live_window
+            # Per-query causal bound = its own position + 1; per-stream
+            # lower bound = first live slot (left-padded prompts). The
+            # fori_loop in gqa_attention_bounded then visits only the
+            # chunks covering [min(start), max(end)).
+            bounded = (jnp.broadcast_to(start[:, None], positions.shape),
+                       positions.astype(jnp.int32) + 1,
+                       jnp.min(start), jnp.max(end))
         live_window = None
 
     use_cache = cache is not None
@@ -266,7 +287,7 @@ def transformer_forward(
             lp, k_slab, v_slab = xs
             hh, k_slab, v_slab = _layer(hh, lp, cfg, cos, sin, mask,
                                         k_slab, v_slab, cache_pos,
-                                        live_window)
+                                        live_window, bounded)
             return hh, (k_slab, v_slab)
 
         layer_params = {k: v for k, v in params.items() if k != "final_norm"}

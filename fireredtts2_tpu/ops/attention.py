@@ -74,7 +74,8 @@ def _slab_chunk(T: int, target: int = 640) -> int:
 
 
 def gqa_attention_bounded(q: Array, k: Array, v: Array, q_end: Array,
-                          live_hi: Array) -> Array:
+                          live_hi: Array, q_start: Array | None = None,
+                          live_lo: Array | None = None) -> Array:
     """Decode attention over a static KV slab that only touches LIVE slots.
 
     Equal to ``gqa_attention(q, k, v, mask=arange(T) < q_end[..., None])``
@@ -95,6 +96,11 @@ def gqa_attention_bounded(q: Array, k: Array, v: Array, q_end: Array,
             into the chunk materialization).
         q_end: (B, S) int32 — exclusive per-query attention bound.
         live_hi: () int32 — slots >= live_hi are dead (never attended).
+        q_start: optional (B, S) int32 — INCLUSIVE per-query lower bound
+            (left-padded prompts leave dead slots at the slab head; the
+            LM masks them via slot_valid on the dense path).
+        live_lo: optional () int32 — slots < live_lo are dead for every
+            query (min over q_start); whole chunks below it are skipped.
     Returns:
         (B, S, Hq, D) in q.dtype.
     """
@@ -109,8 +115,11 @@ def gqa_attention_bounded(q: Array, k: Array, v: Array, q_end: Array,
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     qf = q.reshape(B, S, Hkv, group, D)
     qe = q_end[:, None, None, :]                        # (B, 1, 1, S)
+    qs = None if q_start is None else q_start[:, None, None, :]
 
-    n_live = jnp.maximum((live_hi + C - 1) // C, 1)
+    first = (jnp.int32(0) if live_lo is None
+             else jnp.maximum(live_lo, 0) // C)
+    n_live = jnp.maximum((live_hi + C - 1) // C, first + 1)
 
     def _chunk(slab, i):
         if merged:
@@ -125,8 +134,10 @@ def gqa_attention_bounded(q: Array, k: Array, v: Array, q_end: Array,
         s = peinsum("bshgd,bthd->bhgst", qf, kc,
                     preferred_element_type=jnp.float32) * scale
         idx = i * C + jnp.arange(C, dtype=jnp.int32)
-        s = jnp.where(idx[None, None, None, None, :] < qe[..., None],
-                      s, _MASK_VALUE)
+        live = idx[None, None, None, None, :] < qe[..., None]
+        if qs is not None:
+            live &= idx[None, None, None, None, :] >= qs[..., None]
+        s = jnp.where(live, s, _MASK_VALUE)
         m_new = jnp.maximum(m, s.max(axis=-1))
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
@@ -139,7 +150,7 @@ def gqa_attention_bounded(q: Array, k: Array, v: Array, q_end: Array,
     m0 = jnp.full((B, Hkv, group, S), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((B, Hkv, group, S), jnp.float32)
     a0 = jnp.zeros((B, Hkv, group, S, D), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
+    m, l, acc = jax.lax.fori_loop(first, n_live, body, (m0, l0, a0))
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     # bhgsd -> (B, S, Hq, D)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, S, Hq, D).astype(q.dtype)

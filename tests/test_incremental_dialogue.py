@@ -30,8 +30,19 @@ TEXTS = ["[S1]Hello there, how are you today?",
          "[S1]Wonderful to hear it."]
 
 
-def test_incremental_matches_reprefill_greedy_exact():
-    """Greedy: every sample of the 3-utterance dialogue identical."""
+def test_incremental_matches_reprefill_greedy_exact(monkeypatch):
+    """Greedy: every sample of the 3-utterance dialogue identical.
+
+    Pinned to the DENSE reference attention (FRTTS2_BOUNDED_LM=0): the
+    structural claim under test is that the append/rewind slab content and
+    positions reproduce the re-prefill path. The bounded serving attention
+    computes the same mask set with a different fp summation order, which
+    shifts RoPE-shift noise between the two layouts enough to flip a
+    greedy near-tie deep into the dialogue (measured round 3: utterance 3,
+    one depth-codebook flip) — the same accepted equivalence class as
+    batched-vs-B=1 (CLAUDE.md). Bounded == dense per call is covered by
+    tests/test_bounded_attention.py and the engine equality suites."""
+    monkeypatch.setenv("FRTTS2_BOUNDED_LM", "0")
     a = _dialogue_engine().generate_dialogue(
         list(TEXTS), max_utterance_ms=1600, incremental=False, topk=1)
     b = _dialogue_engine().generate_dialogue(

@@ -1,3 +1,7 @@
+from __future__ import annotations
+"""THROWAWAY ablation copy of ops/pallas_depth.py (regenerated; see
+tools/ablate_depth.py). ABL=halfdma|tinydma|dmas|waits,dmas. Numerics
+garbage under ablation; timing honest."""
 """Fused depth-chain Pallas kernel: the WHOLE per-frame depth decode
 (15 sequential qwen-200m steps + sampling) in ONE pallas_call.
 
@@ -41,9 +45,10 @@ so dead KV slots are select-ed away, never multiplied by zero; DMA lane
 slices must be 128-aligned (half/quarter splits of flagship dims are).
 """
 
-from __future__ import annotations
 
+import os
 import functools
+_ABL = set(filter(None, os.environ.get("ABL", "").split(",")))
 from typing import Any
 
 import jax
@@ -200,15 +205,14 @@ def prepare_depth_chain(params: dict[str, Any], cfg: LLMConfig,
                 if p[k] == "s8" and k != "w_down":
                     # Streamed in-projections are stored TRANSPOSED
                     # (L, I, Dd): a column chunk of the logical weight is
-                    # then a CONTIGUOUS row slice in HBM, giving every
-                    # streamed tensor the same DMA shape. Measured timing-
-                    # NEUTRAL vs the strided column slices (the DMA engines
-                    # handle the stride at full rate — PERF.md round 3);
-                    # kept because one uniform chunk layout is what lets
-                    # up/down chunks share a slot/DMA. The kernel dots
-                    # against the chunk with the contraction on the RHS's
-                    # second dim (x @ chunk^T) — same MXU rate, measured.
-                    # Scales stay output-major.
+                    # then a CONTIGUOUS row slice in HBM — the untransposed
+                    # layout's column slices are strided (Dd rows of
+                    # I bytes each), which the DMA engines stream at a
+                    # fraction of peak (measured: the exposed-copy share
+                    # of the kernel's streaming overhead, PERF.md round 3).
+                    # The kernel dots against the chunk with the
+                    # contraction on the RHS's second dim (x @ chunk^T) —
+                    # same MXU rate, measured. Scales stay output-major.
                     bundle[k] = jnp.swapaxes(q, -1, -2)
                     bundle[k + "_s"] = s
                 else:
@@ -397,20 +401,29 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
         tensor into its ring of stream_slots buffers. EVERY streamed tensor
         is stored input-major for its chunk axis — down is (L, I, Dd)
         natively and gate/up are stored TRANSPOSED (L, I, Dd) — so every
-        chunk is the same CONTIGUOUS row-slice shape (timing-neutral vs
-        strided column slices, but one uniform layout). The (splits, slots)
-        pair is chosen by the wrapper's VMEM budget: big chunks when they
-        fit (fewer DMAs = faster), small chunks with a deeper ring when
-        residency needs the room."""
+        chunk is a CONTIGUOUS row slice in HBM (column slices of the
+        logical (Dd, I) layout are strided and stream at a fraction of HBM
+        peak). The (splits, slots) pair is chosen by the wrapper's VMEM
+        budget: big chunks when they fit (fewer DMAs = faster), small
+        chunks with a deeper ring when residency needs the room."""
         jj = j % n_flat
         l = jj // (2 * n_sub)
         half, s = (jj % (2 * n_sub)) // n_sub, jj % n_sub
         rel, w = splits[s]
+        if "halfdma" in _ABL:
+            w = max((w // 2 // 128) * 128, 128)
+        if "tinydma" in _ABL:
+            w = 128
         off = half * Ih + rel
         buf, sem = r[name + "_buf"], r[name + "_sem"]
         slot = j % stream_slots
         src = r[name].at[l, pl.ds(off, w), :]
         dst = buf.at[slot, pl.ds(0, w), :]
+        if "dmas" in _ABL:
+            class _Noop:
+                def start(self): pass
+                def wait(self): pass
+            return _Noop()
         return pltpu.make_async_copy(src, dst, sem.at[slot])
 
     def prefetch_next(name: str, j: int, p):
