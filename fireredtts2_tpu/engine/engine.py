@@ -906,8 +906,9 @@ class FireRedTTS2Engine:
         fireredtts2.py:379-386). GREEDY decode matches the re-prefill path
         sample-for-sample under the dense reference attention
         (tests/test_incremental_dialogue.py — slab content/positions are
-        identical); sampled decode, and greedy under the bounded serving
-        attention (FRTTS2_BOUNDED_LM, default on), draw from the same
+        identical); sampled decode, and greedy under the bounded
+        attention (FRTTS2_BOUNDED_LM=1, opt-in — dense measured faster
+        for the LM, see transformer.py), draw from the same
         distribution but absolute RoPE positions differ between the
         layouts, so fp near-tie flips are possible — the same equivalence
         class as batched-vs-B=1 (CLAUDE.md invariants). Set False for the

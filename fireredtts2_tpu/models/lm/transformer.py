@@ -267,7 +267,16 @@ def transformer_forward(
     bounded = None
     if live_window is not None and not (h.shape[1] == 1
                                         and use_pallas_decode(cfg.head_dim)):
-        if os.environ.get("FRTTS2_BOUNDED_LM", "1") != "0":
+        # Default OFF for the LM: with S == 1 queries the dense path's
+        # full-slab read is flat-cheap (0.72 ms / 28 layers at B=8,
+        # live-independent), while the chunked fori_loop is 2.8x slower
+        # at live=3100 (1.99 ms) and regresses lm_generate_loop by
+        # +2 ms/frame at B=8 even at live=228 (the slab dynamic_slice
+        # inside the scan carry forces copies). Bounded attention stays
+        # the vocoder default, where S=32 queries amortize the chunk
+        # machinery and dense materializes (B,H,S,3008) fp32 scores
+        # (40 -> 9 ms/block, PERF.md round 3).
+        if os.environ.get("FRTTS2_BOUNDED_LM", "0") == "1":
             start, end = live_window
             # Per-query causal bound = its own position + 1; per-stream
             # lower bound = first live slot (left-padded prompts). The

@@ -77,6 +77,41 @@ def test_live_lo_skips_whole_chunks_exactly():
                                rtol=2e-5, atol=2e-6)
 
 
+def test_lm_bounded_decode_optin_matches_dense(monkeypatch):
+    """FRTTS2_BOUNDED_LM=1 (opt-in since r3 part 3 — dense measured
+    faster for S=1 LM decode, transformer.py) must stay numerically
+    equal to the dense decode path at f32."""
+    from fireredtts2_tpu.config import FLAVORS
+    from fireredtts2_tpu.ops import masks as mask_ops
+    from fireredtts2_tpu.models.lm.transformer import (
+        init_transformer_params, init_kv_cache, transformer_forward)
+
+    tcfg = FLAVORS["tiny"]
+    params = init_transformer_params(jax.random.PRNGKey(7), tcfg, jnp.float32)
+    B, T_max, pos0 = 2, 32, 9
+    cache0 = init_kv_cache(tcfg, B, T_max, jnp.float32)
+    # Pre-populate slots [2, pos0) so the live window has a lower bound.
+    kfill = jax.random.normal(jax.random.PRNGKey(8),
+                              cache0["k"][:, :, 2:pos0].shape, jnp.float32)
+    cache0 = {"k": cache0["k"].at[:, :, 2:pos0].set(kfill),
+              "v": cache0["v"].at[:, :, 2:pos0].set(kfill * 0.5)}
+    h = jax.random.normal(jax.random.PRNGKey(9), (B, 1, tcfg.embed_dim),
+                          jnp.float32)
+    pos = jnp.full((B, 1), pos0, jnp.int32)
+    mask = mask_ops.decode_step_mask(pos, T_max)
+    mask &= (jnp.arange(T_max)[None, None, :] >= 2)
+    live = (jnp.full((B,), 2, jnp.int32), jnp.full((B,), pos0 + 1, jnp.int32))
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("FRTTS2_BOUNDED_LM", flag)
+        monkeypatch.setenv("FRTTS2_PALLAS", "0")
+        out, _ = transformer_forward(params, tcfg, h, pos, mask, dict(cache0),
+                                     jnp.int32(pos0), live_window=live)
+        outs[flag] = np.asarray(out)
+    np.testing.assert_allclose(outs["1"], outs["0"], rtol=2e-5, atol=2e-6)
+
+
 def test_merged_slab_layout():
     """(B, T, Hkv*D) merged slabs (tile-padding-free vocoder storage)."""
     ks = jax.random.split(jax.random.PRNGKey(3), 4)
