@@ -157,6 +157,12 @@ class FireRedTTS2Engine:
             self.tokenizer = load_tokenizer(None)
 
         self.mesh = mesh
+        if mesh is not None:
+            # The vocoder flash-decode kernel (ops/pallas_flash.py) is a
+            # custom call — XLA can't partition it over the tp-split
+            # vocoder heads; the XLA bounded path shards cleanly. Users
+            # can still force it with an explicit FRTTS2_FLASH_VOC=1.
+            os.environ.setdefault("FRTTS2_FLASH_VOC", "0")
         self.lm_params, self.codec_params = self._apply_serving_transforms(
             self.lm_params, self.codec_params)
 

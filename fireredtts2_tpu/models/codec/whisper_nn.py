@@ -23,6 +23,10 @@ from jax import Array
 from fireredtts2_tpu.ops.attention import (
     mha_attention, gqa_attention_bounded,
 )
+from fireredtts2_tpu.ops.pallas_flash import (
+    flash_decode_bounded, flash_decode_update_bounded, flash_enabled,
+    flash_supported,
+)
 from fireredtts2_tpu.ops.remat import remat_layer
 
 Params = dict[str, Any]
@@ -134,10 +138,10 @@ def _whisper_layer(h: Array, lp: Params, num_heads: int, mask: Optional[Array],
             v_slab = jax.lax.dynamic_update_slice(
                 v_slab, vw.astype(v_slab.dtype), (0, cache_pos, *zeros[1:]))
         if q_end is not None:
-            # Slab-decode fast path: touch only live chunks — the dense
-            # path's cost scales with the slab CAPACITY (ops/attention.py:
-            # gqa_attention_bounded; measured 31 ms/block of pure
-            # T_max=3008 capacity cost at B=16, tools/block_probe.py).
+            # Bounded slab attention (cost scales with live chunks, not
+            # capacity). Production slab decode routes through the CARRY
+            # scan + _whisper_layer_slab4 instead; this branch only backs
+            # shared-position callers.
             attn = gqa_attention_bounded(q, k_slab.astype(h.dtype),
                                          v_slab.astype(h.dtype),
                                          q_end, live_hi)
@@ -156,6 +160,49 @@ def _whisper_layer(h: Array, lp: Params, num_heads: int, mask: Optional[Array],
     x = jax.nn.gelu(_wmm(x, lp, "fc1_w") + lp["fc1_b"], approximate=False)
     h = h + (_wmm(x, lp, "fc2_w") + lp["fc2_b"]).astype(h.dtype)
     return h, k_slab, v_slab
+
+
+def _whisper_layer_slab4(h: Array, lp: Params, layer: Array, num_heads: int,
+                         k4: Array, v4: Array, pos: Array,
+                         q_end: Array, live_hi: Array
+                         ) -> tuple[Array, Array, Array]:
+    """Slab-decode layer over CARRIED (L, B, T, H*Dh) slabs.
+
+    The xs/ys slab threading of the generic path copies the full slab
+    capacity through the scan every block (scan ys are fresh stacked
+    buffers — measured ~14 ms/block of pure T=3008 capacity cost at B=16,
+    tools/block_probe.py). Here the slabs are the scan CARRY and this
+    chunk's K/V rows are written in place: by the fused Pallas kernel
+    (TPU serving default) or an XLA scatter + per-layer slice on the
+    fallback path."""
+    B, S, D = h.shape
+    Dh = D // num_heads
+
+    x = layer_norm(h, lp["attn_ln_w"], lp["attn_ln_b"])
+    q = (_wmm(x, lp, "wq") + lp["bq"]).reshape(B, S, num_heads, Dh)
+    kw = _wmm(x, lp, "wk")
+    vw = _wmm(x, lp, "wv") + lp["bv"]
+
+    if flash_enabled() and flash_supported(q, k4):
+        attn, k4, v4 = flash_decode_update_bounded(
+            q, kw, vw, k4, v4, layer, pos, q_end, live_hi)
+    else:
+        rows = pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        k4 = k4.at[layer, bidx, rows, :].set(kw.astype(k4.dtype))
+        v4 = v4.at[layer, bidx, rows, :].set(vw.astype(v4.dtype))
+        kl = jax.lax.dynamic_slice(
+            k4, (layer, 0, 0, 0), (1, *k4.shape[1:]))[0]
+        vl = jax.lax.dynamic_slice(
+            v4, (layer, 0, 0, 0), (1, *v4.shape[1:]))[0]
+        attn = gqa_attention_bounded(q, kl.astype(h.dtype),
+                                     vl.astype(h.dtype), q_end, live_hi)
+
+    h = h + (_wmm(attn.reshape(B, S, D), lp, "wo") + lp["bo"]).astype(h.dtype)
+    x = layer_norm(h, lp["ffn_ln_w"], lp["ffn_ln_b"])
+    x = jax.nn.gelu(_wmm(x, lp, "fc1_w") + lp["fc1_b"], approximate=False)
+    h = h + (_wmm(x, lp, "fc2_w") + lp["fc2_b"]).astype(h.dtype)
+    return h, k4, v4
 
 
 def whisper_layers_forward(
@@ -178,6 +225,25 @@ def whisper_layers_forward(
     decode attention whose cost scales with live context instead of slab
     capacity (every query must attend >= 1 slot of the slab's first chunk,
     i.e. q_end > 0; block-causal decode masks always satisfy this)."""
+    if cache is not None and q_end is not None:
+        # Slab-decode fast path: slabs as scan CARRY (in-place writes;
+        # see _whisper_layer_slab4). Requires per-stream (B,) positions —
+        # every streaming-vocoder call site passes state.pos.
+        assert getattr(cache_pos, "ndim", 0) == 1, "slab decode needs (B,) pos"
+        L = params["wq"].shape[0]
+
+        def body4(carry, xs):
+            hh, k4, v4 = carry
+            lp, lyr = xs
+            hh, k4, v4 = _whisper_layer_slab4(hh, lp, lyr, num_heads,
+                                              k4, v4, cache_pos,
+                                              q_end, live_hi)
+            return (hh, k4, v4), None
+
+        (h, nk, nv), _ = jax.lax.scan(
+            body4, (h, cache["k"], cache["v"]),
+            (params, jnp.arange(L, dtype=jnp.int32)))
+        return h, {"k": nk, "v": nv}
     if cache is not None:
         def body(hh, xs):
             lp, ks, vs = xs

@@ -1,0 +1,174 @@
+"""Flash bounded-decode kernel (ops/pallas_flash.py) vs the XLA paths.
+
+Interpret-mode on the CPU mesh: the kernel must match dense masked
+attention at f32 (same math, online-softmax order differs only in fp
+rounding) across batch sizes, query counts, live windows, and lower
+bounds. Replaces: reference torch SDPA decode attention
+(fireredtts2/codec/whisper.py:81-118)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fireredtts2_tpu.ops.attention import gqa_attention, gqa_attention_bounded
+from fireredtts2_tpu.ops.pallas_flash import (
+    flash_decode_update_bounded,
+    flash_decode_bounded, flash_supported, pick_chunk)
+
+
+def _dense_ref(q, k, v, q_end, q_start=None):
+    B, S, H, Dh = q.shape
+    T = k.shape[1]
+    kf = k.reshape(B, T, H, Dh)
+    vf = v.reshape(B, T, H, Dh)
+    idx = jnp.arange(T, dtype=jnp.int32)
+    mask = idx[None, None, :] < q_end[:, :, None]
+    if q_start is not None:
+        mask &= idx[None, None, :] >= q_start[:, :, None]
+    return gqa_attention(q, kf, vf, mask)
+
+
+def _mk(key, B, S, T, H=4, Dh=64, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (B, S, H, Dh), dtype)
+    k = jax.random.normal(ks[1], (B, T, H * Dh), dtype)
+    v = jax.random.normal(ks[2], (B, T, H * Dh), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("B,S,T", [(1, 8, 64), (3, 32, 256), (2, 16, 96)])
+def test_flash_matches_dense(B, S, T):
+    q, k, v = _mk(jax.random.PRNGKey(0), B, S, T)
+    # block-causal style bounds: each query sees a ramp of slots
+    base = jnp.arange(B, dtype=jnp.int32)[:, None] * 3 + 9
+    q_end = base + (jnp.arange(S, dtype=jnp.int32)[None, :] // 8 + 1) * 8
+    q_end = jnp.minimum(q_end, T)
+    live_hi = jnp.max(q_end)
+    got = flash_decode_bounded(q, k, v, q_end, live_hi, interpret=True)
+    want = _dense_ref(q, k, v, q_end)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_matches_xla_bounded():
+    B, S, T = 2, 16, 128
+    q, k, v = _mk(jax.random.PRNGKey(1), B, S, T)
+    q_end = jnp.full((B, S), 40, jnp.int32).at[1].set(97)
+    got = flash_decode_bounded(q, k, v, q_end, jnp.int32(97), interpret=True)
+    want = gqa_attention_bounded(q, k, v, q_end, jnp.int32(97))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_lower_bound():
+    """Left-padded live windows: q_start/live_lo skip dead head chunks."""
+    B, S, T = 2, 8, 192
+    q, k, v = _mk(jax.random.PRNGKey(2), B, S, T)
+    q_start = jnp.array([[70] * S, [135] * S], jnp.int32)
+    q_end = q_start + 30
+    got = flash_decode_bounded(q, k, v, q_end, jnp.max(q_end),
+                               q_start=q_start, live_lo=jnp.min(q_start),
+                               interpret=True)
+    want = _dense_ref(q, k, v, q_end, q_start)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_small_live_window():
+    """live_hi smaller than one chunk (stream start): only chunk 0 read."""
+    B, S, T = 4, 8, 256
+    q, k, v = _mk(jax.random.PRNGKey(3), B, S, T)
+    q_end = jnp.full((B, S), 8, jnp.int32)
+    got = flash_decode_bounded(q, k, v, q_end, jnp.int32(8), interpret=True)
+    want = _dense_ref(q, k, v, q_end)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16():
+    B, S, T = 2, 8, 64
+    q, k, v = _mk(jax.random.PRNGKey(4), B, S, T, dtype=jnp.bfloat16)
+    q_end = jnp.full((B, S), 48, jnp.int32)
+    got = flash_decode_bounded(q, k, v, q_end, jnp.int32(48), interpret=True)
+    want = _dense_ref(q, k, v, q_end)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pick_chunk_and_support():
+    assert pick_chunk(3008) == 752
+    assert pick_chunk(256) == 256
+    assert pick_chunk(96) == 96
+    assert pick_chunk(8) is None            # < 16: no tile-aligned divisor
+    q = jnp.zeros((1, 8, 4, 64))
+    assert flash_supported(q, jnp.zeros((1, 64, 256)))
+    assert not flash_supported(q, jnp.zeros((1, 64, 4, 64)))  # unmerged
+    assert not flash_supported(q, jnp.zeros((1, 64, 128)))    # GQA slab
+
+
+def test_stream_decode_with_flash_kernel(monkeypatch, rng=None):
+    """Full vocoder streaming path through the kernel (interpret mode)
+    must still concatenate to the batch decode — the load-bearing
+    streaming ≡ batch invariant under the flash attention route."""
+    import numpy as np
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.models.codec.model import (
+        init_codec_params, codec_decode, stream_decode_init,
+        stream_decode_step)
+
+    cfg = tiny_engine_config().codec
+    params = init_codec_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(7)
+    L = 4
+    tokens = rng.integers(0, cfg.rvq.codebook_size,
+                          (1, cfg.rvq.num_quantizers, L)).astype(np.int32)
+    full = np.asarray(codec_decode(params, cfg, jnp.asarray(tokens)))
+
+    monkeypatch.setenv("FRTTS2_FLASH_VOC", "interpret")
+    state = stream_decode_init(cfg, batch=1)
+    pieces = []
+    for t in range(L):
+        audio, state = stream_decode_step(
+            params, cfg, jnp.asarray(tokens[:, :, t:t + 1]), state,
+            first=(t == 0), last=(t == L - 1))
+        pieces.append(np.asarray(audio))
+    streamed = np.concatenate(pieces, axis=1)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, rtol=2e-3, atol=5e-4)
+
+
+def test_flash_update_bounded_matches_dense():
+    """Fused in-place slab write + attention == scatter-then-dense, per
+    layer, including queries attending their own freshly written rows."""
+    B, S, T, H, Dh, L = 2, 8, 96, 4, 64, 3
+    D = H * Dh
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 5)
+    q = jax.random.normal(ks[0], (B, S, H, Dh))
+    new_k = jax.random.normal(ks[1], (B, S, D))
+    new_v = jax.random.normal(ks[2], (B, S, D))
+    k4 = jax.random.normal(ks[3], (L, B, T, D))
+    v4 = jax.random.normal(ks[4], (L, B, T, D))
+    pos = jnp.array([16, 40], jnp.int32)          # 8-aligned, per stream
+    q_end = jnp.broadcast_to(pos[:, None] + S, (B, S))  # own rows included
+    live_hi = jnp.max(q_end)
+
+    for layer in (0, 2):
+        lyr = jnp.int32(layer)
+        rows = pos[:, None] + jnp.arange(S)[None, :]
+        bidx = jnp.arange(B)[:, None]
+        k4_ref = k4.at[lyr, bidx, rows, :].set(new_k)
+        v4_ref = v4.at[lyr, bidx, rows, :].set(new_v)
+        want = _dense_ref(q, k4_ref[layer], v4_ref[layer], q_end)
+
+        got, k4_out, v4_out = flash_decode_update_bounded(
+            q, new_k, new_v, k4, v4, lyr, pos, q_end, live_hi,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(k4_out), np.asarray(k4_ref),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(v4_out), np.asarray(v4_ref),
+                                   rtol=0, atol=0)
