@@ -158,11 +158,12 @@ class FireRedTTS2Engine:
 
         self.mesh = mesh
         if mesh is not None:
-            # The vocoder flash-decode kernel (ops/pallas_flash.py) is a
-            # custom call — XLA can't partition it over the tp-split
-            # vocoder heads; the XLA bounded path shards cleanly. Users
-            # can still force it with an explicit FRTTS2_FLASH_VOC=1.
+            # The flash-decode kernels (ops/pallas_flash.py) are custom
+            # calls — XLA can't partition them over tp-split attention
+            # heads; the XLA paths shard cleanly. Users can still force
+            # them with an explicit FRTTS2_FLASH_VOC/LM=1.
             os.environ.setdefault("FRTTS2_FLASH_VOC", "0")
+            os.environ.setdefault("FRTTS2_FLASH_LM", "0")
         self.lm_params, self.codec_params = self._apply_serving_transforms(
             self.lm_params, self.codec_params)
 

@@ -42,7 +42,7 @@ Params = dict[str, Any]
 
 class LMState(NamedTuple):
     """Mutable decode state threaded through jitted steps."""
-    cache_k: Array        # (L, B, T_max, Hkv, Dh)
+    cache_k: Array        # (L, B, T_max, Hkv*Dh) merged slab
     cache_v: Array
     slot_valid: Array     # (B, T_max) bool — which KV slots hold real tokens
     pos: Array            # (B,) int32 — next slab slot to write, per stream
@@ -452,9 +452,9 @@ def prefill_into_slot(params: Params, cfg: LLMConfig, state: LMState,
         temperature, topk, depth_topk, depth_temperature)
     new_state = LMState(
         cache_k=jax.lax.dynamic_update_slice(
-            state.cache_k, small.cache_k, (0, b, 0, 0, 0)),
+            state.cache_k, small.cache_k, (0, b, 0, 0)),
         cache_v=jax.lax.dynamic_update_slice(
-            state.cache_v, small.cache_v, (0, b, 0, 0, 0)),
+            state.cache_v, small.cache_v, (0, b, 0, 0)),
         slot_valid=jax.lax.dynamic_update_slice(
             state.slot_valid, small.slot_valid, (b, 0)),
         pos=jax.lax.dynamic_update_slice(state.pos, small.pos, (b,)),

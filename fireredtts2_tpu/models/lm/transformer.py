@@ -34,6 +34,9 @@ from fireredtts2_tpu.ops.attention import gqa_attention, gqa_attention_bounded
 from fireredtts2_tpu.ops.pallas_attention import (
     pallas_decode_attention, use_pallas_decode,
 )
+from fireredtts2_tpu.ops.pallas_flash import (
+    flash_decode_gqa1, flash_lm_enabled, flash_lm_ok,
+)
 from fireredtts2_tpu.ops.remat import remat_layer
 from fireredtts2_tpu.ops.rope import rope_angles, apply_rope
 
@@ -77,8 +80,13 @@ def init_transformer_params(key: Array, cfg: TransformerConfig,
 
 def init_kv_cache(cfg: TransformerConfig, batch_size: int, max_seq_len: int,
                   dtype=jnp.float32) -> KVCache:
-    """Preallocated KV slab: (L, B, T_max, H_kv, D_head) for k and v."""
-    shape = (cfg.num_layers, batch_size, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
+    """Preallocated KV slab: MERGED (L, B, T_max, H_kv * D_head) for k and
+    v. The merged head layout tiles cleanly for any head_dim (an unmerged
+    (..., Hkv, Dh) minor pair pays XLA tile padding when Dh < 128 — the
+    vocoder measured 2x slab HBM at Dh=64, PERF.md round 3) and gives the
+    flash decode kernel contiguous per-chunk DMA rows."""
+    shape = (cfg.num_layers, batch_size, max_seq_len,
+             cfg.num_kv_heads * cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -165,11 +173,18 @@ def _mm(x: Array, lp: Params, name: str) -> Array:
 
 def _layer(h: Array, lp: Params, cfg: TransformerConfig,
            cos: Array, sin: Array, mask: Optional[Array],
-           k_slab: Optional[Array], v_slab: Optional[Array],
+           k4: Optional[Array], v4: Optional[Array],
+           layer: Optional[Array],
            cache_pos: Optional[Array],
            live_window: Optional[tuple[Array, Array]] = None,
            bounded: Optional[tuple[Array, Array, Array, Array]] = None):
-    """One transformer layer. Returns (h, new_k_slab, new_v_slab)."""
+    """One transformer layer. Cached variant operates on the CARRIED
+    (L, B, T, Hkv*Dh) slab pair at `layer` — writes are in-place scatters
+    on the carry and the flash/bounded reads touch only live chunks, so
+    neither scales with slab capacity (the previous xs/ys slab threading
+    copied full capacity through the scan every step: measured
+    3.65 ms/frame at B=16 on the 3100-slot flagship slab,
+    tools/block_probe.py lm vs lm-s768). Returns (h, k4, v4)."""
     B, S, D = h.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -180,40 +195,61 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if k_slab is not None:
+    if k4 is not None:
+        T = k4.shape[2]
+        kw = k.reshape(B, S, Hkv * Dh).astype(k4.dtype)
+        vw = v.reshape(B, S, Hkv * Dh).astype(v4.dtype)
         # In-place slab update at cache_pos: scalar = same slot across the
         # batch; (B,) = per-stream slots (continuous batching).
         if getattr(cache_pos, "ndim", 0) == 1:
-            upd = jax.vmap(
-                lambda slab_b, x_b, p: jax.lax.dynamic_update_slice(
-                    slab_b, x_b, (p, 0, 0)))
-            k_slab = upd(k_slab, k.astype(k_slab.dtype), cache_pos)
-            v_slab = upd(v_slab, v.astype(v_slab.dtype), cache_pos)
+            rows = cache_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+            bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+            k4 = k4.at[layer, bidx, rows, :].set(kw)
+            v4 = v4.at[layer, bidx, rows, :].set(vw)
         else:
-            k_slab = jax.lax.dynamic_update_slice(
-                k_slab, k.astype(k_slab.dtype), (0, cache_pos, 0, 0))
-            v_slab = jax.lax.dynamic_update_slice(
-                v_slab, v.astype(v_slab.dtype), (0, cache_pos, 0, 0))
-        if live_window is not None and S == 1:
-            # Pallas decode kernel (FRTTS2_PALLAS=1 opt-in; see
-            # ops/pallas_attention.py for why XLA is the measured default):
-            # streams only the live [start, end) KV window from HBM instead
-            # of attending over the whole slab behind a (B, 1, T_max) mask.
-            start, end = live_window
-            attn = pallas_decode_attention(
-                q[:, 0], k_slab, v_slab, start, end)[:, None]
-        elif bounded is not None:
-            # Online-softmax attention over only the LIVE chunks of the
-            # slab: cost scales with content, not the 3100-slot capacity.
-            # Same fix as the vocoder's (PERF.md round 3: full-slab
-            # attention was pure capacity cost).
+            k4 = jax.lax.dynamic_update_slice(
+                k4, kw[None], (layer, 0, cache_pos, 0))
+            v4 = jax.lax.dynamic_update_slice(
+                v4, vw[None], (layer, 0, cache_pos, 0))
+
+        if (bounded is not None and S == 1 and flash_lm_enabled()
+                and flash_lm_ok(q, k4)):
+            # Flash decode kernel over the carried 4-D slab: live-chunk
+            # DMA ring, no per-layer slab materialization
+            # (ops/pallas_flash.py).
             q_start, q_end, live_lo, live_hi = bounded
-            attn = gqa_attention_bounded(
-                q, k_slab.astype(h.dtype), v_slab.astype(h.dtype),
-                q_end, live_hi, q_start=q_start, live_lo=live_lo)
+            attn = flash_decode_gqa1(
+                q[:, 0], k4, v4, layer, q_start[:, 0], q_end[:, 0],
+                live_lo, live_hi)[:, None]
         else:
-            attn = gqa_attention(
-                q, k_slab.astype(h.dtype), v_slab.astype(h.dtype), mask)
+            # Fallback reads materialize this layer's slab slice (full
+            # capacity — the copy the kernel route avoids).
+            k_slab = jax.lax.dynamic_slice(
+                k4, (layer, 0, 0, 0), (1, B, T, Hkv * Dh))[0]
+            v_slab = jax.lax.dynamic_slice(
+                v4, (layer, 0, 0, 0), (1, B, T, Hkv * Dh))[0]
+            if live_window is not None and S == 1:
+                # Pallas decode kernel (FRTTS2_PALLAS=1 opt-in; see
+                # ops/pallas_attention.py for why XLA is the measured
+                # default): streams only the live [start, end) KV window
+                # from HBM instead of attending over the whole slab behind
+                # a (B, 1, T_max) mask.
+                start, end = live_window
+                attn = pallas_decode_attention(
+                    q[:, 0], k_slab.reshape(B, T, Hkv, Dh),
+                    v_slab.reshape(B, T, Hkv, Dh), start, end)[:, None]
+            elif bounded is not None:
+                # Online-softmax attention over only the LIVE chunks of
+                # the slab: cost scales with content, not capacity. Same
+                # fix as the vocoder's (PERF.md round 3).
+                q_start, q_end, live_lo, live_hi = bounded
+                attn = gqa_attention_bounded(
+                    q, k_slab.astype(h.dtype), v_slab.astype(h.dtype),
+                    q_end, live_hi, q_start=q_start, live_lo=live_lo)
+            else:
+                attn = gqa_attention(
+                    q, k_slab.reshape(B, T, Hkv, Dh).astype(h.dtype),
+                    v_slab.reshape(B, T, Hkv, Dh).astype(h.dtype), mask)
     else:
         attn = gqa_attention(q, k, v, mask)
 
@@ -223,7 +259,7 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
     gate = jax.nn.silu(_mm(x, lp, "w_gate").astype(jnp.float32)).astype(h.dtype)
     up = _mm(x, lp, "w_up")
     h = h + _mm(gate * up, lp, "w_down").astype(h.dtype)
-    return h, k_slab, v_slab
+    return h, k4, v4
 
 
 def transformer_forward(
@@ -267,21 +303,20 @@ def transformer_forward(
     bounded = None
     if live_window is not None and not (h.shape[1] == 1
                                         and use_pallas_decode(cfg.head_dim)):
-        # Default OFF for the LM: with S == 1 queries the dense path's
-        # full-slab read is flat-cheap (0.72 ms / 28 layers at B=8,
-        # live-independent), while the chunked fori_loop is 2.8x slower
-        # at live=3100 (1.99 ms) and regresses lm_generate_loop by
-        # +2 ms/frame at B=8 even at live=228 (the slab dynamic_slice
-        # inside the scan carry forces copies). Bounded attention stays
-        # the vocoder default, where S=32 queries amortize the chunk
-        # machinery and dense materializes (B,H,S,3008) fp32 scores
-        # (40 -> 9 ms/block, PERF.md round 3).
-        if os.environ.get("FRTTS2_BOUNDED_LM", "0") == "1":
+        # S == 1 decode routing. The flash kernel (default ON on TPU,
+        # FRTTS2_FLASH_LM=0 to opt out) reads only live slab chunks with
+        # a pipelined DMA ring and never materializes a per-layer slab
+        # slice. The XLA bounded fori_loop (FRTTS2_BOUNDED_LM=1 opt-in)
+        # computes the same mask set but serializes its chunk fetches —
+        # measured slower than dense for S=1 (PERF.md round 3 part 3);
+        # dense remains the fallback when neither engages.
+        want = (flash_lm_enabled()
+                or os.environ.get("FRTTS2_BOUNDED_LM", "0") == "1")
+        if want and h.shape[1] == 1:
             start, end = live_window
             # Per-query causal bound = its own position + 1; per-stream
-            # lower bound = first live slot (left-padded prompts). The
-            # fori_loop in gqa_attention_bounded then visits only the
-            # chunks covering [min(start), max(end)).
+            # lower bound = first live slot (left-padded prompts). Only
+            # the chunks covering [min(start), max(end)) are visited.
             bounded = (jnp.broadcast_to(start[:, None], positions.shape),
                        positions.astype(jnp.int32) + 1,
                        jnp.min(start), jnp.max(end))
@@ -290,23 +325,26 @@ def transformer_forward(
     use_cache = cache is not None
     if use_cache:
         assert cache_pos is not None
+        L = cfg.num_layers
 
         def body(carry, xs):
-            hh = carry
-            lp, k_slab, v_slab = xs
-            hh, k_slab, v_slab = _layer(hh, lp, cfg, cos, sin, mask,
-                                        k_slab, v_slab, cache_pos,
-                                        live_window, bounded)
-            return hh, (k_slab, v_slab)
+            hh, k4, v4 = carry
+            lp, lyr = xs
+            hh, k4, v4 = _layer(hh, lp, cfg, cos, sin, mask,
+                                k4, v4, lyr, cache_pos,
+                                live_window, bounded)
+            return (hh, k4, v4), None
 
         layer_params = {k: v for k, v in params.items() if k != "final_norm"}
-        h, (new_k, new_v) = jax.lax.scan(
-            body, h, (layer_params, cache["k"], cache["v"]), unroll=unroll)
+        (h, new_k, new_v), _ = jax.lax.scan(
+            body, (h, cache["k"], cache["v"]),
+            (layer_params, jnp.arange(L, dtype=jnp.int32)), unroll=unroll)
         new_cache: Optional[KVCache] = {"k": new_k, "v": new_v}
     else:
         def body(carry, lp):
             hh = carry
-            hh, _, _ = _layer(hh, lp, cfg, cos, sin, mask, None, None, None)
+            hh, _, _ = _layer(hh, lp, cfg, cos, sin, mask,
+                              None, None, None, None)
             return hh, None
 
         if remat:

@@ -351,3 +351,174 @@ def flash_decode_update_bounded(
                  pos.astype(jnp.int32).reshape(1, B),
                  new_k.reshape(B, Sw, D), new_v.reshape(B, Sw, D),
                  write=True, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# S = 1 GQA decode over a carried (L, B, T, Hkv*Dh) slab (the LM hot path)
+# ---------------------------------------------------------------------------
+
+
+def flash_lm_enabled() -> bool:
+    """Route LM S=1 decode attention through flash_decode_gqa1? Default ON
+    on TPU; FRTTS2_FLASH_LM=0 opts out (dense mask path),
+    FRTTS2_FLASH_LM=interpret runs the kernel interpreted on CPU tests."""
+    flag = os.environ.get("FRTTS2_FLASH_LM", "")
+    if flag in ("0", "false"):
+        return False
+    if flag in ("1", "true", "interpret"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def flash_lm_ok(q: Array, k4: Array) -> bool:
+    """Shape eligibility for the S=1 GQA kernel: 4-D merged slab whose
+    width divides the query heads, and a tile-aligned chunking of T."""
+    if k4.ndim != 4:
+        return False
+    B, S, Hq, Dh = q.shape
+    if S != 1 or k4.shape[-1] % Dh:
+        return False
+    Hkv = k4.shape[-1] // Dh
+    if Hq % Hkv:
+        return False
+    return pick_chunk(k4.shape[-2]) is not None
+
+
+def _kernel_gqa1(scal_ref, bounds_ref, q_ref, k_hbm, v_hbm, out_ref,
+                 kbuf, vbuf, sems, *, C: int, Hkv: int, G: int, Dh: int,
+                 nbuf: int):
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    nc = scal_ref[0, 0]
+    c0 = scal_ref[0, 1]
+    lyr = scal_ref[0, 2]
+    Hq = Hkv * G
+    span = nc - c0
+
+    def start(slot, bb, cc):
+        pltpu.make_async_copy(
+            k_hbm.at[lyr, bb, pl.ds(cc * C, C), :], kbuf.at[slot],
+            sems.at[0, slot]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[lyr, bb, pl.ds(cc * C, C), :], vbuf.at[slot],
+            sems.at[1, slot]).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(k_hbm.at[0, 0, pl.ds(0, C), :], kbuf.at[slot],
+                              sems.at[0, slot]).wait()
+        pltpu.make_async_copy(v_hbm.at[0, 0, pl.ds(0, C), :], vbuf.at[slot],
+                              sems.at[1, slot]).wait()
+
+    @pl.when(b == 0)
+    def _():
+        start(0, 0, c0)
+
+    qs = bounds_ref[0, b]                # inclusive lower bound (left pad)
+    qe = bounds_ref[1, b]                # exclusive upper bound (pos + 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
+
+    def chunk_step(i, carry):
+        m, l, acc = carry                # (Hq,1) (Hq,1) (Hq,Dh) fp32
+        c = c0 + i
+        slot = (b * span + i) % nbuf
+
+        @pl.when(i + 1 < span)
+        def _():
+            start((b * span + i + 1) % nbuf, b, c + 1)
+
+        @pl.when((i + 1 == span) & (b + 1 < B))
+        def _():
+            start(((b + 1) * span) % nbuf, b + 1, c0)
+
+        wait(slot)
+        idx = col + c * C
+        live = (idx < qe) & (idx >= qs)  # (1, C) — all queries share bounds
+
+        ms, ls, accs = [], [], []
+        for kh in range(Hkv):
+            qg = q_ref[0, kh * G:(kh + 1) * G, :]             # (G, Dh)
+            kc = kbuf[slot, :, kh * Dh:(kh + 1) * Dh]         # (C, Dh)
+            vc = vbuf[slot, :, kh * Dh:(kh + 1) * Dh]         # (C, Dh)
+            s = jax.lax.dot_general(
+                qg, kc, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32) * scale    # (G, C)
+            s = jnp.where(live, s, _MASK_VALUE)
+            m_old = m[kh * G:(kh + 1) * G]                     # (G, 1)
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_old - m_new)
+            ls.append(l[kh * G:(kh + 1) * G] * corr
+                      + jnp.sum(p, axis=-1, keepdims=True))
+            pv = jax.lax.dot_general(
+                p.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)            # (G, Dh)
+            accs.append(acc[kh * G:(kh + 1) * G] * corr + pv)
+            ms.append(m_new)
+        return (jnp.concatenate(ms, axis=0), jnp.concatenate(ls, axis=0),
+                jnp.concatenate(accs, axis=0))
+
+    m0 = jnp.full((Hq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((Hq, 1), jnp.float32)
+    a0 = jnp.zeros((Hq, Dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, span, chunk_step, (m0, l0, a0))
+    out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+def flash_decode_gqa1(q: Array, k4: Array, v4: Array, layer: Array,
+                      q_start: Array, q_end: Array,
+                      live_lo: Array, live_hi: Array,
+                      interpret: bool = False) -> Array:
+    """Single-token GQA decode attention over one layer of a carried
+    (L, B, T, Hkv*Dh) slab pair — the LM S=1 hot path. The slab write
+    stays an XLA in-place scatter on the scan carry (LM positions advance
+    by 1 and are not DMA-alignable); this kernel only reads, touching
+    live chunks with the pipelined ring.
+
+    Args:
+        q: (B, Hq, Dh) post-RoPE queries.
+        k4, v4: (L, B, T, Hkv*Dh) merged slabs (freshly written rows
+            included — attention covers the current position).
+        layer: () int32 layer index.
+        q_start / q_end: (B,) int32 per-stream live window (end = pos+1).
+        live_lo / live_hi: () int32 batch-wide bounds (min start, max end).
+    Returns:
+        (B, Hq, Dh) in q.dtype; equals dense masked attention up to fp32
+        online-softmax summation order.
+    """
+    B, Hq, Dh = q.shape
+    L, _, T, W = k4.shape
+    Hkv = W // Dh
+    G = Hq // Hkv
+    C = pick_chunk(T)
+    assert C is not None and W == Hkv * Dh and Hkv * G == Hq
+
+    flag = os.environ.get("FRTTS2_FLASH_LM", "")
+    kern = functools.partial(_kernel_gqa1, C=C, Hkv=Hkv, G=G, Dh=Dh,
+                             nbuf=_NBUF)
+    bounds = jnp.stack([q_start.astype(jnp.int32),
+                        q_end.astype(jnp.int32)])       # (2, B)
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, B), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hq, Dh), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, Dh), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, C, W), k4.dtype),
+            pltpu.VMEM((_NBUF, C, W), v4.dtype),
+            pltpu.SemaphoreType.DMA((2, _NBUF)),
+        ],
+        interpret=interpret or flag == "interpret",
+    )(_scalars(live_hi, live_lo, layer, C), bounds, q, k4, v4)
+    return out

@@ -227,15 +227,15 @@ def zero1_pspecs(mesh: Mesh, params: Any, pspecs: Any) -> Any:
 def lm_state_pspecs(state) -> Any:
     """LMState sharding: batch (stream) dim on dp; kv heads replicated.
 
-    LMState fields: cache_k/cache_v (L, B, T, Hkv, Dh), slot_valid (B, T),
+    LMState fields: cache_k/cache_v (L, B, T, Hkv*Dh), slot_valid (B, T),
     pos (). The kv-head count of the flavors (2) is too small to shard on
     tp usefully; decode TP shards the projections instead.
     """
     from fireredtts2_tpu.models.lm.model import LMState
 
     return LMState(
-        cache_k=P(None, "dp", None, None, None),
-        cache_v=P(None, "dp", None, None, None),
+        cache_k=P(None, "dp", None, None),
+        cache_v=P(None, "dp", None, None),
         slot_valid=P("dp", None),
         pos=P("dp"),
     )

@@ -22,11 +22,28 @@ _SO_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native", "libfrtts_audio.so")
 
 
+def _build() -> None:
+    """Best-effort lazy build (the .so is a build artifact, not checked
+    in). Serving falls back to scipy/numpy when g++ or the source tree
+    is unavailable (pip-installed package without native/)."""
+    script = os.path.join(os.path.dirname(_SO_PATH), "build.sh")
+    if not os.path.exists(script):
+        return
+    import subprocess
+    try:
+        subprocess.run(["sh", script], check=True, capture_output=True,
+                       timeout=120)
+    except Exception:
+        pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
+    if not os.path.exists(_SO_PATH):
+        _build()
     if not os.path.exists(_SO_PATH):
         return None
     try:

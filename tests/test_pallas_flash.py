@@ -172,3 +172,42 @@ def test_flash_update_bounded_matches_dense():
                                    rtol=0, atol=0)
         np.testing.assert_allclose(np.asarray(v4_out), np.asarray(v4_ref),
                                    rtol=0, atol=0)
+
+
+def test_lm_gqa1_flash_matches_dense(monkeypatch):
+    """S=1 GQA decode through flash_decode_gqa1 (interpret) must match the
+    dense masked path at f32 through transformer_forward, with left-padded
+    live windows and per-stream positions."""
+    from fireredtts2_tpu.config import TransformerConfig
+    from fireredtts2_tpu.models.lm.transformer import (
+        init_transformer_params, init_kv_cache, transformer_forward)
+    from fireredtts2_tpu.ops.masks import decode_step_mask
+
+    tcfg = TransformerConfig(
+        vocab_size=64, num_layers=3, num_heads=4, num_kv_heads=2,
+        embed_dim=64, intermediate_dim=128, max_seq_len=64)
+    B, T_max = 2, 64
+    params = init_transformer_params(jax.random.PRNGKey(0), tcfg, jnp.float32)
+    start = jnp.array([0, 5], jnp.int32)          # stream 1 left-padded
+
+    def run(env):
+        monkeypatch.setenv("FRTTS2_FLASH_LM", env)
+        cache = init_kv_cache(tcfg, B, T_max, jnp.float32)
+        pos = start                                 # next slot per stream
+        outs = []
+        for t in range(4):
+            h = jax.random.normal(jax.random.PRNGKey(10 + t),
+                                  (B, 1, tcfg.embed_dim))
+            positions = pos[:, None]
+            mask = (jnp.arange(T_max)[None, None, :] < (pos + 1)[:, None, None]) \
+                & (jnp.arange(T_max)[None, None, :] >= start[:, None, None])
+            o, cache = transformer_forward(
+                params, tcfg, h, positions, mask, cache, pos,
+                live_window=(start, pos + 1))
+            outs.append(np.asarray(o))
+            pos = pos + 1
+        return np.concatenate(outs, axis=1)
+
+    dense = run("0")
+    flash = run("interpret")
+    np.testing.assert_allclose(flash, dense, rtol=3e-5, atol=3e-5)

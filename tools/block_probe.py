@@ -12,6 +12,8 @@ device program of REPS blocks (tunnel RTT amortized away):
   voc-sN — voc with the attention slab capped at N latents (T_max
            sensitivity: full-slab masked attention reads/writes scale
            with max_stream_latents, not with live context)
+  lm-sN  — lm with max_seq_len capped at N (LM slab capacity
+           sensitivity: xs/ys scan threading copies slab capacity)
   host   — stream_block host-dispatched per block with the packed fetch
            (np.asarray) each time, i.e. the batcher's real per-block wall
            including tunnel transfer
@@ -36,7 +38,7 @@ REPS = 25
 HOST_REPS = 10
 
 
-def build(latents_cap: int | None = None):
+def build(latents_cap: int | None = None, seq_cap: int | None = None):
     from fireredtts2_tpu.config import LLMConfig, CodecConfig
     from fireredtts2_tpu.models.lm.model import init_lm_params
     from fireredtts2_tpu.models.lm.transformer import quantize_transformer_int8
@@ -46,7 +48,8 @@ def build(latents_cap: int | None = None):
     llm_cfg = LLMConfig(
         backbone_flavor="qwen-1.5b", decoder_flavor="qwen-200m",
         text_vocab_size=152_000, audio_vocab_size=2051,
-        audio_num_codebooks=16, max_seq_len=3100, dtype="bfloat16",
+        audio_num_codebooks=16, max_seq_len=seq_cap or 3100,
+        dtype="bfloat16",
         quantize_backbone=True, fused_depth_plan="gate=r8,up=s8,down=s8")
     codec_cfg = CodecConfig(dtype="bfloat16")
     if latents_cap is not None:
@@ -113,11 +116,11 @@ def probe_full(B: int, K: int) -> float:
                  stream_decode_init(codec_cfg, B, jnp.bfloat16)))
 
 
-def probe_lm(B: int, K: int) -> float:
+def probe_lm(B: int, K: int, seq_cap: int | None = None) -> float:
     from fireredtts2_tpu.models.lm.model import (
         init_lm_state, lm_generate_frame, build_step_frame)
 
-    llm_cfg, _, lm_params, _ = build()
+    llm_cfg, _, lm_params, _ = build(seq_cap=seq_cap)
 
     def run(lp, state, seed):
         frame = jnp.ones((B, llm_cfg.audio_num_codebooks), jnp.int32)
@@ -232,6 +235,8 @@ def main() -> None:
                 ms = probe_full(B, K)
             elif v == "lm":
                 ms = probe_lm(B, K)
+            elif v.startswith("lm-s"):
+                ms = probe_lm(B, K, seq_cap=int(v[4:]))
             elif v == "voc":
                 ms = probe_voc(B, K)
             elif v.startswith("voc-s"):
