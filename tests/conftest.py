@@ -20,8 +20,20 @@ import jax  # noqa: E402
 # conftest runs — update the config explicitly too.
 jax.config.update("jax_platforms", "cpu")
 
+import socket  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def free_port() -> int:
+    """OS-assigned free TCP port (bind 0, read, close). Server tests use
+    this instead of fixed ports so the suite is safe under pytest-xdist
+    (workers run test files concurrently) and under repeated runs in one
+    session (no TIME_WAIT collisions)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 
 @pytest.fixture

@@ -17,10 +17,13 @@ def client(tmp_path_factory):
         WebSocketTTSServer, HealthHTTPServer,
     )
 
+    from conftest import free_port
+
+    ws_port, http_port = free_port(), free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=18785)
+    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=ws_port)
     http_srv = HealthHTTPServer(
-        ws, host="127.0.0.1", port=18795,
+        ws, host="127.0.0.1", port=http_port,
         voice_dir=str(tmp_path_factory.mktemp("voices")),
         transcriber=WhisperASR(warmup=False).as_transcriber())
     http_srv.start()
@@ -41,8 +44,8 @@ def client(tmp_path_factory):
     while time.time() < deadline and ws._server is None:
         time.sleep(0.1)
 
-    yield FireRedTTSClient("http://127.0.0.1:18795",
-                           ws_url="ws://127.0.0.1:18785")
+    yield FireRedTTSClient(f"http://127.0.0.1:{http_port}",
+                           ws_url=f"ws://127.0.0.1:{ws_port}")
     http_srv.stop()
     ws.service.shutdown()
 

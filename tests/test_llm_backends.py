@@ -95,10 +95,13 @@ def fake_openai():
         def log_message(self, *a):
             pass
 
-    httpd = ThreadingHTTPServer(("127.0.0.1", 18797), Handler)
+    from conftest import free_port
+
+    port = free_port()
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield {"url": "http://127.0.0.1:18797/v1", "seen": seen}
+    yield {"url": f"http://127.0.0.1:{port}/v1", "seen": seen}
     httpd.shutdown()
 
 

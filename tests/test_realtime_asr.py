@@ -22,16 +22,19 @@ def _speech(seconds: float, sr: int = 16_000, seed: int = 0) -> np.ndarray:
 
 
 def test_realtime_asr_turn_detection_and_transcription():
+    from conftest import free_port
+
+    port = free_port()
     asr = WhisperASR(config=ASRConfig(max_new_tokens=4), seed=0, warmup=False)
     server = RealtimeASRServer(
         asr, StreamingConfig(interim_interval_s=0.05, min_turn_s=0.1),
-        host="127.0.0.1", port=18768)
+        host="127.0.0.1", port=port)
 
     results = {}
 
     async def scenario():
         await server.start()
-        client = RealtimeASRClient("ws://127.0.0.1:18768")
+        client = RealtimeASRClient(f"ws://127.0.0.1:{port}")
         try:
             await client.connect()
             results["started"] = await client.start_session()
@@ -86,14 +89,17 @@ def test_realtime_asr_turn_detection_and_transcription():
 
 
 def test_realtime_asr_flush_and_errors():
+    from conftest import free_port
+
+    port = free_port()
     asr = WhisperASR(config=ASRConfig(max_new_tokens=4), seed=1, warmup=False)
     server = RealtimeASRServer(asr, StreamingConfig(min_turn_s=0.05),
-                               host="127.0.0.1", port=18769)
+                               host="127.0.0.1", port=port)
     results = {}
 
     async def scenario():
         await server.start()
-        client = RealtimeASRClient("ws://127.0.0.1:18769")
+        client = RealtimeASRClient(f"ws://127.0.0.1:{port}")
         try:
             await client.connect()
             await client.start_session()

@@ -18,12 +18,15 @@ def rest(tmp_path_factory):
     from fireredtts2_tpu.serve.server import WebSocketTTSServer, HealthHTTPServer
 
     voice_dir = str(tmp_path_factory.mktemp("voices"))
+    from conftest import free_port
+
+    port = free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=18783)
-    http_srv = HealthHTTPServer(ws, host="127.0.0.1", port=18793,
+    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=free_port())
+    http_srv = HealthHTTPServer(ws, host="127.0.0.1", port=port,
                                 voice_dir=voice_dir)
     http_srv.start()
-    yield {"base": "http://127.0.0.1:18793", "hostport": ("127.0.0.1", 18793)}
+    yield {"base": f"http://127.0.0.1:{port}", "hostport": ("127.0.0.1", port)}
     http_srv.stop()
     ws.service.shutdown()
 
@@ -266,13 +269,16 @@ def rest_asr(tmp_path_factory):
         WebSocketTTSServer, HealthHTTPServer,
     )
 
+    from conftest import free_port
+
+    port = free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=18784)
+    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=free_port())
     http_srv = HealthHTTPServer(
-        ws, host="127.0.0.1", port=18794,
+        ws, host="127.0.0.1", port=port,
         transcriber=WhisperASR(warmup=False).as_transcriber())
     http_srv.start()
-    yield {"base": "http://127.0.0.1:18794"}
+    yield {"base": f"http://127.0.0.1:{port}"}
     http_srv.stop()
     ws.service.shutdown()
 

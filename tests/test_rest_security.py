@@ -27,13 +27,16 @@ def sec_rest(tmp_path_factory):
         rate_limiter=RateLimiter(max_requests=30, window_seconds=60.0),
         auth=TokenAuthenticator(b"test-secret"), require_auth=True)
     token = security.auth.issue("operator")
+    from conftest import free_port
+
+    port = free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=18784,
+    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=free_port(),
                             security=security)
-    http_srv = HealthHTTPServer(ws, host="127.0.0.1", port=18794,
+    http_srv = HealthHTTPServer(ws, host="127.0.0.1", port=port,
                                 voice_dir=str(tmp_path_factory.mktemp("v")))
     http_srv.start()
-    yield {"base": "http://127.0.0.1:18794", "hostport": ("127.0.0.1", 18794),
+    yield {"base": f"http://127.0.0.1:{port}", "hostport": ("127.0.0.1", port),
            "token": token}
     http_srv.stop()
     ws.service.shutdown()

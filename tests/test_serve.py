@@ -127,16 +127,19 @@ def test_websocket_server_end_to_end():
     from fireredtts2_tpu.serve.monitor import reset_performance_monitor
     from fireredtts2_tpu.serve.server import WebSocketTTSServer
 
+    from conftest import free_port
+
+    port = free_port()
     reset_performance_monitor()  # the singleton accumulates across tests
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18765)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=port)
 
     results = {}
 
     async def scenario():
         await server.start()
         try:
-            async with websockets.connect("ws://127.0.0.1:18765") as ws:
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
                 # ping
                 await ws.send(json.dumps({"type": "ping"}))
                 results["pong"] = json.loads(await ws.recv())
@@ -190,12 +193,15 @@ def test_websocket_server_batched_concurrent():
     from fireredtts2_tpu.engine import FireRedTTS2Engine
     from fireredtts2_tpu.serve.server import WebSocketTTSServer
 
+    from conftest import free_port
+
+    port = free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18766,
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=port,
                                 max_streams=4)
 
     async def one_client(text):
-        async with websockets.connect("ws://127.0.0.1:18766") as ws:
+        async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
             await ws.send(json.dumps({"type": "generate_speech",
                                       "text": text, "streaming": True}))
             chunks = 0
@@ -231,13 +237,16 @@ def test_websocket_streaming_dialogue():
     from fireredtts2_tpu.engine import FireRedTTS2Engine
     from fireredtts2_tpu.serve.server import WebSocketTTSServer
 
+    from conftest import free_port
+
+    port = free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18768)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=port)
 
     async def scenario():
         await server.start()
         try:
-            async with websockets.connect("ws://127.0.0.1:18768") as ws:
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
                 # bad payload first
                 await ws.send(json.dumps({"type": "generate_dialogue",
                                           "text_list": []}))
@@ -274,13 +283,16 @@ def test_websocket_rejects_hostile_text():
     from fireredtts2_tpu.engine import FireRedTTS2Engine
     from fireredtts2_tpu.serve.server import WebSocketTTSServer
 
+    from conftest import free_port
+
+    port = free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18767)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=port)
 
     async def scenario():
         await server.start()
         try:
-            async with websockets.connect("ws://127.0.0.1:18767") as ws:
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
                 await ws.send(json.dumps({"type": "generate_speech",
                                           "text": "<script>alert(1)</script>"}))
                 return json.loads(await asyncio.wait_for(ws.recv(), 60))
@@ -304,7 +316,9 @@ def test_stats_includes_batcher_and_recommendation_telemetry():
 
     reset_performance_monitor()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    server = WebSocketTTSServer(engine, port=18799, max_streams=2)
+    from conftest import free_port
+
+    server = WebSocketTTSServer(engine, port=free_port(), max_streams=2)
     try:
         out = server.stats()
         assert out["active_streams"] == 0
@@ -332,8 +346,11 @@ def test_websocket_dialogue_with_voice_mapping(tmp_path):
     from fireredtts2_tpu.serve.voices import VoiceProfileManager
     from fireredtts2_tpu.utils.audio_io import save_wav
 
+    from conftest import free_port
+
+    port = free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    server = WebSocketTTSServer(engine, host="127.0.0.1", port=18766)
+    server = WebSocketTTSServer(engine, host="127.0.0.1", port=port)
 
     t = np.arange(8_000) / 16_000.0
     ref = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
@@ -347,7 +364,7 @@ def test_websocket_dialogue_with_voice_mapping(tmp_path):
     async def scenario():
         await server.start()
         try:
-            async with websockets.connect("ws://127.0.0.1:18766") as ws:
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
                 # unknown voice -> clean error
                 await ws.send(json.dumps({
                     "type": "generate_dialogue",

@@ -117,13 +117,16 @@ def test_rest_clone_uses_stored_tokens(tmp_path):
     from fireredtts2_tpu.serve.server import (
         HealthHTTPServer, WebSocketTTSServer)
 
+    from conftest import free_port
+
+    port = free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=18785)
-    http_srv = HealthHTTPServer(ws, host="127.0.0.1", port=18795,
+    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=free_port())
+    http_srv = HealthHTTPServer(ws, host="127.0.0.1", port=port,
                                 voice_dir=str(tmp_path))
     http_srv.start()
     try:
-        base = "http://127.0.0.1:18795"
+        base = f"http://127.0.0.1:{port}"
 
         def post(path, obj):
             req = urllib.request.Request(

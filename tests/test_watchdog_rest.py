@@ -63,11 +63,14 @@ def live_http():
     from fireredtts2_tpu.engine import FireRedTTS2Engine
     from fireredtts2_tpu.serve.server import WebSocketTTSServer, HealthHTTPServer
 
+    from conftest import free_port
+
+    port = free_port()
     engine = FireRedTTS2Engine(config=tiny_engine_config(), seed=0)
-    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=18781)
-    http = HealthHTTPServer(ws, host="127.0.0.1", port=18791)
+    ws = WebSocketTTSServer(engine, host="127.0.0.1", port=free_port())
+    http = HealthHTTPServer(ws, host="127.0.0.1", port=port)
     http.start()
-    yield "http://127.0.0.1:18791"
+    yield f"http://127.0.0.1:{port}"
     http.stop()
     ws.service.shutdown()
 
