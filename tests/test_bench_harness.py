@@ -78,6 +78,7 @@ def test_clone_stage_measures_prompt_cache():
 def test_stage_list_covers_verdict_fields():
     """BENCH_r03 must carry FPL, streaming/offline RTF, the clone-path
     FPL A/B (prompt-token cache win, VERDICT r2 #4), batched aggregate
-    AND per-stream-min at 8 and 16 streams, and the device accounting."""
+    AND per-stream-min at 8/16/32 streams (32 = 2x the BASELINE.json
+    16-streams/chip bar), and the device accounting."""
     assert bench.STAGES == ("fpl", "offline", "clone", "batched8",
-                            "batched16", "device")
+                            "batched16", "batched32", "device")
