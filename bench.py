@@ -6,19 +6,27 @@ Baseline: the reference reports "as low as 140 ms" first-packet latency on
 an NVIDIA L20 (reference README.md:30; BASELINE.md). vs_baseline is
 baseline_ms / our_ms (>1 = faster than the reference's number).
 
-Prints exactly ONE JSON line:
+Prints a headline JSON line
   {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ..., "extra": {...}}
+after EVERY completed stage (marked "partial": true) and a final complete
+line last — so a driver-side kill at any point still leaves a parseable
+artifact on stdout (VERDICT r3: round 3's artifact was rc=124/parsed:null
+because results only flushed at normal exit).
 
-Outage hardening (VERDICT r2 #1 — round 2's artifact was lost to a transient
-axon-tunnel failure): this file is a PARENT orchestrator that never imports
-jax. It (a) probes the TPU backend in a throwaway subprocess with bounded
-retry/backoff (a failed backend init is cached process-wide by jax, so the
-probe must not share the parent's process), (b) runs the measurement stages
-in a WORKER subprocess (`bench.py --worker`) that appends one JSON line per
-completed stage to a results file, and (c) on worker death respawns it with
-the completed stages skipped. Whatever stages finished make it into the
-final line (missing ones are null) — a mid-run tunnel blip costs a stage,
-not the artifact.
+Outage hardening (VERDICT r2 #1): this file is a PARENT orchestrator that
+never imports jax. It (a) probes the TPU backend in a throwaway subprocess
+with bounded retry/backoff (a failed backend init is cached process-wide by
+jax, so the probe must not share the parent's process), (b) runs the
+measurement stages in a WORKER subprocess (`bench.py --worker`) that
+appends one JSON line per completed stage to a results file, and (c) on
+worker death respawns it with the completed stages skipped.
+
+Failure classification (VERDICT r3 #1): an on-chip OOM (RESOURCE_EXHAUSTED)
+is a PERMANENT stage failure — recorded, stage skipped, worker continues
+in-process (round 3 respawned into the same B=32 OOM until the driver
+killed it). Genuinely transient tunnel failures retry, but at most ONCE
+per stage: the second transient failure of the same stage is recorded as
+permanent and the remaining stages proceed.
 """
 
 from __future__ import annotations
@@ -34,15 +42,96 @@ BASELINE_FIRST_PACKET_MS = 140.0
 STAGES = ("fpl", "offline", "clone", "batched8", "batched16", "batched32",
           "device")
 _RETRYABLE_RC = 17
+# RESOURCE_EXHAUSTED is deliberately NOT here: on TPU it means HBM OOM — a
+# deterministic property of the stage, not a tunnel blip (VERDICT r3 #1).
 _TRANSIENT_MARKERS = (
-    "UNAVAILABLE", "DEADLINE_EXCEEDED", "RESOURCE_EXHAUSTED", "INTERNAL",
+    "UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL",
     "Unable to initialize backend", "axon", "socket", "Connection",
     "connection", "timed out", "ABORTED",
 )
+# B=32 capacity class (VERDICT r3 #4): full 3100-position KV slabs at 32
+# streams exceed a v5e's 16 GB, so the 32-stream pool runs a bounded
+# capacity class — 1024 LM positions (prompt bucket + frames) and a
+# 128-frame (10.2 s) utterance cap sizing the vocoder slab at 1024
+# latents. ~1/6 the slab HBM of full capacity per slot.
+_B32_SEQ_CAPACITY = 1024
+_B32_FRAMES_CAP = 128
 
 
 def _is_transient(msg: str) -> bool:
     return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def _headline(done: dict, errors: dict, partial: bool = False) -> str:
+    """The artifact line, built from whatever stages have landed."""
+    fpl = done.get("fpl", {})
+    b8, b16 = done.get("batched8", {}), done.get("batched16", {})
+    b32 = done.get("batched32", {})
+    fp_ms = fpl.get("fpl_ms")
+    extra = {
+        "realtime_factor": fpl.get("rtf"),
+        "frames": fpl.get("frames"),
+        "offline_rtf": done.get("offline", {}).get("offline_rtf"),
+        "batched_streams": 8 if b8 else None,
+        "batched_aggregate_rtf": b8.get("aggregate_rtf"),
+        "batched_per_stream_min_rtf": b8.get("per_stream_min_rtf"),
+        "streams16_aggregate_rtf": b16.get("aggregate_rtf"),
+        "streams16_per_stream_min_rtf": b16.get("per_stream_min_rtf"),
+        "streams16_host_ms_per_frame": b16.get("host_ms_per_frame"),
+        "streams16_fetch_ms_per_frame": b16.get("fetch_ms_per_frame"),
+        "streams32_aggregate_rtf": b32.get("aggregate_rtf"),
+        "streams32_per_stream_min_rtf": b32.get("per_stream_min_rtf"),
+        "streams32_host_ms_per_frame": b32.get("host_ms_per_frame"),
+        "streams32_fetch_ms_per_frame": b32.get("fetch_ms_per_frame"),
+        "streams32_capacity_class": (
+            {"seq": _B32_SEQ_CAPACITY, "frames": _B32_FRAMES_CAP}
+            if b32 else None),
+        "backend": fpl.get("backend"),
+        **done.get("clone", {}),
+        **done.get("device", {}),
+    }
+    if errors:
+        extra["stage_errors"] = errors
+    if partial:
+        extra["partial"] = True
+    return json.dumps({
+        "metric": "first_packet_latency_ms_streaming_flagship",
+        "value": round(fp_ms, 2) if fp_ms else None,
+        "unit": "ms",
+        "vs_baseline": (round(BASELINE_FIRST_PACKET_MS / fp_ms, 3)
+                        if fp_ms else None),
+        "extra": extra,
+    })
+
+
+def _merge(path: str, done: dict, errors: dict, attempts: dict) -> None:
+    """Fold the worker's per-stage records into done/errors. A transient
+    failure becomes permanent on its SECOND occurrence for the same stage
+    (retry-once policy, VERDICT r3 #1)."""
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            stage = rec.get("stage")
+            if "data" in rec:
+                done[stage] = rec["data"]
+                errors.pop(stage, None)
+            elif stage in done:
+                continue
+            elif rec.get("transient"):
+                n = attempts.get(stage, 0) + 1
+                attempts[stage] = n
+                if n >= 2:
+                    errors[stage] = rec.get("error", "?")
+            else:
+                errors[stage] = rec.get("error", "?")
 
 
 # ---------------------------------------------------------------------------
@@ -93,6 +182,7 @@ def main() -> int:
 
     done: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    attempts: dict[str, int] = {}
     respawns = 0
     while len(done) + len(errors) < len(STAGES) and respawns < 6:
         if not _wait_for_backend(deadline):
@@ -111,7 +201,7 @@ def main() -> int:
             rc = r.returncode
         except subprocess.TimeoutExpired:
             rc = -1
-        _merge(results_path, done, errors)
+        _merge(results_path, done, errors, attempts)
         if rc == 0:
             break
         respawns += 1
@@ -130,65 +220,19 @@ def main() -> int:
             shutil.rmtree(cache, ignore_errors=True)
         time.sleep(15)
 
-    _merge(results_path, done, errors)
-    fpl = done.get("fpl", {})
-    b8, b16 = done.get("batched8", {}), done.get("batched16", {})
-    b32 = done.get("batched32", {})
-    fp_ms = fpl.get("fpl_ms")
-    extra = {
-        "realtime_factor": fpl.get("rtf"),
-        "frames": fpl.get("frames"),
-        "offline_rtf": done.get("offline", {}).get("offline_rtf"),
-        "batched_streams": 8 if b8 else None,
-        "batched_aggregate_rtf": b8.get("aggregate_rtf"),
-        "batched_per_stream_min_rtf": b8.get("per_stream_min_rtf"),
-        "streams16_aggregate_rtf": b16.get("aggregate_rtf"),
-        "streams16_per_stream_min_rtf": b16.get("per_stream_min_rtf"),
-        "streams16_host_ms_per_frame": b16.get("host_ms_per_frame"),
-        "streams16_fetch_ms_per_frame": b16.get("fetch_ms_per_frame"),
-        "streams32_aggregate_rtf": b32.get("aggregate_rtf"),
-        "streams32_per_stream_min_rtf": b32.get("per_stream_min_rtf"),
-        "streams32_host_ms_per_frame": b32.get("host_ms_per_frame"),
-        "backend": fpl.get("backend"),
-        **done.get("clone", {}),
-        **done.get("device", {}),
-    }
-    if errors:
-        extra["stage_errors"] = errors
-    print(json.dumps({
-        "metric": "first_packet_latency_ms_streaming_flagship",
-        "value": round(fp_ms, 2) if fp_ms else None,
-        "unit": "ms",
-        "vs_baseline": (round(BASELINE_FIRST_PACKET_MS / fp_ms, 3)
-                        if fp_ms else None),
-        "extra": extra,
-    }))
-    return 0 if fp_ms else 1
-
-
-def _merge(path: str, done: dict, errors: dict) -> None:
-    if not os.path.exists(path):
-        return
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if "data" in rec:
-                done[rec["stage"]] = rec["data"]
-                errors.pop(rec["stage"], None)
-            elif rec["stage"] not in done:
-                errors[rec["stage"]] = rec.get("error", "?")
+    _merge(results_path, done, errors, attempts)
+    print(_headline(done, errors))
+    return 0 if done.get("fpl", {}).get("fpl_ms") else 1
 
 
 # ---------------------------------------------------------------------------
 # Worker: builds the engine once, runs remaining stages, appends one JSON
-# line per stage. Exits 17 on a transient (tunnel) failure so the parent
-# respawns; a non-transient stage failure is recorded and skipped.
+# line per stage AND prints the running partial headline to stdout after
+# each (the parent inherits stdout, so a driver kill still leaves the
+# latest partial line in the captured output). Exits 17 on a transient
+# (tunnel) failure so the parent respawns; any other stage failure —
+# including an on-chip OOM — is recorded and the worker continues to the
+# next stage in-process.
 # ---------------------------------------------------------------------------
 
 
@@ -206,14 +250,21 @@ def worker(results_path: str, skip: set[str]) -> int:
     from fireredtts2_tpu.config import EngineConfig, LLMConfig, CodecConfig
     from fireredtts2_tpu.engine import FireRedTTS2Engine
 
-    def emit(stage: str, data=None, error=None):
+    def emit(stage: str, data=None, error=None, transient=False):
         with open(results_path, "a") as f:
             rec = {"stage": stage}
             if data is not None:
                 rec["data"] = data
             if error is not None:
                 rec["error"] = error
+            if transient:
+                rec["transient"] = True
             f.write(json.dumps(rec) + "\n")
+        # progressive partial artifact: merge EVERYTHING recorded so far
+        # (previous workers included) and flush one partial headline line
+        done, errors, attempts = {}, {}, {}
+        _merge(results_path, done, errors, attempts)
+        print(_headline(done, errors, partial=True), flush=True)
 
     # Serving configuration: int8 backbone + the fused depth-chain Pallas
     # kernel (whole 15-step depth decode in ONE pallas_call). Measured LM
@@ -237,11 +288,7 @@ def worker(results_path: str, skip: set[str]) -> int:
         "clone": lambda: _stage_clone(engine),
         "batched8": lambda: _bench_batched(engine, 8),
         "batched16": lambda: _bench_batched(engine, 16),
-        # Capacity headline: the 16-stream bar is met at 3.2x per stream
-        # (PERF.md r3p3), so demonstrate 2x the bar. ~13 GB of slabs +
-        # weights at B=32 fits v5e's 16 GB; an OOM costs only this stage
-        # (recorded as a stage error, earlier stages survive).
-        "batched32": lambda: _bench_batched(engine, 32),
+        "batched32": lambda: _stage_batched32(engine, jax),
         "device": lambda: _bench_device(engine, llm),
     }
     for stage in STAGES:
@@ -251,8 +298,9 @@ def worker(results_path: str, skip: set[str]) -> int:
             emit(stage, data=stage_fns[stage]())
         except Exception as e:  # noqa: BLE001 — must classify and keep going
             msg = f"{type(e).__name__}: {e}"
-            emit(stage, error=msg)
-            if _is_transient(msg):
+            transient = _is_transient(msg)
+            emit(stage, error=msg, transient=transient)
+            if transient:
                 print(f"[bench-worker] transient failure in {stage}: {msg}",
                       file=sys.stderr)
                 return _RETRYABLE_RC
@@ -378,13 +426,58 @@ def _bench_device(engine, llm_cfg) -> dict:
     return out
 
 
-def _bench_batched(engine, n_streams: int, n_frames: int = 50) -> dict:
+def _slab_bytes(cfg, n_streams: int, seq_capacity: int, frames_cap: int) -> int:
+    """Analytic HBM for the batched pool's KV slabs (the allocation the
+    B=32 memory gate must predict — weights are already resident)."""
+    from fireredtts2_tpu.models.lm.model import kv_capacity
+
+    bb = cfg.llm.backbone
+    bytes_el = 2  # bf16 states
+    lm = (bb.num_layers * n_streams * kv_capacity(seq_capacity)
+          * bb.num_kv_heads * bb.head_dim * 2 * bytes_el)
+    ac = cfg.codec.acoustic_decoder
+    latents = min(-(-8 * frames_cap // 16) * 16, ac.max_stream_latents)
+    voc = ac.num_layers * n_streams * latents * ac.embed_dim * 2 * bytes_el
+    return lm + voc
+
+
+def _stage_batched32(engine, jax) -> dict:
+    """32 concurrent streams in a bounded CAPACITY CLASS (module constants
+    above), gated by an analytic slab-size check against the device's live
+    memory stats — a predictable OOM must cost a recorded skip, not a
+    respawn loop (VERDICT r3 #1/#4)."""
+    est = _slab_bytes(engine.config, 32, _B32_SEQ_CAPACITY, _B32_FRAMES_CAP)
+    stats = {}
+    try:
+        stats = engine_device_memory_stats(jax)
+    except Exception:  # noqa: BLE001 — stats are advisory
+        pass
+    limit, used = stats.get("bytes_limit"), stats.get("bytes_in_use")
+    if limit and used is not None:
+        free = limit - used
+        if est > free * 0.8:
+            raise RuntimeError(
+                f"batched32 skipped by memory gate: slabs need "
+                f"~{est / 1e9:.2f} GB, free HBM {free / 1e9:.2f} GB")
+    return _bench_batched(engine, 32, seq_capacity=_B32_SEQ_CAPACITY,
+                          frames_cap=_B32_FRAMES_CAP)
+
+
+def engine_device_memory_stats(jax) -> dict:
+    d = jax.local_devices()[0]
+    return d.memory_stats() or {}
+
+
+def _bench_batched(engine, n_streams: int, n_frames: int = 50,
+                   seq_capacity=None, frames_cap=None) -> dict:
     """Aggregate + per-stream-min realtime factor across concurrent batched
     streams (production-side timestamps on StreamHandle, so a slow consumer
     loop cannot distort per-stream numbers)."""
     from fireredtts2_tpu.runtime.batcher import ContinuousBatcher
 
-    batcher = ContinuousBatcher(engine, max_streams=n_streams)
+    batcher = ContinuousBatcher(engine, max_streams=n_streams,
+                                seq_capacity=seq_capacity,
+                                max_frames_cap=frames_cap)
     batcher.start()
     batcher.wait_ready(timeout=3600)  # ladder+prefill compile, not serving
     try:

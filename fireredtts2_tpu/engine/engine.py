@@ -157,13 +157,25 @@ class FireRedTTS2Engine:
             self.tokenizer = load_tokenizer(None)
 
         self.mesh = mesh
+        # Publish the mesh for the transformer's decode attention: the LM
+        # flash kernel is shard_mapped over tp-split heads when a mesh is
+        # live (ops/pallas_flash.py:flash_decode_gqa1_shard, VERDICT r3
+        # #6). The context is read at TRACE time; constructing a second
+        # engine with a different mesh in one process flips programs not
+        # yet traced to the newer mesh — always correct (shard_map is
+        # semantics-preserving and the no-mesh read falls back to the
+        # single-device kernel), but serve one engine per process for the
+        # intended routing.
+        from fireredtts2_tpu.parallel.mesh import set_serving_mesh
+        set_serving_mesh(mesh)
         if mesh is not None:
-            # The flash-decode kernels (ops/pallas_flash.py) are custom
-            # calls — XLA can't partition them over tp-split attention
-            # heads; the XLA paths shard cleanly. Users can still force
-            # them with an explicit FRTTS2_FLASH_VOC/LM=1.
+            # The VOCODER flash kernel fuses in-kernel slab WRITES — each
+            # tp shard would need the other shards' fresh KV columns, so
+            # it stays off under a mesh (the XLA vocoder path shards
+            # cleanly); the read-only LM kernel rides shard_map instead.
+            # Users can still force the vocoder kernel with an explicit
+            # FRTTS2_FLASH_VOC=1.
             os.environ.setdefault("FRTTS2_FLASH_VOC", "0")
-            os.environ.setdefault("FRTTS2_FLASH_LM", "0")
         self.lm_params, self.codec_params = self._apply_serving_transforms(
             self.lm_params, self.codec_params)
 
@@ -413,12 +425,14 @@ class FireRedTTS2Engine:
     # Tokenization to interleaved frames
     # ------------------------------------------------------------------
 
-    def _new_lm_state(self, B: int):
+    def _new_lm_state(self, B: int, capacity: Optional[int] = None):
         """Fresh decode state, placed on the engine's mesh when sharded
         serving is on (stream slots over dp; sanitized so B=1 on a dp>1
-        mesh falls back to replicated)."""
+        mesh falls back to replicated). capacity: optional position-cap
+        override for bounded serving pools (runtime/batcher.py)."""
         state = init_lm_state(self.config.llm, B,
-                              _dtype_of(self.config.llm.dtype))
+                              _dtype_of(self.config.llm.dtype),
+                              capacity=capacity)
         if self.mesh is not None:
             from fireredtts2_tpu.parallel.mesh import (
                 lm_state_pspecs, sanitize_pspecs, to_named,
@@ -427,10 +441,11 @@ class FireRedTTS2Engine:
             state = jax.device_put(state, to_named(self.mesh, specs))
         return state
 
-    def _new_vstate(self, B: int):
+    def _new_vstate(self, B: int, latents: Optional[int] = None):
         """Fresh streaming-vocoder state (replicated on the mesh)."""
         vstate = stream_decode_init(self.config.codec, B,
-                                    _dtype_of(self.config.codec.dtype))
+                                    _dtype_of(self.config.codec.dtype),
+                                    latents=latents)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             rep = NamedSharding(self.mesh, PartitionSpec())
@@ -864,10 +879,11 @@ class FireRedTTS2Engine:
             real_len=real_len, **kw)
         while True:
             # one fetch per block; layout (B, K*cs + K*ts + K):
-            # [middles | per-cut tails | eos flags] (models/pipeline.py)
+            # [middles | per-cut tails | eos flags | tokens]
+            # (models/pipeline.py)
             pk = np.asarray(packed)[0]
             K = block
-            eos = pk[K * (cs + ts):] > 0.5
+            eos = pk[K * (cs + ts): K * (cs + ts) + K] > 0.5
             n = min(int(np.argmax(eos)) if eos.any() else K, max_len - g)
             stop = n < K
             if n > 0:
@@ -1098,7 +1114,7 @@ class FireRedTTS2Engine:
             while True:
                 pk = np.asarray(packed)[0]
                 K = block
-                eos = pk[K * (cs + ts):] > 0.5
+                eos = pk[K * (cs + ts): K * (cs + ts) + K] > 0.5
                 n = min(int(np.argmax(eos)) if eos.any() else K, max_len - g)
                 stop = n < K
                 if n > 0:

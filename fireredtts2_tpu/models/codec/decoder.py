@@ -306,9 +306,15 @@ class VocoderStreamState(NamedTuple):
 
 
 def stream_state_init(cfg: AcousticDecoderConfig, batch: int,
-                      dtype=jnp.float32) -> VocoderStreamState:
+                      dtype=jnp.float32, latents: Optional[int] = None
+                      ) -> VocoderStreamState:
+    """latents: optional KV capacity override in 100 Hz latents (must be a
+    multiple of 16 so the flash kernel's chunk divisor exists; 8 latents
+    per 12.5 Hz token — a pool capped at F frames needs 8*F)."""
     d = cfg.embed_dim
-    slab = init_kv_slab(cfg.num_layers, batch, cfg.max_stream_latents,
+    cap = latents or cfg.max_stream_latents
+    assert cap % 16 == 0, f"vocoder latent capacity {cap} not 16-aligned"
+    slab = init_kv_slab(cfg.num_layers, batch, cap,
                         cfg.num_heads, d // cfg.num_heads, dtype,
                         merged=True)
     return VocoderStreamState(

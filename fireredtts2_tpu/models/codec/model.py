@@ -16,7 +16,7 @@ it is not on the synthesis path.
 from __future__ import annotations
 
 import math
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -209,9 +209,12 @@ def assemble_chunks(middles: np.ndarray, tails: np.ndarray, T: int,
     return np.concatenate(parts, axis=1)
 
 
-def stream_decode_init(cfg: CodecConfig, batch: int, dtype=jnp.float32
-                       ) -> VocoderStreamState:
-    return stream_state_init(cfg.acoustic_decoder, batch, dtype)
+def stream_decode_init(cfg: CodecConfig, batch: int, dtype=jnp.float32,
+                       latents: Optional[int] = None) -> VocoderStreamState:
+    """latents: optional attention-cache capacity override (100 Hz
+    latents, 8 per 12.5 Hz token) for bounded-utterance serving pools."""
+    return stream_state_init(cfg.acoustic_decoder, batch, dtype,
+                             latents=latents)
 
 
 def stream_decode_step(params: Params, cfg: CodecConfig, token: Array,

@@ -119,8 +119,15 @@ def kv_capacity(max_seq_len: int) -> int:
     return -(-max_seq_len // KV_ALIGN) * KV_ALIGN
 
 
-def init_lm_state(cfg: LLMConfig, batch_size: int, dtype=jnp.float32) -> LMState:
-    cap = kv_capacity(cfg.max_seq_len)
+def init_lm_state(cfg: LLMConfig, batch_size: int, dtype=jnp.float32,
+                  capacity: Optional[int] = None) -> LMState:
+    """capacity: optional logical position cap override (< cfg.max_seq_len)
+    for decode-era capacity classes — a serving pool whose utterances are
+    bounded (prompt bucket + frame cap) can run a much smaller slab than
+    the 3100-position dialogue ceiling. Every decode program derives its
+    window from the state SHAPE, so a smaller slab is just a smaller
+    compiled program (and a cheaper dense-attention read)."""
+    cap = kv_capacity(capacity or cfg.max_seq_len)
     cache = init_kv_cache(cfg.backbone, batch_size, cap, dtype)
     return LMState(
         cache_k=cache["k"], cache_v=cache["v"],

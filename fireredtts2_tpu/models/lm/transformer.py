@@ -216,11 +216,37 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
                 and flash_lm_ok(q, k4)):
             # Flash decode kernel over the carried 4-D slab: live-chunk
             # DMA ring, no per-layer slab materialization
-            # (ops/pallas_flash.py).
+            # (ops/pallas_flash.py). Under a serving mesh with tp > 1 the
+            # kernel is shard_mapped over tp-split heads (each shard reads
+            # only its kv heads' slab columns) so sharded serving keeps
+            # the fast path (VERDICT r3 #6); a mesh it can't split falls
+            # through to the XLA paths below.
+            from fireredtts2_tpu.parallel.mesh import serving_mesh
+            from fireredtts2_tpu.ops.pallas_flash import (
+                flash_lm_tp_ok, flash_decode_gqa1_shard, flash_lm_interpret,
+            )
             q_start, q_end, live_lo, live_hi = bounded
-            attn = flash_decode_gqa1(
-                q[:, 0], k4, v4, layer, q_start[:, 0], q_end[:, 0],
-                live_lo, live_hi)[:, None]
+            mesh = serving_mesh()
+            if mesh is None or int(mesh.shape.get("tp", 1)) <= 1:
+                attn = flash_decode_gqa1(
+                    q[:, 0], k4, v4, layer, q_start[:, 0], q_end[:, 0],
+                    live_lo, live_hi)[:, None]
+            elif flash_lm_tp_ok(mesh, q, k4,
+                                interpret=flash_lm_interpret()):
+                attn = flash_decode_gqa1_shard(
+                    mesh, q[:, 0], k4, v4, layer, q_start[:, 0],
+                    q_end[:, 0], live_lo, live_hi,
+                    interpret=flash_lm_interpret())[:, None]
+            else:
+                attn = gqa_attention_bounded(
+                    q,
+                    jax.lax.dynamic_slice(
+                        k4, (layer, 0, 0, 0),
+                        (1, B, T, Hkv * Dh))[0].astype(h.dtype),
+                    jax.lax.dynamic_slice(
+                        v4, (layer, 0, 0, 0),
+                        (1, B, T, Hkv * Dh))[0].astype(h.dtype),
+                    q_end, live_hi, q_start=q_start, live_lo=live_lo)
         else:
             # Fallback reads materialize this layer's slab slice (full
             # capacity — the copy the kernel route avoids).

@@ -57,11 +57,14 @@ def stream_block(
     PERF.md round 2 part 2).
 
     Returns (state, vstate, next_frame, emitted, packed) where packed is
-    (B, block*chunk + block*tail + block) float32 per stream:
-    [middles 0..K-1 | cut-tails 0..K-1 | eos flags 0..K-1] — ONE host
-    fetch per block. tails[j] closes a stream whose last live frame is j;
-    eos[j] marks input frame j as the all-zero EOS frame
-    (fireredtts2.py:178).
+    (B, block*chunk + block*tail + block + block*ncb) float32 per stream:
+    [middles 0..K-1 | cut-tails 0..K-1 | eos flags 0..K-1 |
+     token frames 0..K-1] — ONE host fetch per block. tails[j] closes a
+    stream whose last live frame is j; eos[j] marks input frame j as the
+    all-zero EOS frame (fireredtts2.py:178); tokens[j] is the (ncb,) frame
+    vocoded at step j (ids < 2051 are exact in float32 — the token region
+    lets hosts collect the raw LM stream, e.g. the batched clone path's
+    trim-then-vocode, runtime/batcher.py).
     """
     vo_dtype = vstate.istft_cache.dtype
 
@@ -110,7 +113,9 @@ def stream_block(
     # -> (B, K*ts), cut order j = 0..K-1.
     middle = middles.transpose(1, 0, 2).reshape(B, -1)
     tails_flat = tails.transpose(2, 0, 1, 3).reshape(B, -1)
+    tokens_flat = frames_seq.transpose(1, 0, 2).reshape(B, -1)  # (B, K*ncb)
     packed = jnp.concatenate(
         [middle.astype(jnp.float32), tails_flat.astype(jnp.float32),
-         eos_seq.astype(jnp.float32).T], axis=-1)
+         eos_seq.astype(jnp.float32).T, tokens_flat.astype(jnp.float32)],
+        axis=-1)
     return state, vstate, frame, emitted, packed

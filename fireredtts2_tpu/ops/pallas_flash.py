@@ -286,13 +286,14 @@ def _call(q, k4, v4, q_end, q_start, scalars, pos, new_k, new_v,
     return res[0].reshape(B, S, H, Dh)
 
 
-def _scalars(live_hi, live_lo, layer, C):
+def _scalars(live_hi, live_lo, layer, C, kv0=None):
     nc = jnp.maximum((live_hi + C - 1) // C, 1).astype(jnp.int32)
     c0 = (jnp.int32(0) if live_lo is None
           else jnp.maximum(live_lo, 0).astype(jnp.int32) // C)
     nc = jnp.maximum(nc, c0 + 1)
     lyr = jnp.int32(0) if layer is None else layer.astype(jnp.int32)
-    return jnp.stack([nc, c0, lyr, jnp.int32(0)]).reshape(1, 4)
+    kv0 = jnp.int32(0) if kv0 is None else jnp.asarray(kv0, jnp.int32)
+    return jnp.stack([nc, c0, lyr, kv0]).reshape(1, 4)
 
 
 def flash_decode_bounded(q: Array, k: Array, v: Array, q_end: Array,
@@ -370,6 +371,12 @@ def flash_lm_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def flash_lm_interpret() -> bool:
+    """True when the LM kernel is being exercised interpreted (CPU tests
+    via FRTTS2_FLASH_LM=interpret)."""
+    return os.environ.get("FRTTS2_FLASH_LM") == "interpret"
+
+
 def flash_lm_ok(q: Array, k4: Array) -> bool:
     """Shape eligibility for the S=1 GQA kernel: 4-D merged slab whose
     width divides the query heads, and a tile-aligned chunking of T."""
@@ -387,27 +394,35 @@ def flash_lm_ok(q: Array, k4: Array) -> bool:
 def _kernel_gqa1(scal_ref, bounds_ref, q_ref, k_hbm, v_hbm, out_ref,
                  kbuf, vbuf, sems, *, C: int, Hkv: int, G: int, Dh: int,
                  nbuf: int):
+    """Hkv here is the LOCAL kv-head count this call computes over; the
+    slab may hold more (tensor-parallel serving: each tp shard reads only
+    its heads' columns — scal[0,3] = kv0 is the first kv head, and the DMA
+    column window starts at kv0*Dh; kv0 is 0 and the window the full slab
+    width in single-device serving). Column offsets must stay 128-lane
+    aligned on real TPUs — flash_lm_tp_ok enforces Dh % 128 == 0."""
     b = pl.program_id(0)
     B = pl.num_programs(0)
     nc = scal_ref[0, 0]
     c0 = scal_ref[0, 1]
     lyr = scal_ref[0, 2]
+    col0 = scal_ref[0, 3] * Dh
     Hq = Hkv * G
+    W = Hkv * Dh                         # local window width
     span = nc - c0
 
     def start(slot, bb, cc):
         pltpu.make_async_copy(
-            k_hbm.at[lyr, bb, pl.ds(cc * C, C), :], kbuf.at[slot],
-            sems.at[0, slot]).start()
+            k_hbm.at[lyr, bb, pl.ds(cc * C, C), pl.ds(col0, W)],
+            kbuf.at[slot], sems.at[0, slot]).start()
         pltpu.make_async_copy(
-            v_hbm.at[lyr, bb, pl.ds(cc * C, C), :], vbuf.at[slot],
-            sems.at[1, slot]).start()
+            v_hbm.at[lyr, bb, pl.ds(cc * C, C), pl.ds(col0, W)],
+            vbuf.at[slot], sems.at[1, slot]).start()
 
     def wait(slot):
-        pltpu.make_async_copy(k_hbm.at[0, 0, pl.ds(0, C), :], kbuf.at[slot],
-                              sems.at[0, slot]).wait()
-        pltpu.make_async_copy(v_hbm.at[0, 0, pl.ds(0, C), :], vbuf.at[slot],
-                              sems.at[1, slot]).wait()
+        pltpu.make_async_copy(k_hbm.at[0, 0, pl.ds(0, C), pl.ds(0, W)],
+                              kbuf.at[slot], sems.at[0, slot]).wait()
+        pltpu.make_async_copy(v_hbm.at[0, 0, pl.ds(0, C), pl.ds(0, W)],
+                              vbuf.at[slot], sems.at[1, slot]).wait()
 
     @pl.when(b == 0)
     def _():
@@ -470,7 +485,9 @@ def _kernel_gqa1(scal_ref, bounds_ref, q_ref, k_hbm, v_hbm, out_ref,
 def flash_decode_gqa1(q: Array, k4: Array, v4: Array, layer: Array,
                       q_start: Array, q_end: Array,
                       live_lo: Array, live_hi: Array,
-                      interpret: bool = False) -> Array:
+                      interpret: bool = False,
+                      kv_base: Array | int = 0,
+                      hkv: int | None = None) -> Array:
     """Single-token GQA decode attention over one layer of a carried
     (L, B, T, Hkv*Dh) slab pair — the LM S=1 hot path. The slab write
     stays an XLA in-place scatter on the scan carry (LM positions advance
@@ -484,16 +501,20 @@ def flash_decode_gqa1(q: Array, k4: Array, v4: Array, layer: Array,
         layer: () int32 layer index.
         q_start / q_end: (B,) int32 per-stream live window (end = pos+1).
         live_lo / live_hi: () int32 batch-wide bounds (min start, max end).
+        kv_base / hkv: tensor-parallel serving (flash_decode_gqa1_shard):
+            compute only kv heads [kv_base, kv_base + hkv) of the slab —
+            q then holds just this shard's query heads. Defaults cover the
+            full slab width (single-device serving).
     Returns:
         (B, Hq, Dh) in q.dtype; equals dense masked attention up to fp32
         online-softmax summation order.
     """
     B, Hq, Dh = q.shape
     L, _, T, W = k4.shape
-    Hkv = W // Dh
+    Hkv = hkv if hkv is not None else W // Dh
     G = Hq // Hkv
     C = pick_chunk(T)
-    assert C is not None and W == Hkv * Dh and Hkv * G == Hq
+    assert C is not None and Hkv * G == Hq and Hkv * Dh <= W
 
     flag = os.environ.get("FRTTS2_FLASH_LM", "")
     kern = functools.partial(_kernel_gqa1, C=C, Hkv=Hkv, G=G, Dh=Dh,
@@ -515,10 +536,86 @@ def flash_decode_gqa1(q: Array, k4: Array, v4: Array, layer: Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Hq, Dh), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, C, W), k4.dtype),
-            pltpu.VMEM((_NBUF, C, W), v4.dtype),
+            pltpu.VMEM((_NBUF, C, Hkv * Dh), k4.dtype),
+            pltpu.VMEM((_NBUF, C, Hkv * Dh), v4.dtype),
             pltpu.SemaphoreType.DMA((2, _NBUF)),
         ],
         interpret=interpret or flag == "interpret",
-    )(_scalars(live_hi, live_lo, layer, C), bounds, q, k4, v4)
+    )(_scalars(live_hi, live_lo, layer, C, kv0=kv_base), bounds, q, k4, v4)
     return out
+
+
+def flash_lm_tp_ok(mesh, q: Array, k4: Array, interpret: bool = False
+                   ) -> bool:
+    """Eligibility of the tp-sharded kernel route (flash_decode_gqa1_shard):
+    query heads must split evenly over tp with each shard covering a whole
+    number of kv heads (or an exact fraction of one group), the batch must
+    split over dp, and — on real TPUs — the per-shard DMA column offsets
+    (kv0 * Dh) must stay 128-lane aligned, i.e. Dh % 128 == 0 (true for
+    every qwen2 flavor; interpret mode has no alignment constraint)."""
+    if not flash_lm_ok(q, k4):
+        return False
+    ntp = int(mesh.shape.get("tp", 1))
+    ndp = int(mesh.shape.get("dp", 1))
+    B, S, Hq, Dh = q.shape
+    Hkv = k4.shape[-1] // Dh
+    if Hq % ntp or B % ndp:
+        return False
+    hql = Hq // ntp
+    hkv_local = max(1, Hkv // ntp)
+    if hql % hkv_local:
+        return False
+    g_total = Hq // Hkv
+    if ntp > Hkv and g_total % hql:
+        # each shard must map to exactly ONE kv head
+        return False
+    if not interpret and Dh % 128:
+        return False
+    return True
+
+
+def flash_decode_gqa1_shard(mesh, q: Array, k4: Array, v4: Array,
+                            layer: Array, q_start: Array, q_end: Array,
+                            live_lo: Array, live_hi: Array,
+                            interpret: bool = False) -> Array:
+    """Tensor-parallel flash LM decode (VERDICT r3 #6): shard_map the
+    kernel over the serving mesh so sharded serving keeps the fast path.
+
+    Layout matches the Megatron split of the surrounding program
+    (parallel/mesh.py): q arrives column-sharded on heads over tp and on
+    streams over dp; the KV slabs are dp-sharded and tp-REPLICATED
+    (lm_state_pspecs — Hkv=2 is too small to shard). Each shard's kernel
+    call is fully local: it reads only its kv heads' slab columns
+    (kv_base DMA window) and computes its Hq/tp query heads; the output
+    stays head-sharded, feeding the row-parallel wo matmul with no
+    resharding. No collectives are introduced — the kernel is read-only.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:  # JAX >= 0.8 moved shard_map out of experimental
+        from jax.sharding import shard_map
+        smap = functools.partial(shard_map, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        smap = functools.partial(shard_map, check_rep=False)
+
+    B, Hq, Dh = q.shape
+    Hkv = k4.shape[-1] // Dh
+    ntp = int(mesh.shape.get("tp", 1))
+    hql = Hq // ntp
+    hkv_local = max(1, Hkv // ntp)
+    g_total = Hq // Hkv
+
+    def local(qs, k4s, v4s, lyr, qss, qes, lo, hi):
+        t = jax.lax.axis_index("tp")
+        kv0 = (t * hql) // g_total
+        return flash_decode_gqa1(qs, k4s, v4s, lyr, qss, qes, lo, hi,
+                                 interpret=interpret, kv_base=kv0,
+                                 hkv=hkv_local)
+
+    fn = smap(
+        local, mesh=mesh,
+        in_specs=(P("dp", "tp", None),
+                  P(None, "dp", None, None), P(None, "dp", None, None),
+                  P(), P("dp"), P("dp"), P(), P()),
+        out_specs=P("dp", "tp", None))
+    return fn(q, k4, v4, layer, q_start, q_end, live_lo, live_hi)

@@ -249,3 +249,23 @@ def to_named(mesh: Mesh, pspec_tree):
 def shard_params(mesh: Mesh, params, pspecs):
     shardings = to_named(mesh, pspecs)
     return jax.device_put(params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Serving-mesh context: lets mesh-agnostic model code (the transformer's
+# decode attention) reach the engine's mesh to shard_map a Pallas kernel
+# (ops/pallas_flash.py:flash_decode_gqa1_shard — XLA cannot auto-partition
+# custom calls, VERDICT r3 #6). Set at engine construction, captured at
+# TRACE time by the jitted programs; None = single-device serving.
+# ---------------------------------------------------------------------------
+
+_SERVING_MESH: Mesh | None = None
+
+
+def set_serving_mesh(mesh: Mesh | None) -> None:
+    global _SERVING_MESH
+    _SERVING_MESH = mesh
+
+
+def serving_mesh() -> Mesh | None:
+    return _SERVING_MESH

@@ -50,6 +50,11 @@ class StreamHandle:
     request_id: str
     chunks: "queue.Queue[Optional[np.ndarray]]" = field(
         default_factory=lambda: queue.Queue(maxsize=256))
+    # Token mode (collect_tokens submits): the raw LM frames land here at
+    # completion as (T, ncb) int32 and no audio chunks are emitted — the
+    # batched clone path trims tokens BEFORE vocoding, like the reference
+    # (fireredtts2.py:431-440).
+    tokens: Optional[np.ndarray] = None
     first_packet_s: Optional[float] = None
     # Production-side accounting (set by the batcher, independent of how
     # fast the client drains the queue): wall seconds submit -> last chunk
@@ -77,6 +82,8 @@ class _Slot:
     max_frames: int = 0
     started: float = 0.0
     last_tail: Optional[np.ndarray] = None
+    collect_tokens: bool = False
+    token_rows: Optional[list] = None
 
 
 @dataclass
@@ -88,13 +95,33 @@ class _Pending:
     temperature: float
     topk: int
     max_frames: int
+    collect_tokens: bool = False
 
 
 class ContinuousBatcher:
     """Batched multi-stream decoder over a shared engine's params."""
 
     def __init__(self, engine, max_streams: int = 16, topk: int = 20,
-                 policy=None, warmup_blocks: Optional[bool] = None):
+                 policy=None, warmup_blocks: Optional[bool] = None,
+                 seq_capacity: Optional[int] = None,
+                 max_frames_cap: Optional[int] = None):
+        """seq_capacity / max_frames_cap define this pool's CAPACITY CLASS
+        (VERDICT r3 #4 — 32 full 3100-slot slabs genuinely exceed a v5e's
+        16 GB):
+
+        - seq_capacity: LM KV positions per slot (prompt bucket + frames),
+          default the engine's max_seq_len (3100). A pool serving bounded
+          utterances (the serving norm: the reference caps dialogue turns
+          at 30 s = 375 frames, fireredtts2.py:383) can run e.g. 1024.
+        - max_frames_cap: generated frames per utterance; sizes the
+          vocoder KV slab at 8 latents/frame. Default: the per-utterance
+          30 s cap (376 frames -> the stock 3008-latent slab).
+
+        Slab HBM scales linearly with both, so a 32-slot pool at
+        (1024, 128) costs ~1/6 the slab memory of 32 full-capacity slots —
+        and the dense fallback attention reads shrink the same way.
+        submit() rejects requests that don't fit the class.
+        """
         self.engine = engine
         self.B = max_streams
         self.default_topk = topk
@@ -104,15 +131,24 @@ class ContinuousBatcher:
         import jax.numpy as jnp  # local alias for dtypes
         lm_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[llm_cfg.dtype]
         vo_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[codec_cfg.dtype]
+        self.seq_capacity = min(seq_capacity or llm_cfg.max_seq_len,
+                                llm_cfg.max_seq_len)
+        stock_frames = codec_cfg.acoustic_decoder.max_stream_latents // 8
+        self.max_frames_cap = min(max_frames_cap or stock_frames,
+                                  stock_frames, self.seq_capacity - 1)
+        voc_latents = min(-(-8 * self.max_frames_cap // 16) * 16,
+                          codec_cfg.acoustic_decoder.max_stream_latents)
 
         # Engine helpers place states on the engine's mesh when sharded
         # serving is on (B stream slots ride the dp axis).
-        self.lm_state = (engine._new_lm_state(self.B)
+        self.lm_state = (engine._new_lm_state(self.B, capacity=self.seq_capacity)
                          if hasattr(engine, "_new_lm_state")
-                         else init_lm_state(llm_cfg, self.B, lm_dtype))
-        self.vo_state = (engine._new_vstate(self.B)
+                         else init_lm_state(llm_cfg, self.B, lm_dtype,
+                                            capacity=self.seq_capacity))
+        self.vo_state = (engine._new_vstate(self.B, latents=voc_latents)
                          if hasattr(engine, "_new_vstate")
-                         else stream_decode_init(codec_cfg, self.B, vo_dtype))
+                         else stream_decode_init(codec_cfg, self.B, vo_dtype,
+                                                 latents=voc_latents))
         self.frames = jnp.zeros((self.B, llm_cfg.audio_num_codebooks), jnp.int32)
         self.temps = np.full((self.B,), cfg.default_temperature, np.float32)
         self.topks = np.full((self.B,), topk, np.int32)
@@ -305,9 +341,29 @@ class ContinuousBatcher:
         temperature/topk/max_audio_length_ms are honored PER REQUEST even
         though all live requests share one compiled batched step."""
         prompt, mask = self.engine._build_prompt(list(context), text, speaker)
+        return self.submit_prompt(prompt, mask, temperature=temperature,
+                                  topk=topk,
+                                  max_audio_length_ms=max_audio_length_ms)
+
+    def submit_prompt(self, prompt: np.ndarray, mask: np.ndarray,
+                      temperature: Optional[float] = None,
+                      topk: Optional[int] = None,
+                      max_audio_length_ms: float = 30_000,
+                      collect_tokens: bool = False) -> StreamHandle:
+        """Low-level submit of pre-built (S, C+1) prompt frames.
+
+        collect_tokens: token mode — the handle emits NO audio; the raw LM
+        frames land in handle.tokens at completion. Used by the batched
+        clone path, which must trim tokens BEFORE vocoding to match the
+        reference (fireredtts2.py:440)."""
         bucket, tokens, tmask, valid = self.engine._bucketize(prompt, mask)
+        if bucket >= self.seq_capacity:
+            raise ValueError(
+                f"prompt bucket {bucket} does not fit this pool's capacity "
+                f"class (seq_capacity={self.seq_capacity}); use a "
+                f"full-capacity batcher or shorten the context")
         max_frames = min(int(max_audio_length_ms / 80),
-                         self.cfg.max_seq_len - bucket)
+                         self.seq_capacity - bucket, self.max_frames_cap)
         handle = StreamHandle(request_id=uuid.uuid4().hex)
         handle._t0 = time.perf_counter()
         self.pending.put(_Pending(
@@ -315,8 +371,77 @@ class ContinuousBatcher:
             temperature=(temperature if temperature is not None
                          else self.cfg.default_temperature),
             topk=(topk if topk is not None else self.default_topk),
-            max_frames=max_frames))
+            max_frames=max_frames, collect_tokens=collect_tokens))
         return handle
+
+    def generate_monologue_clone(self, text: str, prompt_text: str,
+                                 prompt_audio: Optional[np.ndarray] = None,
+                                 prompt_tokens: Optional[tuple] = None,
+                                 temperature: float = 0.75, topk: int = 20,
+                                 max_frames: int = 400) -> np.ndarray:
+        """Voice-clone monologue THROUGH the shared batched decoder
+        (VERDICT r3 #3: clone requests previously bypassed the batcher and
+        serialized like the reference's single worker).
+
+        Reference semantics preserved exactly
+        (fireredtts2/fireredtts2.py:405-459 via engine.generate_monologue):
+        per text chunk, prompt = [merged prompt_text[:-1] + "," + chunk]
+        with the last 3 prompt frames dropped; retry while the stream ends
+        <= 18 frames; trim 2 leading-silence frames; THEN vocode. The LM
+        decode of every chunk — and of concurrent clone requests — shares
+        the pool's ONE batched block program; all chunks of this call are
+        submitted at once, so they decode concurrently too. Vocoding uses
+        the engine's offline bucketed decode on the trimmed tokens (the
+        in-block vocode lanes of token-mode slots are discarded: audio
+        before the trim point must never be emitted).
+
+        Blocking call (worker threads are the serving norm here — the
+        serve layer runs one per request): returns (n,) float32 @24 kHz.
+        """
+        from fireredtts2_tpu.utils.text import clean_text, split_text
+        from fireredtts2_tpu.engine.engine import Segment
+
+        e = self.engine
+        prompt_text = clean_text(prompt_text)
+        text = clean_text(text)
+        if prompt_audio is None and prompt_tokens is None:
+            raise ValueError("clone needs prompt_audio or prompt_tokens")
+        audio = (np.zeros(0, np.float32) if prompt_audio is None
+                 else prompt_audio)
+        pt_frames, pt_mask = (prompt_tokens if prompt_tokens is not None
+                              else (None, None))
+
+        def build(chunk: str):
+            merged = prompt_text[:-1] + "," + clean_text(chunk)
+            seg = Segment(speaker="[S1]", text=merged, audio=audio,
+                          audio_tokens=pt_frames, audio_tokens_mask=pt_mask)
+            prompt, mask = e._build_prompt([seg], None, None)
+            return prompt[:-3], mask[:-3]   # drop 3 (fireredtts2.py:216-217)
+
+        chunks = split_text(text, 400) or [text]
+        prompts = [build(c) for c in chunks]
+        handles = [self.submit_prompt(p, m, temperature=temperature,
+                                      topk=topk, collect_tokens=True,
+                                      max_audio_length_ms=max_frames * 80)
+                   for p, m in prompts]
+        pieces: list[np.ndarray] = []
+        for (p, m), h in zip(prompts, handles):
+            # retry >18 frames, 8 attempts total like the engine
+            # (fireredtts2.py:431-439; the reference loops unboundedly)
+            for attempt in range(8):
+                for _ in h:          # drain (token mode emits no audio)
+                    pass
+                toks = h.tokens
+                if (toks is not None and toks.shape[0] > 18) or attempt == 7:
+                    break
+                h = self.submit_prompt(p, m, temperature=temperature,
+                                       topk=topk, collect_tokens=True,
+                                       max_audio_length_ms=max_frames * 80)
+            toks = h.tokens if h.tokens is not None else np.zeros(
+                (0, self.cfg.llm.audio_num_codebooks), np.int32)
+            pieces.append(e._decode_tokens(toks[2:]))  # trim 2, then vocode
+        return (np.concatenate(pieces) if pieces
+                else np.zeros(0, np.float32))
 
     @property
     def active_streams(self) -> int:
@@ -415,6 +540,8 @@ class ContinuousBatcher:
             slot.max_frames = req.max_frames
             slot.started = now
             slot.last_tail = None
+            slot.collect_tokens = req.collect_tokens
+            slot.token_rows = [] if req.collect_tokens else None
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -423,13 +550,21 @@ class ContinuousBatcher:
     def _finish(self, b: int) -> None:
         slot = self.slots[b]
         if slot.handle is not None:
-            if slot.frames_done > 0 and slot.last_tail is not None:
+            if slot.collect_tokens:
+                rows = slot.token_rows or []
+                ncb = self.cfg.llm.audio_num_codebooks
+                slot.handle.tokens = (
+                    np.concatenate(rows).astype(np.int32) if rows
+                    else np.zeros((0, ncb), np.int32))
+            elif slot.frames_done > 0 and slot.last_tail is not None:
                 slot.handle.chunks.put(slot.last_tail)
                 slot.handle.samples += len(slot.last_tail)
             slot.handle.finished_s = time.perf_counter() - slot.handle._t0
             slot.handle.chunks.put(None)
         slot.active = False
         slot.handle = None
+        slot.collect_tokens = False
+        slot.token_rows = None
 
     def _loop(self) -> None:
         try:
@@ -506,13 +641,16 @@ class ContinuousBatcher:
                 self._finish(b)
 
     def _fan_out(self, packed, K: int, active: list, t_block: float) -> None:
-        """Fetch one packed block — (B, K*cs + K*ts + K) = [middles |
-        cut-tails | eos] per stream (models/pipeline.py) — and fan it out
-        with ONE numpy slice and ONE queue put per stream (the
-        per-(frame, stream) python loop was the host bottleneck past 8
-        streams, PERF.md round 2): a stream accepts frames up to its first
-        EOS flag / its frame cap, as one contiguous audio chunk."""
+        """Fetch one packed block — (B, K*cs + K*ts + K + K*ncb) =
+        [middles | cut-tails | eos | token frames] per stream
+        (models/pipeline.py) — and fan it out with ONE numpy slice and ONE
+        queue put per stream (the per-(frame, stream) python loop was the
+        host bottleneck past 8 streams, PERF.md round 2): a stream accepts
+        frames up to its first EOS flag / its frame cap, as one contiguous
+        audio chunk. Token-mode slots collect the token region instead of
+        emitting audio."""
         cs, ts = self._cs, self._ts
+        ncb = self.cfg.llm.audio_num_codebooks
         t_fetch0 = time.perf_counter()
         pk = np.asarray(packed)
         now = time.perf_counter()
@@ -521,7 +659,9 @@ class ContinuousBatcher:
         self.timeline.append({
             "t": round(t_block - self._tl_t0, 4), "ev": "block", "K": K,
             "n": len(active), "wall_ms": round((now - t_block) * 1e3, 1)})
-        eos = pk[:, K * (cs + ts):] > 0.5        # (B, K)
+        base = K * (cs + ts)
+        eos = pk[:, base:base + K] > 0.5         # (B, K)
+        toks = pk[:, base + K:].reshape(-1, K, ncb)
         for b, handle in active:
             slot = self.slots[b]
             if not slot.active or slot.handle is not handle:
@@ -531,23 +671,29 @@ class ContinuousBatcher:
             n = min(n_eos, slot.max_frames - slot.frames_done)
             capped = n < n_eos or slot.frames_done + n >= slot.max_frames
             if n > 0:
-                audio = pk[b, :n * cs]
-                if slot.frames_done == 0:
-                    audio = audio[self._lead:]
+                if slot.collect_tokens:
+                    slot.token_rows.append(toks[b, :n])
+                    slot.frames_done += n
                     if slot.handle.first_packet_s is None:
                         slot.handle.first_packet_s = now - slot.handle._t0
-                slot.last_tail = pk[b, K * cs + (n - 1) * ts:
-                                    K * cs + n * ts]
-                slot.frames_done += n
-                try:
-                    slot.handle.chunks.put_nowait(audio.copy())
-                    slot.handle.samples += len(audio)
-                except queue.Full:
-                    slot.handle.error = RuntimeError(
-                        "client too slow; dropped")
-                    self.chunk_drops += 1
-                    self._finish(b)
-                    continue
+                else:
+                    audio = pk[b, :n * cs]
+                    if slot.frames_done == 0:
+                        audio = audio[self._lead:]
+                        if slot.handle.first_packet_s is None:
+                            slot.handle.first_packet_s = now - slot.handle._t0
+                    slot.last_tail = pk[b, K * cs + (n - 1) * ts:
+                                        K * cs + n * ts]
+                    slot.frames_done += n
+                    try:
+                        slot.handle.chunks.put_nowait(audio.copy())
+                        slot.handle.samples += len(audio)
+                    except queue.Full:
+                        slot.handle.error = RuntimeError(
+                            "client too slow; dropped")
+                        self.chunk_drops += 1
+                        self._finish(b)
+                        continue
             if hit_eos or capped:
                 self._finish(b)
         self._host["fanout_s"] += time.perf_counter() - now

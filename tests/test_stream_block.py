@@ -52,8 +52,9 @@ def test_block_partitioning_is_exact():
 
     # K single-frame blocks threading the same states and key folding.
     st, vs, fr, em = state, vstate, frame, emitted
-    mids, tails = [], []
+    mids, tails, toks = [], [], []
     for t in range(K):
+        toks.append(np.asarray(fr))       # input frame of step t
         st, vs, fr, em, p1 = stream_block(
             lm_params, codec_params, cfg.llm, cfg.codec, st, vs,
             fr, em, key, t_base=jnp.int32(t), block=1)
@@ -67,3 +68,9 @@ def test_block_partitioning_is_exact():
         np.testing.assert_allclose(
             pk[:, K * cs + j * ts: K * cs + (j + 1) * ts], tails[j],
             rtol=2e-3, atol=5e-4, err_msg=f"cut tail {j}")
+    # token region: packed frames j are the INPUT frames of each step,
+    # exact int-in-float32 (the batched clone path's collection source)
+    ncb = cfg.llm.audio_num_codebooks
+    tok_region = pk[:, K * (cs + ts) + K:].reshape(B, K, ncb)
+    np.testing.assert_array_equal(
+        tok_region.astype(np.int32), np.stack(toks, axis=1))

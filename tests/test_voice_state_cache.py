@@ -21,10 +21,10 @@ TEXT = "short cached reply"
 MS = 800  # 10 frames cap: enough decode to cascade any layout mismatch
 
 
-def _context(seed=7):
+def _context(seed=7, text="A voice prompt."):
     rng = np.random.default_rng(seed)
     audio = (rng.standard_normal(8000) * 0.05).astype(np.float32)
-    return [Segment(speaker="[S1]", text="A voice prompt.", audio=audio)]
+    return [Segment(speaker="[S1]", text=text, audio=audio)]
 
 
 @pytest.fixture(scope="module")
@@ -88,9 +88,15 @@ def test_stream_cached_matches_batch(cached_outputs):
 
 
 def test_lru_eviction():
+    # The cache is keyed by token CONTENT (intended semantics: identical
+    # prompts dedup regardless of Segment construction) — so the two
+    # contexts must differ in TOKENS. Different random prompt *audio* is
+    # not enough: the tiny codec quantizes both noises to the same token
+    # ids. Different prompt *text* guarantees distinct keys.
     e = FireRedTTS2Engine(config=tiny_engine_config(voice_state_cache=1),
                           seed=3)
-    a, b = _context(1), _context(2)
+    a = _context(1, text="First distinct prompt text.")
+    b = _context(2, text="Second, entirely different prompt.")
     for _ in range(2):
         e.generate(TEXT, "[S2]", a, max_audio_length_ms=160, topk=1)
     assert e.voice_state_builds == 1
@@ -100,6 +106,22 @@ def test_lru_eviction():
     assert len(e._voice_state_cache) == 1
     e.generate(TEXT, "[S2]", a, max_audio_length_ms=160, topk=1)
     assert e.voice_state_builds == 3          # a must rebuild after evict
+
+
+def test_content_key_dedup():
+    """Intended semantics (pinned): the cache key is the context's token
+    CONTENT, so two Segment lists that tokenize identically share one
+    entry — no rebuild, no second slot — even when the Python objects
+    (and, under the tiny codec, the raw prompt audio) differ."""
+    e = FireRedTTS2Engine(config=tiny_engine_config(voice_state_cache=4),
+                          seed=3)
+    # different seeds -> different raw audio; tiny codec quantizes both to
+    # the same tokens; same text -> identical token content
+    for seed in (1, 2, 3, 4):
+        e.generate(TEXT, "[S2]", _context(seed), max_audio_length_ms=160,
+                   topk=1)
+    assert e.voice_state_builds == 1
+    assert len(e._voice_state_cache) == 1
 
 
 def test_reload_clears_cache(cached_engine):
