@@ -453,7 +453,8 @@ def prefill_into_slot(params: Params, cfg: LLMConfig, state: LMState,
     tokens/tokens_mask/valid are (1, S, C+1)/(1, S) right-aligned buckets.
     Returns (updated batched state, first sampled frame (1, ncb)).
     """
-    small = init_lm_state(cfg, 1, state.cache_k.dtype)
+    small = init_lm_state(cfg, 1, state.cache_k.dtype,
+                          capacity=state.cache_k.shape[2])
     small, frame = lm_generate_frame(
         params, cfg, small, tokens, tokens_mask, valid, key,
         temperature, topk, depth_topk, depth_temperature)
@@ -486,7 +487,10 @@ def prefill_into_slots(params: Params, cfg: LLMConfig, state: LMState,
     Returns (updated batched state, frames (N, ncb)).
     """
     N = tokens.shape[0]
-    small = init_lm_state(cfg, N, state.cache_k.dtype)
+    # capacity follows the TARGET state's slab (capacity-classed pools run
+    # slabs smaller than cfg.max_seq_len — runtime/batcher.py)
+    small = init_lm_state(cfg, N, state.cache_k.dtype,
+                          capacity=state.cache_k.shape[2])
     small, frames = lm_generate_frame(
         params, cfg, small, tokens, tokens_mask, valid, key,
         temperature, topk, depth_topk, depth_temperature)
@@ -498,6 +502,59 @@ def prefill_into_slots(params: Params, cfg: LLMConfig, state: LMState,
         pos=state.pos.at[bs].set(small.pos, mode="drop"),
     )
     return new_state, frames
+
+
+def prefill_into_slot_prefix(params: Params, cfg: LLMConfig, state: LMState,
+                             b: Array, pk: Array, pv: Array, plen: Array,
+                             tokens: Array, tokens_mask: Array, valid: Array,
+                             real_len: Array, key: Array,
+                             temperature=0.9, topk: int | Array = 20,
+                             depth_topk: int = 10,
+                             depth_temperature: float = 0.75,
+                             ) -> tuple[LMState, Array]:
+    """Admit one stream into slot `b` FROM A CACHED KV PREFIX: the slot
+    starts with the voice/context prefix rows already in place and only
+    the new text window is prefilled (append mode) — the batched analogue
+    of the engine's per-voice KV prefix cache (engine._context_state,
+    VERDICT r3 #3 "a slot starts from the cached slab").
+
+    pk/pv: (Lyr, 1, P, W) prefix slab rows (P = 128-aligned crop of the
+    cached full-capacity state; static per compiled program). plen: (1,)
+    true prefix length (rows [plen, P) are pad — marked invalid).
+    tokens/tokens_mask/valid: (1, S, C+1)/(1, S) RIGHT-padded text window
+    (content left-aligned); real_len: (1,) its true length. The window
+    lands at absolute positions [plen, plen+real_len) — contiguous with
+    the prefix, exact under RoPE shift invariance (the incremental-
+    dialogue equivalence class, CLAUDE.md).
+
+    Returns (updated batched state, first sampled frame (1, ncb)).
+    """
+    cap = state.cache_k.shape[2]
+    P = pk.shape[2]
+    dtype = state.cache_k.dtype
+    small = init_lm_state(cfg, 1, dtype, capacity=cap)
+    rows = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    small = LMState(
+        cache_k=jax.lax.dynamic_update_slice(
+            small.cache_k, pk.astype(dtype), (0, 0, 0, 0)),
+        cache_v=jax.lax.dynamic_update_slice(
+            small.cache_v, pv.astype(dtype), (0, 0, 0, 0)),
+        slot_valid=rows < plen[:, None],
+        pos=plen.astype(jnp.int32),
+    )
+    small, frame = lm_generate_frame(
+        params, cfg, small, tokens, tokens_mask, valid, key,
+        temperature, topk, depth_topk, depth_temperature, real_len=real_len)
+    new_state = LMState(
+        cache_k=jax.lax.dynamic_update_slice(
+            state.cache_k, small.cache_k, (0, b, 0, 0)),
+        cache_v=jax.lax.dynamic_update_slice(
+            state.cache_v, small.cache_v, (0, b, 0, 0)),
+        slot_valid=jax.lax.dynamic_update_slice(
+            state.slot_valid, small.slot_valid, (b, 0)),
+        pos=jax.lax.dynamic_update_slice(state.pos, small.pos, (b,)),
+    )
+    return new_state, frame
 
 
 def build_step_frame(cfg: LLMConfig, frame: Array) -> tuple[Array, Array]:

@@ -87,6 +87,11 @@ def flash_supported(q: Array, k: Array) -> bool:
     B, S, Hq, D = q.shape
     if k.shape[-1] != Hq * D or S % 8:
         return False          # GQA slab — not supported (vocoder is MHA)
+    if (os.environ.get("FRTTS2_FLASH_VOC") != "interpret"
+            and k.shape[-1] % 128):
+        # real-TPU lane tiling: a narrow slab gets lane-padded and its
+        # row slices fail Mosaic alignment (see flash_lm_ok)
+        return False
     return pick_chunk(k.shape[-2]) is not None
 
 
@@ -379,7 +384,12 @@ def flash_lm_interpret() -> bool:
 
 def flash_lm_ok(q: Array, k4: Array) -> bool:
     """Shape eligibility for the S=1 GQA kernel: 4-D merged slab whose
-    width divides the query heads, and a tile-aligned chunking of T."""
+    width divides the query heads, and a tile-aligned chunking of T. On a
+    real TPU the slab width must also be a whole number of 128-lane
+    tiles: a narrow slab (e.g. the tiny dev configs' 32) gets lane-padded
+    by Mosaic, and its row slices then fail tiling alignment — observed
+    as 'Slice shape along dimension 3 must be aligned to tiling (128)'
+    when a tiny engine runs on chip. Interpret mode has no such limit."""
     if k4.ndim != 4:
         return False
     B, S, Hq, Dh = q.shape
@@ -388,18 +398,23 @@ def flash_lm_ok(q: Array, k4: Array) -> bool:
     Hkv = k4.shape[-1] // Dh
     if Hq % Hkv:
         return False
+    if not flash_lm_interpret() and k4.shape[-1] % 128:
+        return False
     return pick_chunk(k4.shape[-2]) is not None
 
 
 def _kernel_gqa1(scal_ref, bounds_ref, q_ref, k_hbm, v_hbm, out_ref,
                  kbuf, vbuf, sems, *, C: int, Hkv: int, G: int, Dh: int,
-                 nbuf: int):
+                 nbuf: int, col_window: bool = False):
     """Hkv here is the LOCAL kv-head count this call computes over; the
-    slab may hold more (tensor-parallel serving: each tp shard reads only
-    its heads' columns — scal[0,3] = kv0 is the first kv head, and the DMA
-    column window starts at kv0*Dh; kv0 is 0 and the window the full slab
-    width in single-device serving). Column offsets must stay 128-lane
-    aligned on real TPUs — flash_lm_tp_ok enforces Dh % 128 == 0."""
+    slab may hold more (tensor-parallel serving, col_window=True: each tp
+    shard reads only its heads' columns — scal[0,3] = kv0 is the first kv
+    head, and the DMA column window starts at kv0*Dh). Single-device
+    serving keeps col_window=False: the lane dim is sliced with ':'
+    exactly as before — an EXPLICIT lane-dim pl.ds demands 128-aligned
+    extent AND offset from Mosaic, which small-width configs (W < 128)
+    cannot satisfy; flash_lm_tp_ok enforces Dh % 128 == 0 before the tp
+    route is taken on a real TPU."""
     b = pl.program_id(0)
     B = pl.num_programs(0)
     nc = scal_ref[0, 0]
@@ -410,19 +425,22 @@ def _kernel_gqa1(scal_ref, bounds_ref, q_ref, k_hbm, v_hbm, out_ref,
     W = Hkv * Dh                         # local window width
     span = nc - c0
 
+    def cols(ref, bb, cc):
+        if col_window:
+            return ref.at[lyr, bb, pl.ds(cc * C, C), pl.ds(col0, W)]
+        return ref.at[lyr, bb, pl.ds(cc * C, C), :]
+
     def start(slot, bb, cc):
-        pltpu.make_async_copy(
-            k_hbm.at[lyr, bb, pl.ds(cc * C, C), pl.ds(col0, W)],
-            kbuf.at[slot], sems.at[0, slot]).start()
-        pltpu.make_async_copy(
-            v_hbm.at[lyr, bb, pl.ds(cc * C, C), pl.ds(col0, W)],
-            vbuf.at[slot], sems.at[1, slot]).start()
+        pltpu.make_async_copy(cols(k_hbm, bb, cc), kbuf.at[slot],
+                              sems.at[0, slot]).start()
+        pltpu.make_async_copy(cols(v_hbm, bb, cc), vbuf.at[slot],
+                              sems.at[1, slot]).start()
 
     def wait(slot):
-        pltpu.make_async_copy(k_hbm.at[0, 0, pl.ds(0, C), pl.ds(0, W)],
-                              kbuf.at[slot], sems.at[0, slot]).wait()
-        pltpu.make_async_copy(v_hbm.at[0, 0, pl.ds(0, C), pl.ds(0, W)],
-                              vbuf.at[slot], sems.at[1, slot]).wait()
+        pltpu.make_async_copy(cols(k_hbm, 0, 0), kbuf.at[slot],
+                              sems.at[0, slot]).wait()
+        pltpu.make_async_copy(cols(v_hbm, 0, 0), vbuf.at[slot],
+                              sems.at[1, slot]).wait()
 
     @pl.when(b == 0)
     def _():
@@ -515,10 +533,11 @@ def flash_decode_gqa1(q: Array, k4: Array, v4: Array, layer: Array,
     G = Hq // Hkv
     C = pick_chunk(T)
     assert C is not None and Hkv * G == Hq and Hkv * Dh <= W
+    col_window = Hkv * Dh != W   # tp shard: window the slab columns
 
     flag = os.environ.get("FRTTS2_FLASH_LM", "")
     kern = functools.partial(_kernel_gqa1, C=C, Hkv=Hkv, G=G, Dh=Dh,
-                             nbuf=_NBUF)
+                             nbuf=_NBUF, col_window=col_window)
     bounds = jnp.stack([q_start.astype(jnp.int32),
                         q_end.astype(jnp.int32)])       # (2, B)
     out = pl.pallas_call(

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from fireredtts2_tpu.config import EngineConfig
 from fireredtts2_tpu.models.lm.model import (
-    init_lm_state, prefill_into_slots, reset_lm_slots,
+    init_lm_state, prefill_into_slots, prefill_into_slot_prefix,
+    reset_lm_slots,
 )
 from fireredtts2_tpu.models.codec.decoder import reset_vocoder_slots
 from fireredtts2_tpu.models.codec.model import stream_decode_init
@@ -96,6 +97,11 @@ class _Pending:
     topk: int
     max_frames: int
     collect_tokens: bool = False
+    # Cached-prefix admission (submit with a repeat context): (pk, pv,
+    # plen, P) device slabs + the text window's true length — the slot
+    # starts from the cached context KV and append-prefills only the text.
+    prefix: Optional[tuple] = None
+    real_len: int = 0
 
 
 class ContinuousBatcher:
@@ -157,6 +163,7 @@ class ContinuousBatcher:
         self.pending: "queue.Queue[_Pending]" = queue.Queue()
         self._step_count = 0
         self._stop = threading.Event()
+        self._dead: Optional[Exception] = None  # set if the worker crashed
         self._lock = threading.Lock()
         # Hot reload (reload()): while set, pending requests stay queued
         # instead of being admitted, so live slots drain naturally.
@@ -180,6 +187,16 @@ class ContinuousBatcher:
                     depth_topk=cfg.depth_topk,
                     depth_temperature=cfg.depth_temperature),
             donate_argnames=("state",))
+        # Cached-prefix admission (one compiled program per (P, bucket)):
+        # the slot starts from a cached context KV slab and append-prefills
+        # only the new text (engine voice-state cache, batched).
+        self._prefill_prefix = jax.jit(
+            partial(prefill_into_slot_prefix, cfg=llm_cfg,
+                    depth_topk=cfg.depth_topk,
+                    depth_temperature=cfg.depth_temperature),
+            donate_argnames=("state",))
+        from collections import OrderedDict
+        self._prefix_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._reset_lm = jax.jit(reset_lm_slots, donate_argnames=("state",))
         self._reset_vo = jax.jit(reset_vocoder_slots, donate_argnames=("state",))
         self.emitted = jnp.zeros((self.B,), jnp.int32)
@@ -330,6 +347,7 @@ class ContinuousBatcher:
                 # old weights.
                 time.sleep(0.1)
                 self.engine.apply_checkpoint(prepared)
+                self._prefix_cache.clear()   # slabs hold OLD-weight KV
             finally:
                 self._admit_paused.clear()
 
@@ -339,11 +357,81 @@ class ContinuousBatcher:
                max_audio_length_ms: float = 30_000) -> StreamHandle:
         """Enqueue a stream; returns a handle yielding audio chunks.
         temperature/topk/max_audio_length_ms are honored PER REQUEST even
-        though all live requests share one compiled batched step."""
-        prompt, mask = self.engine._build_prompt(list(context), text, speaker)
+        though all live requests share one compiled batched step.
+
+        A repeat context is admitted FROM ITS CACHED KV PREFIX (the
+        engine's per-voice state cache, batched: the slot starts with the
+        context slab in place and only the text window prefills — O(text)
+        admission instead of O(context+text); greedy-exact vs the plain
+        layout by RoPE shift invariance, the voice-state-cache
+        equivalence class)."""
+        context = list(context)
+        pre = self._context_prefix(context) if context else None
+        if pre is not None:
+            pk, pv, plen, P = pre
+            win, wmask = self.engine._tokenize_text_segment(text, speaker)
+            bucket, tokens, tmask, valid = self.engine._right_pad(win, wmask)
+            cap = self.lm_state.cache_k.shape[2]
+            if plen + bucket < min(cap, self.seq_capacity):
+                handle = StreamHandle(request_id=uuid.uuid4().hex)
+                handle._t0 = time.perf_counter()
+                max_frames = min(int(max_audio_length_ms / 80),
+                                 self.seq_capacity - plen - bucket,
+                                 self.max_frames_cap)
+                self.pending.put(_Pending(
+                    handle=handle, tokens=tokens, mask=tmask, valid=valid,
+                    temperature=(temperature if temperature is not None
+                                 else self.cfg.default_temperature),
+                    topk=(topk if topk is not None else self.default_topk),
+                    max_frames=max_frames, prefix=(pk, pv, plen, P),
+                    real_len=int(win.shape[0])))
+                return handle
+        prompt, mask = self.engine._build_prompt(context, text, speaker)
         return self.submit_prompt(prompt, mask, temperature=temperature,
                                   topk=topk,
                                   max_audio_length_ms=max_audio_length_ms)
+
+    def _context_prefix(self, context) -> Optional[tuple]:
+        """Cached (pk, pv, plen, P) for this context, or None (first
+        sighting / cache disabled / doesn't fit the pool). Delegates
+        content keying, the cache-on-second-use policy, and the prefix
+        build to the ENGINE's voice-state cache (engine._context_state),
+        then crops the full-capacity slab to the smallest 128-aligned
+        bucket >= plen so slot scatters move only the live rows."""
+        import hashlib
+
+        e = self.engine
+        if getattr(e.config, "voice_state_cache", 0) <= 0:
+            return None
+        try:
+            pieces = [e._tokenize_segment(s) for s in context]
+        except Exception:  # noqa: BLE001 — fall back to the plain path
+            return None
+        win = np.concatenate([p[0] for p in pieces])
+        wmask = np.concatenate([p[1] for p in pieces])
+        key = hashlib.sha256(win.tobytes() + wmask.tobytes()).hexdigest()
+        hit = self._prefix_cache.get(key)
+        if hit is None:
+            ctx = e._context_state(context)
+            if ctx is None:
+                return None
+            state, plen = ctx
+            # 128-aligned crop: P is only a copy length (no DMA-tile
+            # constraint), and coarser alignment would reject small pools
+            # outright (a 512 crop >= the tiny test pool's whole class)
+            P = -(-plen // 128) * 128
+            cap = self.lm_state.cache_k.shape[2]
+            if P >= min(cap, self.seq_capacity):
+                return None          # context alone fills the pool's class
+            hit = (state.cache_k[:, :, :P], state.cache_v[:, :, :P],
+                   plen, P)
+            self._prefix_cache[key] = hit
+            while len(self._prefix_cache) > \
+                    max(4, e.config.voice_state_cache):
+                self._prefix_cache.popitem(last=False)
+        else:
+            self._prefix_cache.move_to_end(key)
+        return hit
 
     def submit_prompt(self, prompt: np.ndarray, mask: np.ndarray,
                       temperature: Optional[float] = None,
@@ -356,6 +444,8 @@ class ContinuousBatcher:
         frames land in handle.tokens at completion. Used by the batched
         clone path, which must trim tokens BEFORE vocoding to match the
         reference (fireredtts2.py:440)."""
+        if self._dead is not None:
+            raise RuntimeError("batcher worker died") from self._dead
         bucket, tokens, tmask, valid = self.engine._bucketize(prompt, mask)
         if bucket >= self.seq_capacity:
             raise ValueError(
@@ -482,49 +572,79 @@ class ContinuousBatcher:
         self.vo_state = self._reset_vo(self.vo_state, rsj)
         t_reset = time.perf_counter()
 
+        plain = [(r, b) for r, b in zip(reqs, slot_ids) if r.prefix is None]
+        prefixed = [(r, b) for r, b in zip(reqs, slot_ids)
+                    if r.prefix is not None]
+
         # Pad the burst to one of TWO static row counts (1 for the common
         # single arrival, B for any burst) so exactly two prefill programs
         # exist per bucket — deterministic compile surface, no first-burst
         # compile stall at a new size. Dummy rows scatter to out-of-range
         # slot B and are dropped.
-        N = len(reqs)
-        Np = 1 if N == 1 else self.B
-        S = max(r.tokens.shape[1] for r in reqs)
-        C = reqs[0].tokens.shape[2]
-        tokens = np.zeros((Np, S, C), np.int32)
-        mask = np.zeros((Np, S, C), bool)
-        valid = np.zeros((Np, S), bool)
-        temps = np.full((Np,), self.cfg.default_temperature, np.float32)
-        topks = np.full((Np,), self.default_topk, np.int32)
-        bs = np.full((Np,), self.B, np.int32)
-        for i, req in enumerate(reqs):
-            s = req.tokens.shape[1]
-            tokens[i, S - s:] = req.tokens[0]
-            mask[i, S - s:] = req.mask[0]
-            valid[i, S - s:] = req.valid[0]
-            temps[i] = req.temperature
-            topks[i] = req.topk
-            bs[i] = slot_ids[i]
-        t_pack = time.perf_counter()
-        self.lm_state, frames = self._prefill_slots(
-            self.engine.lm_params, state=self.lm_state, bs=jnp.asarray(bs),
-            tokens=jnp.asarray(tokens), tokens_mask=jnp.asarray(mask),
-            valid=jnp.asarray(valid), key=self._next_key(),
-            temperature=jnp.asarray(temps)[:, None],
-            topk=jnp.asarray(topks))
-        t_disp = time.perf_counter()
-        # Fixed-shape scatter (full Np rows, dummies drop at index B): a
-        # bs[:N]-shaped update would compile a NEW program per distinct
-        # burst size MID-SERVING (~2.3 s each through the tunnel, measured
-        # update_ms in the admission timeline).
-        self.frames = self.frames.at[jnp.asarray(bs)].set(frames, mode="drop")
+        t_pack = t_disp = t_reset
+        if plain:
+            N = len(plain)
+            Np = 1 if N == 1 else self.B
+            S = max(r.tokens.shape[1] for r, _ in plain)
+            C = plain[0][0].tokens.shape[2]
+            tokens = np.zeros((Np, S, C), np.int32)
+            mask = np.zeros((Np, S, C), bool)
+            valid = np.zeros((Np, S), bool)
+            temps = np.full((Np,), self.cfg.default_temperature, np.float32)
+            topks = np.full((Np,), self.default_topk, np.int32)
+            bs = np.full((Np,), self.B, np.int32)
+            for i, (req, slot_id) in enumerate(plain):
+                s = req.tokens.shape[1]
+                tokens[i, S - s:] = req.tokens[0]
+                mask[i, S - s:] = req.mask[0]
+                valid[i, S - s:] = req.valid[0]
+                temps[i] = req.temperature
+                topks[i] = req.topk
+                bs[i] = slot_id
+            t_pack = time.perf_counter()
+            self.lm_state, frames = self._prefill_slots(
+                self.engine.lm_params, state=self.lm_state,
+                bs=jnp.asarray(bs),
+                tokens=jnp.asarray(tokens), tokens_mask=jnp.asarray(mask),
+                valid=jnp.asarray(valid), key=self._next_key(),
+                temperature=jnp.asarray(temps)[:, None],
+                topk=jnp.asarray(topks))
+            t_disp = time.perf_counter()
+            # Fixed-shape scatter (full Np rows, dummies drop at index B):
+            # a bs[:N]-shaped update would compile a NEW program per
+            # distinct burst size MID-SERVING (~2.3 s each through the
+            # tunnel, measured update_ms in the admission timeline).
+            self.frames = self.frames.at[jnp.asarray(bs)].set(frames,
+                                                              mode="drop")
+        # Cached-prefix admissions: one dispatch each (the text window
+        # append-prefills onto the copied context slab; programs key on
+        # the (P, bucket) shape pair).
+        for req, slot_id in prefixed:
+            pk, pv, plen, _P = req.prefix
+            self.lm_state, frame = self._prefill_prefix(
+                self.engine.lm_params, state=self.lm_state,
+                b=jnp.int32(slot_id), pk=pk, pv=pv,
+                plen=jnp.asarray([plen], jnp.int32),
+                tokens=jnp.asarray(req.tokens),
+                tokens_mask=jnp.asarray(req.mask),
+                valid=jnp.asarray(req.valid),
+                real_len=jnp.asarray([req.real_len], jnp.int32),
+                key=self._next_key(),
+                # arrays, not python scalars: a scalar would bake into the
+                # compiled program and recompile per distinct value
+                temperature=jnp.full((1, 1), req.temperature, jnp.float32),
+                topk=jnp.asarray([req.topk], jnp.int32))
+            self.frames = self.frames.at[slot_id].set(frame[0])
         now = time.perf_counter()
         self.timeline.append({
-            "t": round(now - self._tl_t0, 4), "ev": "admit", "n": N,
-            "S": S, "host_ms": round((now - t_admit) * 1e3, 2),
+            "t": round(now - self._tl_t0, 4), "ev": "admit", "n": len(reqs),
+            "S": max(r.tokens.shape[1] for r in reqs),
+            "n_prefix": len(prefixed),
+            "host_ms": round((now - t_admit) * 1e3, 2),
             # phase attribution: reset = eager per-slot state resets,
             # prefill = the _prefill_slots dispatch (async unless the
-            # runtime blocks), update = the frames scatter
+            # runtime blocks), update = the frames scatter + any prefix
+            # admissions
             "reset_ms": round((t_reset - t_admit) * 1e3, 1),
             "prefill_ms": round((t_disp - t_pack) * 1e3, 1),
             "update_ms": round((now - t_disp) * 1e3, 1)})
@@ -572,6 +692,9 @@ class ContinuousBatcher:
         except Exception as e:  # fail every live + pending stream loudly
             import traceback
             traceback.print_exc()
+            # submits after worker death must fail fast, not hang their
+            # consumers on a queue nobody will ever feed
+            self._dead = e
             for s in self.slots:
                 if s.active and s.handle is not None:
                     s.handle.error = e

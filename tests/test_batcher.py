@@ -214,6 +214,33 @@ def test_capacity_class_pool(greedy_engine):
         b.stop()
 
 
+def test_capacity_class_smaller_than_engine_slab():
+    """A pool whose slab is genuinely SMALLER than the engine's (pool
+    kv_capacity 512 vs engine 1024 — the tiny default rounds everything
+    to 512, hiding shape bugs): admission prefill must build its scratch
+    state at the POOL's capacity, not cfg.max_seq_len
+    (models/lm/model.py:prefill_into_slots)."""
+    import dataclasses
+
+    base = tiny_engine_config(depth_topk=1)
+    cfg = dataclasses.replace(
+        base, llm=dataclasses.replace(base.llm, max_seq_len=1024),
+        max_seq_len=1024)
+    e = FireRedTTS2Engine(config=cfg, seed=0)
+    from fireredtts2_tpu.models.lm.model import kv_capacity
+    b = ContinuousBatcher(e, max_streams=2, topk=1, seq_capacity=256,
+                          max_frames_cap=4)
+    assert b.lm_state.cache_k.shape[2] == kv_capacity(256) == 512
+    assert kv_capacity(cfg.llm.max_seq_len) == 1024  # engine slab differs
+    b.start()
+    try:
+        got = _collect(b.submit("mixed capacity pool", "[S1]",
+                                max_audio_length_ms=320))
+        assert got.shape[0] > 0 and np.isfinite(got).all()
+    finally:
+        b.stop()
+
+
 def test_warmup_ladder_then_serving_matches_single_engine(greedy_engine):
     """warmup_blocks=True pre-compiles every ladder-K block, both prefill
     burst shapes, the vectorized resets, and the frames scatter BEFORE

@@ -103,3 +103,48 @@ def test_clone_requires_prompt(batcher):
     with pytest.raises(ValueError, match="prompt"):
         batcher.generate_monologue_clone("no prompt here",
                                          prompt_text="x")
+
+
+def test_context_prefix_admission(engine, prompt_audio):
+    """submit() with a REPEAT context admits from the cached KV prefix
+    (engine voice-state cache, batched — the slot starts from the cached
+    slab and append-prefills only the text).
+
+    Equivalence class (CLAUDE.md): the prefix layout places context+text
+    at contiguous absolute positions while the plain path left-pads one
+    bucket — greedy near-ties can flip between the two layouts (different
+    program shapes -> different matmul tiling), so cross-layout bitwise
+    equality is NOT asserted; within the prefix layout, repeated greedy
+    requests must be identical (deterministic program, keys ignored at
+    topk=1/depth_topk=1).
+
+    NOTE the merged-text monologue clone CANNOT share a prefix (the
+    reference merges prompt_text+chunk into ONE segment, text-first —
+    fireredtts2.py:424 — so the token prefix differs per text); the
+    context path here is the reference's generate_dialogue-style cloning
+    (fixed context segments + new text appended)."""
+    ctx = [Segment(speaker="[S1]", text="A fixed voice context.",
+                   audio=prompt_audio)]
+    b = ContinuousBatcher(engine, max_streams=4, topk=1)
+    b.start()
+    try:
+        outs = []
+        for _ in range(4):   # 1: plain, 2: engine-cache build, 3-4: hits
+            h = b.submit("hello prefix", "[S1]", context=ctx,
+                         max_audio_length_ms=640, topk=1)
+            outs.append(_collect(h))
+        assert len(b._prefix_cache) == 1
+        for o in outs:
+            assert o.shape[0] > 0 and np.isfinite(o).all()
+        # prefix-path determinism: build-admission and hit-admissions run
+        # the same program on the same content
+        assert outs[1].shape == outs[2].shape == outs[3].shape
+        np.testing.assert_allclose(outs[2], outs[1], rtol=2e-3, atol=5e-4)
+        np.testing.assert_allclose(outs[3], outs[1], rtol=2e-3, atol=5e-4)
+    finally:
+        b.stop()
+
+
+def _collect(handle):
+    chunks = list(handle)
+    return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)

@@ -99,7 +99,79 @@ async def run_load(uri: str, n_streams: int, text: str, max_ms: float,
     }
 
 
-def _self_host(kind: str, port: int, max_streams: int):
+async def _one_clone(base: str, voice_id: str, text: str, out: list) -> None:
+    """One clone request via REST /api/v1/tts/clone (the batched clone
+    path, runtime/batcher.py:generate_monologue_clone) in a worker
+    thread; records wall + produced audio seconds."""
+    import urllib.request
+
+    def post():
+        req = urllib.request.Request(
+            base + "/api/v1/tts/clone",
+            data=json.dumps({"text": text,
+                             "voice_profile_id": voice_id}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    rec = {"audio_s": 0.0, "wall_s": None, "error": None}
+    t0 = time.perf_counter()
+    try:
+        resp = await asyncio.to_thread(post)
+        rec["audio_s"] = float(resp.get("duration_s", 0.0))
+    except Exception as e:  # noqa: BLE001
+        rec["error"] = f"{type(e).__name__}: {e}"
+    rec["wall_s"] = time.perf_counter() - t0
+    out.append(rec)
+
+
+async def run_clone_load(base: str, voice_id: str, n: int, text: str) -> dict:
+    """N concurrent clone requests; per-stream RTF from produced audio
+    seconds over request wall (VERDICT r3 #3 done-criterion: concurrent
+    clones decode in ONE batched program)."""
+    warm: list = []
+    await asyncio.gather(*[_one_clone(base, voice_id, text, warm)
+                           for _ in range(n)])
+    out: list = []
+    t0 = time.perf_counter()
+    await asyncio.gather(*[_one_clone(base, voice_id, text, out)
+                           for _ in range(n)])
+    wall = time.perf_counter() - t0
+    ok = [r for r in out if r["error"] is None and r["audio_s"] > 0]
+    rtfs = [r["audio_s"] / r["wall_s"] for r in ok]
+    return {
+        "clone_streams": n, "ok": len(ok),
+        "errors": [r["error"] for r in out if r["error"]][:4],
+        "per_stream_rtf": {"min": round(min(rtfs), 3) if rtfs else None,
+                           "p50": _pct(rtfs, 0.5)},
+        "aggregate_rtf": round(sum(r["audio_s"] for r in ok) / wall, 2),
+        "wall_s": round(wall, 2),
+    }
+
+
+def _make_voice(base: str) -> str:
+    """Create a throwaway voice profile (noise prompt) -> profile id."""
+    import urllib.request
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    pcm = (np.clip(rng.standard_normal(32_000) * 0.2, -1, 1)
+           * 32767).astype("<i2")
+    req = urllib.request.Request(
+        base + "/api/v1/voices/create",
+        data=json.dumps({
+            "name": "ws-load-probe",
+            "reference_text": "A short voice prompt for the load probe.",
+            "sample_rate": 16_000,
+            "data": pcm.tobytes().hex()}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())["profile_id"]
+
+
+def _self_host(kind: str, port: int, max_streams: int, http_port=None,
+               voice_dir=None):
     """Start a WebSocketTTSServer in this process -> (server, loop)."""
     import threading
 
@@ -122,6 +194,12 @@ def _self_host(kind: str, port: int, max_streams: int):
             seed=0)
     server = WebSocketTTSServer(engine, host="127.0.0.1", port=port,
                                 max_streams=max_streams)
+    http_srv = None
+    if http_port is not None:
+        from fireredtts2_tpu.serve.server import HealthHTTPServer
+        http_srv = HealthHTTPServer(server, host="127.0.0.1", port=http_port,
+                                    voice_dir=voice_dir)
+        http_srv.start()
     loop = asyncio.new_event_loop()
 
     def spin():
@@ -153,12 +231,25 @@ def main() -> int:
     ap.add_argument("--timeline", action="store_true",
                     help="dump the batcher's admit/block event timeline "
                     "after the timed wave (latency forensics)")
+    ap.add_argument("--clone-streams", type=int, default=0,
+                    help="ALSO run N concurrent voice-clone requests "
+                    "through REST /api/v1/tts/clone (the batched clone "
+                    "path) and report their per-stream RTF")
+    ap.add_argument("--http-port", type=int, default=18796)
     args = ap.parse_args()
 
     server = None
     if args.self_host:
+        voice_dir = None
+        if args.clone_streams:
+            import tempfile
+            voice_dir = tempfile.mkdtemp(prefix="wsload_voices_")
         server = _self_host(args.self_host, args.port,
-                            max_streams=args.streams)
+                            max_streams=max(args.streams,
+                                            args.streams + args.clone_streams),
+                            http_port=(args.http_port if args.clone_streams
+                                       else None),
+                            voice_dir=voice_dir)
     uri = f"ws://{args.host}:{args.port}"
     batcher = getattr(getattr(server, "service", None), "batcher", None)
     if batcher is not None:
@@ -172,6 +263,11 @@ def main() -> int:
                  warmup=not args.no_warmup,
                  after_warmup=(batcher.reset_host_stats
                                if batcher is not None else None)))
+    if args.clone_streams:
+        base = f"http://{args.host}:{args.http_port}"
+        voice_id = _make_voice(base)
+        res["clone"] = asyncio.run(run_clone_load(
+            base, voice_id, args.clone_streams, args.text))
     if batcher is not None:
         # host-cost attribution (runtime/batcher.py:host_stats): dispatch
         # + fanout = pure host overhead; fetch includes device wait.
