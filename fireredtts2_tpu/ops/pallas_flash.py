@@ -145,13 +145,22 @@ def _kernel(scal_ref, pos_ref, qend_ref, qstart_ref, q_ref, *rest,
         pltpu.make_async_copy(v_slab.at[0, 0, pl.ds(0, C), :], vbuf.at[slot],
                               sems.at[1, slot]).wait()
 
+    T_slab = k_slab.shape[-2]
+
     @pl.when(b == 0)
     def _():
         if write:
             # Write EVERY batch row's fresh K/V before any chunk read —
             # the cross-row prefetch below may touch row b+1's live tail.
+            # pos is CLAMPED into [0, T - Sw]: a stream whose frame cap
+            # was crossed mid-block keeps decoding garbage lanes the host
+            # never emits, and an unclamped overshoot is an OUT-OF-BOUNDS
+            # DMA that hard-aborts the device (TPU INTERNAL, observed
+            # with 30 s clone streams crossing the 3008-latent slab).
+            # XLA's dynamic_update_slice clamps identically.
             for bb in range(B):
-                p = pl.multiple_of(pos_ref[0, bb], 8)
+                p = pl.multiple_of(
+                    jnp.minimum(pos_ref[0, bb], T_slab - Sw), 8)
                 pltpu.make_async_copy(
                     newk_ref.at[bb],
                     k_out.at[lyr, bb, pl.ds(p, Sw), :],
@@ -161,7 +170,8 @@ def _kernel(scal_ref, pos_ref, qend_ref, qstart_ref, q_ref, *rest,
                     v_out.at[lyr, bb, pl.ds(p, Sw), :],
                     wsem.at[1, bb]).start()
             for bb in range(B):
-                p = pl.multiple_of(pos_ref[0, bb], 8)
+                p = pl.multiple_of(
+                    jnp.minimum(pos_ref[0, bb], T_slab - Sw), 8)
                 pltpu.make_async_copy(
                     newk_ref.at[bb], k_out.at[lyr, bb, pl.ds(p, Sw), :],
                     wsem.at[0, bb]).wait()
@@ -291,10 +301,19 @@ def _call(q, k4, v4, q_end, q_start, scalars, pos, new_k, new_v,
     return res[0].reshape(B, S, H, Dh)
 
 
-def _scalars(live_hi, live_lo, layer, C, kv0=None):
+def _scalars(live_hi, live_lo, layer, C, kv0=None, t_cap=None):
+    """t_cap: slab length T — chunk indices are CLAMPED to it so a stream
+    whose position overshot capacity (a frame cap crossed mid-block: the
+    host stops emitting, but the already-dispatched block still computes
+    its lanes) can never drive the DMA ring past the slab. Observed
+    without the clamp: TPU INTERNAL abort when 30 s clone streams crossed
+    the 3008-latent vocoder slab (2026-08-20)."""
     nc = jnp.maximum((live_hi + C - 1) // C, 1).astype(jnp.int32)
     c0 = (jnp.int32(0) if live_lo is None
           else jnp.maximum(live_lo, 0).astype(jnp.int32) // C)
+    if t_cap is not None:
+        nc = jnp.minimum(nc, t_cap // C)
+        c0 = jnp.minimum(c0, t_cap // C - 1)
     nc = jnp.maximum(nc, c0 + 1)
     lyr = jnp.int32(0) if layer is None else layer.astype(jnp.int32)
     kv0 = jnp.int32(0) if kv0 is None else jnp.asarray(kv0, jnp.int32)
@@ -325,7 +344,7 @@ def flash_decode_bounded(q: Array, k: Array, v: Array, q_end: Array,
     if q_start is None:
         q_start = jnp.zeros_like(q_end)
     return _call(q, k[None], v[None], q_end, q_start,
-                 _scalars(live_hi, live_lo, None, C),
+                 _scalars(live_hi, live_lo, None, C, t_cap=T),
                  jnp.zeros((1, B), jnp.int32), None, None,
                  write=False, interpret=interpret)
 
@@ -353,7 +372,7 @@ def flash_decode_update_bounded(
     assert C is not None and D == H * Dh and Sw % 8 == 0, (q.shape, k4.shape)
     q_start = jnp.zeros_like(q_end)
     return _call(q, k4, v4, q_end, q_start,
-                 _scalars(live_hi, None, layer, C),
+                 _scalars(live_hi, None, layer, C, t_cap=T),
                  pos.astype(jnp.int32).reshape(1, B),
                  new_k.reshape(B, Sw, D), new_v.reshape(B, Sw, D),
                  write=True, interpret=interpret)
@@ -560,7 +579,8 @@ def flash_decode_gqa1(q: Array, k4: Array, v4: Array, layer: Array,
             pltpu.SemaphoreType.DMA((2, _NBUF)),
         ],
         interpret=interpret or flag == "interpret",
-    )(_scalars(live_hi, live_lo, layer, C, kv0=kv_base), bounds, q, k4, v4)
+    )(_scalars(live_hi, live_lo, layer, C, kv0=kv_base, t_cap=T),
+      bounds, q, k4, v4)
     return out
 
 

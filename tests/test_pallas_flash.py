@@ -284,3 +284,52 @@ def test_lm_gqa1_flash_tp_sharded(monkeypatch):
     single = run(None)
     sharded = run(make_mesh(dp=2, tp=4))
     np.testing.assert_allclose(sharded, single, rtol=3e-5, atol=3e-5)
+
+
+def test_overshoot_clamps_write_and_reads():
+    """A stream whose position overshot the slab (frame cap crossed
+    mid-block: the host stops emitting but the dispatched block still
+    computes its lanes) must NOT drive the kernel out of bounds — writes
+    clamp to the last rows (like XLA dynamic_update_slice) and the chunk
+    ring never reads past T. Without the clamps this was a hard TPU abort
+    (INTERNAL) when 30 s clone streams crossed the 3008-latent vocoder
+    slab."""
+    from fireredtts2_tpu.ops.pallas_flash import (
+        flash_decode_update_bounded, flash_decode_bounded)
+
+    B, S, H, Dh, T, L = 2, 8, 4, 64, 64, 2
+    ks = jax.random.split(jax.random.PRNGKey(9), 5)
+    q = jax.random.normal(ks[0], (B, S, H, Dh))
+    k4 = jax.random.normal(ks[1], (L, B, T, H * Dh))
+    v4 = jax.random.normal(ks[2], (L, B, T, H * Dh))
+    new_k = jax.random.normal(ks[3], (B, S, H * Dh))
+    new_v = jax.random.normal(ks[4], (B, S, H * Dh))
+    # stream 0 normal; stream 1 OVERSHOT the slab end
+    pos = jnp.array([16, T + 8], jnp.int32)
+    q_end = jnp.broadcast_to(
+        jnp.array([[24], [T + 16]], jnp.int32), (B, S)).copy()
+    live_hi = jnp.int32(T + 16)          # past capacity
+    before = np.asarray(k4)
+    attn, k4o, v4o = flash_decode_update_bounded(
+        q, new_k, new_v, k4, v4, jnp.int32(1), pos, q_end, live_hi,
+        interpret=True)
+    assert np.isfinite(np.asarray(attn)).all()
+    k4o = np.asarray(k4o)
+    # stream 1's clamped write landed in the LAST S rows of its own lane
+    np.testing.assert_array_equal(k4o[1, 1, T - S:], np.asarray(new_k)[1])
+    # stream 0's write landed at pos normally; rows of OTHER (layer,
+    # stream) lanes are untouched
+    np.testing.assert_array_equal(k4o[1, 0, 16:16 + S],
+                                  np.asarray(new_k)[0])
+    np.testing.assert_array_equal(k4o[0], before[0])
+
+    # read-side: live_hi past capacity must clamp the chunk ring (and
+    # still match dense masked attention over the REAL slab extent)
+    k3 = jax.random.normal(ks[1], (B, T, H * Dh))
+    v3 = jax.random.normal(ks[2], (B, T, H * Dh))
+    qe = jnp.full((B, S), T + 40, jnp.int32)
+    out = flash_decode_bounded(q, k3, v3, qe, jnp.int32(T + 40),
+                               interpret=True)
+    want = _dense_ref(q, k3, v3, qe)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
