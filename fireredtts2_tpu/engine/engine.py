@@ -833,6 +833,16 @@ class FireRedTTS2Engine:
         the cached context KV.
         """
         max_len = int(max_audio_length_ms / 80)
+        # Streaming utterances are bounded by the vocoder's KV slab (8
+        # latents/frame; 3008 latents = 376 frames = 30 s at the stock
+        # config — the reference's own per-utterance cap,
+        # fireredtts2.py:383). Past it the slab write clamps (garbage
+        # audio, not a device abort — ops/pallas_flash.py), so cap here.
+        # Longer texts belong to generate()/generate_dialogue(), which
+        # split by sentence and vocode offline without a slab limit.
+        max_len = min(max_len,
+                      self.config.codec.acoustic_decoder.max_stream_latents
+                      // 8)
         t_start = time.perf_counter()
         self._first_packet_s = None
 
