@@ -40,7 +40,7 @@ import time
 
 BASELINE_FIRST_PACKET_MS = 140.0
 STAGES = ("fpl", "offline", "clone", "batched8", "batched16", "batched32",
-          "device")
+          "clone8", "device")
 _RETRYABLE_RC = 17
 # RESOURCE_EXHAUSTED is deliberately NOT here: on TPU it means HBM OOM — a
 # deterministic property of the stage, not a tunnel blip (VERDICT r3 #1).
@@ -88,6 +88,7 @@ def _headline(done: dict, errors: dict, partial: bool = False) -> str:
             if b32 else None),
         "backend": fpl.get("backend"),
         **done.get("clone", {}),
+        **{f"clone8_{k}": v for k, v in done.get("clone8", {}).items()},
         **done.get("device", {}),
     }
     if errors:
@@ -289,6 +290,7 @@ def worker(results_path: str, skip: set[str]) -> int:
         "batched8": lambda: _bench_batched(engine, 8),
         "batched16": lambda: _bench_batched(engine, 16),
         "batched32": lambda: _stage_batched32(engine, jax),
+        "clone8": lambda: _stage_clone8(engine),
         "device": lambda: _bench_device(engine, llm),
     }
     for stage in STAGES:
@@ -382,6 +384,63 @@ def _bench_offline(engine, text: str) -> float:
 
     run()  # compile
     return max(run(), run())
+
+
+def _stage_clone8(engine, n: int = 8, frames: int = 100) -> dict:
+    """8 CONCURRENT voice-clone requests through the shared batched
+    decoder (runtime/batcher.py:generate_monologue_clone — VERDICT r3 #3:
+    the reference serializes clone requests on one worker; round 3 of
+    this framework did too). Per-stream RTF = produced audio seconds over
+    request wall. frames=100 (8 s of audio each) keeps the stage fast;
+    concurrency, not length, is what it certifies."""
+    import threading
+
+    import numpy as np
+    from fireredtts2_tpu.runtime.batcher import ContinuousBatcher
+
+    rng = np.random.default_rng(1)
+    prompt_audio = (rng.standard_normal(24_000) * 0.05).astype(np.float32)
+    text = ("A cloned voice speaking a benchmark sentence about batched "
+            "decoding on tensor processing units.")
+    batcher = ContinuousBatcher(engine, max_streams=n)
+    batcher.start()
+    batcher.wait_ready(timeout=3600)
+    try:
+        def wave():
+            walls = [None] * n
+            audios = [None] * n
+
+            def run(i):
+                t0 = time.perf_counter()
+                audios[i] = batcher.generate_monologue_clone(
+                    text, prompt_text="A short voice prompt.",
+                    prompt_audio=prompt_audio, max_frames=frames)
+                walls[i] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(n)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            rtfs = [len(a) / 24_000.0 / w for a, w in zip(audios, walls)
+                    if a is not None and w]
+            total = sum(len(a) for a in audios if a is not None) / 24_000.0
+            return rtfs, total / wall
+
+        wave()                         # compile (bucket + block shapes)
+        rtfs, agg = wave()
+        return {
+            "streams": n,
+            "per_stream_min_rtf": round(min(rtfs), 3) if rtfs else None,
+            "per_stream_p50_rtf": (round(sorted(rtfs)[len(rtfs) // 2], 3)
+                                   if rtfs else None),
+            "aggregate_rtf": round(agg, 2),
+        }
+    finally:
+        batcher.stop()
 
 
 def _bench_device(engine, llm_cfg) -> dict:

@@ -71,7 +71,7 @@ def parse_plan(plan: str) -> dict[str, str]:
     strings get a ValueError naming the accepted grammar, not a bare
     KeyError traceback out of engine construction."""
     names = {"gate": "w_gate", "up": "w_up", "down": "w_down"}
-    modes = ("r8", "r4", "s8")
+    modes = ("r8", "r4", "s8", "r8a8", "s8a8")
     out = {"w_gate": "r8", "w_up": "r8", "w_down": "r8"}
     if plan:
         for part in plan.split(","):
@@ -82,8 +82,13 @@ def parse_plan(plan: str) -> dict[str, str]:
                     f"bad fused-depth plan entry {part!r}: expected "
                     f"<tensor>=<mode> with tensor in {sorted(names)} and "
                     f"mode in {modes} (r8 = VMEM-resident int8, r4 = "
-                    f"resident int4, s8 = HBM-streamed int8), e.g. "
-                    f"'gate=r8,up=s8,down=s8'")
+                    f"resident int4, s8 = HBM-streamed int8; the a8 "
+                    f"variants ALSO quantize the activations per row and "
+                    f"run native s8xs8 int32 MXU dots — measured ~15% "
+                    f"faster per weight byte than the int8->bf16 convert "
+                    f"path, tools/probe_dequant.py, but they CHANGE "
+                    f"NUMERICS: opt-in pending real-checkpoint quality "
+                    f"validation), e.g. 'gate=r8,up=s8,down=s8'")
             out[names[k]] = v
     return out
 
@@ -197,7 +202,7 @@ def prepare_depth_chain(params: dict[str, Any], cfg: LLMConfig,
                 xla_dec[k], xla_dec[k + "_scale4"] = q, s4.astype(dtype)
             else:
                 q, s = _quant8(v)
-                if p[k] == "s8" and k != "w_down":
+                if p[k] in ("s8", "s8a8") and k != "w_down":
                     # Streamed in-projections are stored TRANSPOSED
                     # (L, I, Dd): a column chunk of the logical weight is
                     # then a CONTIGUOUS row slice in HBM, giving every
@@ -305,6 +310,30 @@ def _deq8(w8: Array, dtype) -> Array:
     return w8.astype(dtype)
 
 
+def _dot_s8(a8: Array, b8: Array, transposed: bool = False) -> Array:
+    """Native int8 x int8 MXU dot, int32 accumulation, returned as f32
+    (the a8 plan modes — tools/probe_dequant.py measured 389.8 vs 332.1
+    GB/s-of-int8 for convert+dot). transposed: contraction on both
+    operands' second dim (streamed chunks are stored transposed)."""
+    dims = (((1,), (1,)), ((), ())) if transposed else (((1,), (0,)), ((), ()))
+    y = jax.lax.dot_general(a8, b8, dims,
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32)
+
+
+def _quant_act(x: Array) -> tuple[Array, Array]:
+    """Per-row symmetric int8 quantization of an activation block:
+    (B, D) -> (int8 (B, D), f32 scale (B, 1)). Round-to-nearest through
+    int32 (Mosaic vectorizes f32->i32 converts; i32->i8 is a narrowing
+    copy). The 1e-30 floor keeps all-zero rows finite."""
+    xf = x.astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-30) / 127.0
+    xq = jnp.round(xf / sc).astype(jnp.int32).astype(jnp.int8)
+    return xq, sc
+
+
 def _unpack4_rows(p8: Array, scales: Array, dtype, side: int | None) -> Array:
     """Dequantize packed-int4 rows (float math — Mosaic has no vector
     shift; derivation in ops/pallas_int4.py).
@@ -383,7 +412,7 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
     e_buf, head_buf, nz_buf = r["e_buf"], r["head_buf"], r["nz_buf"]
     tok_io = r["tok_io"]
 
-    streamed = [n for n in _MLP if plan[n] == "s8"]
+    streamed = [n for n in _MLP if plan[n] in ("s8", "s8a8")]
     # splits: per-half chunk layout ((rel_off, width), ...) — widths may be
     # UNEQUAL (whole 128-lane tiles split as evenly as q allows): flagship
     # Ih = 35 tiles only divides by 5/7/35, but q=2 -> (18, 17) tiles and
@@ -479,7 +508,14 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
         if mode == "r8":
             y = _dot(x2, _deq8(r[name][l, :, half * Ih:(half + 1) * Ih],
                                dtype)).astype(dtype)
-        elif mode == "s8":
+        elif mode == "r8a8":
+            xq, xs = _quant_act(x2)
+            y = (_dot_s8(xq, r[name][l, :, half * Ih:(half + 1) * Ih])
+                 * xs).astype(dtype)
+        elif mode in ("s8", "s8a8"):
+            a8 = mode == "s8a8"
+            if a8:
+                xq, xs = _quant_act(x2)
             base = (l * 2 + half) * n_sub
             ys = []
             for s in range(n_sub):
@@ -487,10 +523,13 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
                 sub_dma(name, base + s).wait()
                 # Chunk rows are the OUTPUT channels (transposed storage):
                 # contract on dim 1 of both operands.
-                ys.append(_dot_t(
-                    x2, _deq8(r[name + "_buf"][(base + s) % stream_slots,
-                                               pl.ds(0, w), :], dtype)
-                ).astype(dtype))
+                chunk = r[name + "_buf"][(base + s) % stream_slots,
+                                         pl.ds(0, w), :]
+                if a8:
+                    ys.append((_dot_s8(xq, chunk, transposed=True)
+                               * xs).astype(dtype))
+                else:
+                    ys.append(_dot_t(x2, _deq8(chunk, dtype)).astype(dtype))
                 # Refill AFTER the dot: chunk j+slots lands in THIS slot —
                 # starting it earlier would overwrite the operand mid-read.
                 prefetch_next(name, base + s, p)
@@ -515,16 +554,27 @@ def _depth_chain_kernel(*refs, names: tuple[str, ...], cfg: TransformerConfig,
         if mode == "r8":
             return _dot(t_h, _deq8(r["w_down"][l, half * Ih:(half + 1) * Ih],
                                    dtype))
-        if mode == "s8":
+        if mode == "r8a8":
+            tq, ts = _quant_act(t_h)
+            return _dot_s8(
+                tq, r["w_down"][l, half * Ih:(half + 1) * Ih]) * ts
+        if mode in ("s8", "s8a8"):
+            a8 = mode == "s8a8"
+            if a8:
+                # one per-row scale is valid across column slices of tq
+                tq, ts = _quant_act(t_h)
             base = (l * 2 + half) * n_sub
             acc = jnp.zeros((t_h.shape[0], Dd), jnp.float32)
             for s in range(n_sub):
                 rel, w = splits[s]
                 sub_dma("w_down", base + s).wait()
-                acc = acc + _dot(
-                    t_h[:, rel:rel + w],
-                    _deq8(r["w_down_buf"][(base + s) % stream_slots,
-                                          pl.ds(0, w), :], dtype))
+                chunk = r["w_down_buf"][(base + s) % stream_slots,
+                                        pl.ds(0, w), :]
+                if a8:
+                    acc = acc + _dot_s8(tq[:, rel:rel + w], chunk) * ts
+                else:
+                    acc = acc + _dot(t_h[:, rel:rel + w],
+                                     _deq8(chunk, dtype))
                 prefetch_next("w_down", base + s, p)
             return acc
         # r4: nibble side = half; chunked input-row dequant when groups
@@ -758,7 +808,7 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
         add(n + "_s", bundle[n + "_s"])
     for n in _MLP:
         mode = p[n]
-        if mode == "s8":
+        if mode in ("s8", "s8a8"):
             add(n, bundle[n], space=pl.ANY)
             add(n + "_s", bundle[n + "_s"])
         elif mode == "r4":
@@ -806,7 +856,7 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
         _size(a) for nm, a in zip(names, args)
         if (nm in ("wqkv", "wo") or nm in _MLP or nm.endswith("_s")
             or nm.endswith("_s4") or nm == "proj")
-        and not (nm in _MLP and p.get(nm) == "s8"))
+        and not (nm in _MLP and p.get(nm) in ("s8", "s8a8")))
     n_r4 = sum(1 for n in _MLP if p[n] == "r4")
     fixed = (2 * L * ncb * Bp * Hkv * Dh * 2      # k/v stores
              + Dd * Vp * 2 + Bp * Vp * 4 + Bp * 8 * Db * 2
@@ -816,7 +866,7 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
              # ~14 MB beyond the analytic sum) — budget for them.
              + n_r4 * (6 << 20))
     budget = (120 << 20) - resident - fixed
-    n_streamed = sum(1 for n in _MLP if p[n] == "s8")
+    n_streamed = sum(1 for n in _MLP if p[n] in ("s8", "s8a8"))
     # Chunk count q need NOT divide the 128-lane tile count: _chunk_split
     # cuts the tiles as evenly as possible (unequal widths are fine — ring
     # slots size to the widest). Prefer the fewest chunks that fit (fewer
@@ -845,7 +895,7 @@ def fused_depth_decode(bundle: dict[str, Any], cfg: LLMConfig,
     Wmax = max(w for _, w in splits)
 
     for n in _MLP:
-        if p[n] == "s8":
+        if p[n] in ("s8", "s8a8"):
             # Every streamed tensor chunks on its input-major row axis
             # (gate/up are stored transposed), behind a stream_slots-deep
             # ring of (Wmax, Dd) slots.

@@ -134,10 +134,24 @@ def test_clone_stage_measures_prompt_cache():
     assert tiny_engine.encode_calls - before == 5
 
 
+def test_clone8_stage_smoke():
+    """The concurrent-clone bench stage runs end-to-end on the tiny
+    engine: N threads share the batched decoder, per-stream RTFs land.
+    frames=20 > the 18-frame retry bar, so no retry waves fire."""
+    from fireredtts2_tpu.config import tiny_engine_config
+    from fireredtts2_tpu.engine import FireRedTTS2Engine
+
+    e = FireRedTTS2Engine(config=tiny_engine_config(depth_topk=1), seed=0)
+    out = bench._stage_clone8(e, n=2, frames=20)
+    assert out["streams"] == 2
+    assert out["aggregate_rtf"] > 0
+    assert out["per_stream_min_rtf"] > 0
+
+
 def test_stage_list_covers_verdict_fields():
     """BENCH_r03 must carry FPL, streaming/offline RTF, the clone-path
     FPL A/B (prompt-token cache win, VERDICT r2 #4), batched aggregate
     AND per-stream-min at 8/16/32 streams (32 = 2x the BASELINE.json
     16-streams/chip bar), and the device accounting."""
     assert bench.STAGES == ("fpl", "offline", "clone", "batched8",
-                            "batched16", "batched32", "device")
+                            "batched16", "batched32", "clone8", "device")

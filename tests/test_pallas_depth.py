@@ -47,6 +47,8 @@ def test_parse_plan():
     assert parse_plan("") == {"w_gate": "r8", "w_up": "r8", "w_down": "r8"}
     assert parse_plan("gate=r4,down=s8") == {
         "w_gate": "r4", "w_up": "r8", "w_down": "s8"}
+    assert parse_plan("gate=r8a8,up=s8a8") == {
+        "w_gate": "r8a8", "w_up": "s8a8", "w_down": "r8"}
 
 
 @pytest.mark.parametrize("bad", ["gate:r8", "proj=r8", "gate=r9",
@@ -199,6 +201,61 @@ def test_stream_ring_nonuniform_split_exact(monkeypatch):
                                    plan=plan, interpret=True,
                                    stream_cfg=stream_cfg)
         assert (xla == fused).all(), stream_cfg
+
+
+def test_quant_act_dot_s8_mirror():
+    """The a8 helpers compute EXACTLY the documented math: per-row
+    symmetric round-to-nearest int8 activation quant, then a native
+    s8 x s8 dot with int32 accumulation (both storage orientations).
+    Int accumulation is exact, so the mirror is bitwise."""
+    from fireredtts2_tpu.ops.pallas_depth import _dot_s8, _quant_act
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 96), jnp.float32) * 3.0
+    xq, xs = _quant_act(x)
+    sc = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    assert jnp.allclose(xs, sc)
+    assert (xq.astype(jnp.int32)
+            == jnp.round(x / sc).astype(jnp.int32)).all()
+    w8 = jax.random.randint(jax.random.PRNGKey(1), (96, 32), -128, 128,
+                            jnp.int32).astype(jnp.int8)
+    ref = (xq.astype(jnp.int32) @ w8.astype(jnp.int32)).astype(jnp.float32)
+    assert (_dot_s8(xq, w8) == ref).all()
+    # Transposed orientation (streamed chunks store output rows first).
+    assert (_dot_s8(xq, w8.T, transposed=True) == ref).all()
+
+
+def test_a8_resident_and_streamed_layouts_agree(setup):
+    """r8a8 (resident) and s8a8 (HBM-streamed chunks) run the same
+    quantized math over different storage layouts: gate/up column
+    partitions are bitwise-identical (int32 dots are exact), the down
+    accumulation differs only in fp32 sum association — for this fixed
+    seed the sampled token streams must be IDENTICAL. Guards the chunk
+    indexing / scale wiring of the a8 branches."""
+    cfg, params, last_h, c0 = setup
+    key = jax.random.PRNGKey(17)
+    outs = []
+    for plan in ("gate=r8a8,up=r8a8,down=r8a8",
+                 "gate=s8a8,up=s8a8,down=s8a8"):
+        bundle = prepare_depth_chain(params, cfg, plan)
+        outs.append(fused_depth_decode(bundle, cfg, last_h, c0, key, 10,
+                                       0.75, plan=plan, interpret=True))
+    assert (outs[0] == outs[1]).all(), (outs[0].tolist(), outs[1].tolist())
+    assert (outs[0][:, 0] == c0).all()
+
+
+def test_a8_mixed_plan_runs(setup):
+    """A mixed a8/dequant plan (the realistic deployment shape: resident
+    a8 gate, streamed a8 up, streamed dequant down) decodes tokens in
+    range with c0 recorded verbatim."""
+    cfg, params, last_h, c0 = setup
+    plan = "gate=r8a8,up=s8a8,down=s8"
+    bundle = prepare_depth_chain(params, cfg, plan)
+    out = fused_depth_decode(bundle, cfg, last_h, c0,
+                             jax.random.PRNGKey(23), 10, 0.75, plan=plan,
+                             interpret=True)
+    assert out.shape == (last_h.shape[0], cfg.audio_num_codebooks)
+    assert (out[:, 0] == c0).all()
+    assert ((out >= 0) & (out < cfg.audio_vocab_size)).all()
 
 
 @pytest.mark.parametrize("stream_cfg", [(2, 2), (2, 4), (4, 2), (4, 4)])

@@ -67,7 +67,13 @@ def main() -> int:
                 # amplifies noise (argmax over raw near-tie logits, flips
                 # cascade through the AR chain; 31-94% measured) and is
                 # informational only.
-                ok = selfsame and (mode == "greedy" or pct >= 50.0)
+                # a8 plans CHANGE numerics by design (per-row activation
+                # quantization — the XLA mirror runs unquantized
+                # activations), so their vs-XLA match is informational at
+                # any mode (measured 43-52% sampled on chip, far above
+                # the ~0.5% random floor); determinism stays mandatory.
+                a8 = "a8" in plan
+                ok = selfsame and (mode == "greedy" or a8 or pct >= 50.0)
                 failures += 0 if ok else 1
                 print(f"{plan:28s} B={B} {mode:7s}: {match}/{total} tokens "
                       f"match ({pct:.1f}%), deterministic={selfsame} "
