@@ -108,9 +108,19 @@ def _headline(done: dict, errors: dict, partial: bool = False) -> str:
 def _merge(path: str, done: dict, errors: dict, attempts: dict) -> None:
     """Fold the worker's per-stage records into done/errors. A transient
     failure becomes permanent on its SECOND occurrence for the same stage
-    (retry-once policy, VERDICT r3 #1)."""
+    (retry-once policy, VERDICT r3 #1).
+
+    The results file is APPEND-ONLY and re-read in full on every call, so
+    all transient counts are rebuilt from the file alone (one record per
+    actual attempt) rather than accumulated into the caller's dict —
+    otherwise a run that dies before re-recording a stage would re-count
+    the old attempt on the next merge and mark the stage permanently
+    failed without its documented retry."""
     if not os.path.exists(path):
         return
+    fdone: dict = {}
+    ferrors: dict = {}
+    counts: dict[str, int] = {}
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -122,17 +132,27 @@ def _merge(path: str, done: dict, errors: dict, attempts: dict) -> None:
                 continue
             stage = rec.get("stage")
             if "data" in rec:
-                done[stage] = rec["data"]
-                errors.pop(stage, None)
-            elif stage in done:
+                fdone[stage] = rec["data"]
+                ferrors.pop(stage, None)
+            elif stage in fdone:
                 continue
             elif rec.get("transient"):
-                n = attempts.get(stage, 0) + 1
-                attempts[stage] = n
+                n = counts.get(stage, 0) + 1
+                counts[stage] = n
                 if n >= 2:
-                    errors[stage] = rec.get("error", "?")
+                    ferrors[stage] = rec.get("error", "?")
             else:
-                errors[stage] = rec.get("error", "?")
+                ferrors[stage] = rec.get("error", "?")
+    done.update(fdone)
+    attempts.clear()
+    attempts.update(counts)
+    errors.update(ferrors)
+    for stage in list(errors):
+        # un-mark stages the file no longer condemns (completed later, or
+        # transient-once awaiting their retry); out-of-band entries like
+        # "backend" have no file records and are left untouched
+        if stage in done or (stage not in ferrors and stage in counts):
+            errors.pop(stage, None)
 
 
 # ---------------------------------------------------------------------------
@@ -489,13 +509,14 @@ def _slab_bytes(cfg, n_streams: int, seq_capacity: int, frames_cap: int) -> int:
     """Analytic HBM for the batched pool's KV slabs (the allocation the
     B=32 memory gate must predict — weights are already resident)."""
     from fireredtts2_tpu.models.lm.model import kv_capacity
+    from fireredtts2_tpu.runtime.batcher import voc_latent_capacity
 
     bb = cfg.llm.backbone
     bytes_el = 2  # bf16 states
     lm = (bb.num_layers * n_streams * kv_capacity(seq_capacity)
           * bb.num_kv_heads * bb.head_dim * 2 * bytes_el)
     ac = cfg.codec.acoustic_decoder
-    latents = min(-(-8 * frames_cap // 16) * 16, ac.max_stream_latents)
+    latents = voc_latent_capacity(ac, frames_cap)
     voc = ac.num_layers * n_streams * latents * ac.embed_dim * 2 * bytes_el
     return lm + voc
 

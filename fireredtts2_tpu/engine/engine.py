@@ -1077,7 +1077,16 @@ class FireRedTTS2Engine:
 
         cfg = self.config.llm
         state = self._new_lm_state(1)
-        utt_cap = int(max_utterance_ms / 80)
+        # Same vocoder-slab bound as generate_stream: every utterance
+        # streams through a fresh vstate whose KV slab holds
+        # max_stream_latents/8 frames; past that the slab write clamps
+        # over live rows (garbage audio). max_utterance_ms is
+        # client-controlled on the WS dialogue path, so cap it here too.
+        # (_generate_dialogue_incremental needs no cap: it vocodes
+        # offline, without the streaming slab.)
+        utt_cap = min(int(max_utterance_ms / 80),
+                      self.config.codec.acoustic_decoder.max_stream_latents
+                      // 8)
         pos = 0
         self._first_packet_s = None
         t_start = time.perf_counter()

@@ -227,12 +227,17 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
             )
             q_start, q_end, live_lo, live_hi = bounded
             mesh = serving_mesh()
-            if mesh is None or int(mesh.shape.get("tp", 1)) <= 1:
+            if mesh is None:
                 attn = flash_decode_gqa1(
                     q[:, 0], k4, v4, layer, q_start[:, 0], q_end[:, 0],
                     live_lo, live_hi)[:, None]
             elif flash_lm_tp_ok(mesh, q, k4,
                                 interpret=flash_lm_interpret()):
+                # ANY serving mesh — including dp-only (tp=1) — must take
+                # the shard_map route: GSPMD has no partitioning rule for
+                # the raw pallas_call, so issuing it on dp-sharded state
+                # would replicate the full KV slab per layer per frame.
+                # With tp=1 each shard simply runs all heads locally.
                 attn = flash_decode_gqa1_shard(
                     mesh, q[:, 0], k4, v4, layer, q_start[:, 0],
                     q_end[:, 0], live_lo, live_hi,

@@ -601,6 +601,12 @@ def flash_lm_tp_ok(mesh, q: Array, k4: Array, interpret: bool = False
     if Hq % ntp or B % ndp:
         return False
     hql = Hq // ntp
+    if ntp <= Hkv and Hkv % ntp:
+        # each shard must cover a WHOLE number of kv heads — a floor'd
+        # hkv_local would let a shard's query heads straddle kv heads it
+        # never DMAs (e.g. Hq=6, Hkv=3, tp=2: shard 0's head 2 belongs
+        # to kv head 1 but the window covers only kv head 0)
+        return False
     hkv_local = max(1, Hkv // ntp)
     if hql % hkv_local:
         return False

@@ -104,6 +104,15 @@ class _Pending:
     real_len: int = 0
 
 
+def voc_latent_capacity(ac_cfg, max_frames_cap: int) -> int:
+    """Latent rows the pool's vocoder slab allocates for a frame cap:
+    8 latents/frame, rounded up to the 16-latent block quantum, bounded by
+    the stock slab. bench.py's B=32 memory gate imports THIS helper so the
+    analytic estimate can never drift from the real allocation (a drifted
+    estimate re-opens the predictable-OOM respawn loop, VERDICT r3 #1)."""
+    return min(-(-8 * max_frames_cap // 16) * 16, ac_cfg.max_stream_latents)
+
+
 class ContinuousBatcher:
     """Batched multi-stream decoder over a shared engine's params."""
 
@@ -142,8 +151,8 @@ class ContinuousBatcher:
         stock_frames = codec_cfg.acoustic_decoder.max_stream_latents // 8
         self.max_frames_cap = min(max_frames_cap or stock_frames,
                                   stock_frames, self.seq_capacity - 1)
-        voc_latents = min(-(-8 * self.max_frames_cap // 16) * 16,
-                          codec_cfg.acoustic_decoder.max_stream_latents)
+        voc_latents = voc_latent_capacity(codec_cfg.acoustic_decoder,
+                                          self.max_frames_cap)
 
         # Engine helpers place states on the engine's mesh when sharded
         # serving is on (B stream slots ride the dp axis).
@@ -365,6 +374,11 @@ class ContinuousBatcher:
         admission instead of O(context+text); greedy-exact vs the plain
         layout by RoPE shift invariance, the voice-state-cache
         equivalence class)."""
+        if self._dead is not None:
+            # Same fail-fast as submit_prompt: without it a prefix-admitted
+            # request would enqueue into a pending queue nobody drains and
+            # its consumer would block forever on handle.chunks.get().
+            raise RuntimeError("batcher worker died") from self._dead
         context = list(context)
         pre = self._context_prefix(context) if context else None
         if pre is not None:
@@ -795,7 +809,10 @@ class ContinuousBatcher:
             capped = n < n_eos or slot.frames_done + n >= slot.max_frames
             if n > 0:
                 if slot.collect_tokens:
-                    slot.token_rows.append(toks[b, :n])
+                    # copy: a view would pin the whole (B, packed) block
+                    # fetch alive until _finish (the audio path copies
+                    # for the same reason)
+                    slot.token_rows.append(toks[b, :n].copy())
                     slot.frames_done += n
                     if slot.handle.first_packet_s is None:
                         slot.handle.first_packet_s = now - slot.handle._t0

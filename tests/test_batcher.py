@@ -262,3 +262,17 @@ def test_warmup_ladder_then_serving_matches_single_engine(greedy_engine):
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
     finally:
         b.stop()
+
+
+def test_submit_fails_fast_after_worker_death(greedy_engine):
+    """BOTH submit entry points must raise once the worker is dead — the
+    cached-prefix early-return path used to enqueue into a pending queue
+    nobody drains, hanging the consumer forever on chunks.get()."""
+    b = ContinuousBatcher(greedy_engine, max_streams=2, topk=1)
+    # no start(): simulate a crashed worker directly
+    b._dead = RuntimeError("simulated worker crash")
+    with pytest.raises(RuntimeError, match="worker died"):
+        b.submit("text after death", "[S1]")
+    with pytest.raises(RuntimeError, match="worker died"):
+        prompt, mask = greedy_engine._build_prompt([], "direct", "[S1]")
+        b.submit_prompt(prompt, mask)

@@ -85,6 +85,38 @@ def test_transient_stage_retries_exactly_once(tmp_path):
     assert "batched16" in errors and attempts["batched16"] == 2
 
 
+def test_merge_is_idempotent_across_rereads(tmp_path):
+    """The results file is append-only and re-read IN FULL on every merge
+    with the same persistent dicts (main's loop): one transient record
+    must stay one attempt however many times it is merged — otherwise a
+    run that dies before re-recording the stage gets it marked permanent
+    without its documented retry. A later success must also clear the
+    stage from errors even when a prior merge condemned it."""
+    path = str(tmp_path / "stages.jsonl")
+    rec = {"stage": "batched16", "error": "UNAVAILABLE: tunnel blip",
+           "transient": True}
+    with open(path, "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    done, errors, attempts = {}, {}, {}
+    for _ in range(3):  # e.g. run 2 and 3 die before touching the stage
+        bench._merge(path, done, errors, attempts)
+    assert attempts["batched16"] == 1
+    assert "batched16" not in errors, "re-merge must not consume the retry"
+    # second REAL attempt fails -> now permanent; then a success heals it
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    bench._merge(path, done, errors, attempts)
+    assert "batched16" in errors
+    with open(path, "a") as f:
+        f.write(json.dumps({"stage": "batched16", "data": {"ok": 1}}) + "\n")
+    bench._merge(path, done, errors, attempts)
+    assert done["batched16"] == {"ok": 1} and "batched16" not in errors
+    # out-of-band entries (no file records) survive merges untouched
+    errors["backend"] = "TPU backend unavailable until deadline"
+    bench._merge(path, done, errors, attempts)
+    assert errors["backend"].startswith("TPU backend")
+
+
 def test_headline_partial_flag_and_stage_fields():
     """The progressive partial line must carry whatever stages landed and
     be parseable on its own (the driver's artifact on a mid-run kill)."""

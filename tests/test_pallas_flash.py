@@ -285,6 +285,44 @@ def test_lm_gqa1_flash_tp_sharded(monkeypatch):
     sharded = run(make_mesh(dp=2, tp=4))
     np.testing.assert_allclose(sharded, single, rtol=3e-5, atol=3e-5)
 
+    # dp-ONLY mesh (tp=1, the make_mesh default shape for serving): must
+    # ALSO take the shard_map route — GSPMD cannot partition the raw
+    # pallas_call, so the unsharded kernel on dp-sharded state would
+    # replicate the whole KV slab per layer per frame on real chips.
+    import fireredtts2_tpu.ops.pallas_flash as pf
+    calls = {"n": 0}
+    orig = pf.flash_decode_gqa1_shard
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pf, "flash_decode_gqa1_shard", counting)
+    dp_only = run(make_mesh(dp=2, tp=1))
+    assert calls["n"] > 0, "dp-only mesh bypassed the shard_map route"
+    np.testing.assert_allclose(dp_only, single, rtol=3e-5, atol=3e-5)
+
+
+def test_flash_lm_tp_ok_rejects_kv_straddle():
+    """Hq=6, Hkv=3 over tp=2 passes the even-split checks (Hq%ntp==0,
+    hql%hkv_local==0 with the floor'd hkv_local=1) but shard 0's query
+    head 2 belongs to kv head 1 while its DMA window covers only kv head
+    0 — the eligibility check must reject any split where Hkv % ntp != 0
+    so the tp route can't silently attend against the wrong kv head."""
+    from fireredtts2_tpu.ops.pallas_flash import flash_lm_tp_ok
+    from fireredtts2_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = make_mesh(dp=1, tp=2)
+    q = jnp.zeros((2, 1, 6, 128), jnp.float32)
+    k4 = jnp.zeros((2, 2, 64, 3 * 128), jnp.float32)   # (L, B, T, Hkv*Dh)
+    assert not flash_lm_tp_ok(mesh, q, k4, interpret=True)
+    # sanity: whole-kv-head splits stay eligible
+    q2 = jnp.zeros((2, 1, 8, 128), jnp.float32)
+    k42 = jnp.zeros((2, 2, 64, 2 * 128), jnp.float32)
+    assert flash_lm_tp_ok(mesh, q2, k42, interpret=True)
+
 
 def test_overshoot_clamps_write_and_reads():
     """A stream whose position overshot the slab (frame cap crossed
