@@ -40,7 +40,7 @@ import time
 
 BASELINE_FIRST_PACKET_MS = 140.0
 STAGES = ("fpl", "offline", "clone", "batched8", "batched16", "batched32",
-          "clone8", "device")
+          "clone8", "dialogue8", "device")
 _RETRYABLE_RC = 17
 # RESOURCE_EXHAUSTED is deliberately NOT here: on TPU it means HBM OOM — a
 # deterministic property of the stage, not a tunnel blip (VERDICT r3 #1).
@@ -89,6 +89,7 @@ def _headline(done: dict, errors: dict, partial: bool = False) -> str:
         "backend": fpl.get("backend"),
         **done.get("clone", {}),
         **{f"clone8_{k}": v for k, v in done.get("clone8", {}).items()},
+        **{f"dialogue8_{k}": v for k, v in done.get("dialogue8", {}).items()},
         **done.get("device", {}),
     }
     if errors:
@@ -311,6 +312,7 @@ def worker(results_path: str, skip: set[str]) -> int:
         "batched16": lambda: _bench_batched(engine, 16),
         "batched32": lambda: _stage_batched32(engine, jax),
         "clone8": lambda: _stage_clone8(engine),
+        "dialogue8": lambda: _stage_dialogue8(engine),
         "device": lambda: _bench_device(engine, llm),
     }
     for stage in STAGES:
@@ -454,6 +456,64 @@ def _stage_clone8(engine, n: int = 8, frames: int = 100) -> dict:
         rtfs, agg = wave()
         return {
             "streams": n,
+            "per_stream_min_rtf": round(min(rtfs), 3) if rtfs else None,
+            "per_stream_p50_rtf": (round(sorted(rtfs)[len(rtfs) // 2], 3)
+                                   if rtfs else None),
+            "aggregate_rtf": round(agg, 2),
+        }
+    finally:
+        batcher.stop()
+
+
+def _stage_dialogue8(engine, n: int = 8, utt_frames: int = 40) -> dict:
+    """8 CONCURRENT 2-speaker dialogue sessions through the shared batched
+    decoder (runtime/batcher.py:run_dialogue — VERDICT r4 #1: dialogue is
+    the reference's flagship mode, fireredtts2/fireredtts2.py:345-403, and
+    was this framework's last thread-per-request serving path). Each
+    session is 3 utterances decoding as per-utterance slot occupancies
+    with a carried KV prefix; the per-turn audio-feedback codec encode is
+    part of the measured wall (it is part of the mode). Per-stream RTF =
+    produced audio seconds over session wall."""
+    import threading
+
+    from fireredtts2_tpu.runtime.batcher import ContinuousBatcher
+
+    texts = ["[S1]Hello there, how are you doing on this fine day?",
+             "[S2]I am doing very well, thank you for asking about it.",
+             "[S1]Great to hear that, let us talk about processing units."]
+    batcher = ContinuousBatcher(engine, max_streams=n)
+    batcher.start()
+    batcher.wait_ready(timeout=3600)
+    try:
+        def wave():
+            walls = [None] * n
+            secs = [0.0] * n
+
+            def run(i):
+                t0 = time.perf_counter()
+                s = 0
+                for _, c in batcher.run_dialogue(
+                        list(texts), max_utterance_ms=utt_frames * 80):
+                    s += len(c)
+                secs[i] = s / 24_000.0
+                walls[i] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(n)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            rtfs = [s / w for s, w in zip(secs, walls) if w and s > 0]
+            return rtfs, sum(secs) / wall
+
+        wave()                   # compile (prefix admissions + feedback encode)
+        rtfs, agg = wave()
+        return {
+            "streams": n,
+            "utterances": len(texts),
             "per_stream_min_rtf": round(min(rtfs), 3) if rtfs else None,
             "per_stream_p50_rtf": (round(sorted(rtfs)[len(rtfs) // 2], 3)
                                    if rtfs else None),

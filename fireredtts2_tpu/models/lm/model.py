@@ -557,6 +557,22 @@ def prefill_into_slot_prefix(params: Params, cfg: LLMConfig, state: LMState,
     return new_state, frame
 
 
+def slot_kv_prefix(state: LMState, b: Array, P: int) -> tuple[Array, Array]:
+    """Extract slot b's first P KV rows as a (pk, pv) prefix pair —
+    (Lyr, 1, P, W) each, the prefill_into_slot_prefix input format.
+
+    Batched incremental dialogue (runtime/batcher.py:run_dialogue) calls
+    this when an utterance finishes: rows [0, plen+L) hold the context +
+    window tokens at contiguous absolute positions (decode-era rows sit
+    BEYOND base_len and are excluded — the next window re-appends the
+    utterance as re-encoded codec tokens, the reference's feedback loop,
+    fireredtts2/fireredtts2.py:389-394). P is static per compiled program
+    (128-aligned ladder)."""
+    k = jax.lax.dynamic_slice_in_dim(state.cache_k, b, 1, axis=1)
+    v = jax.lax.dynamic_slice_in_dim(state.cache_v, b, 1, axis=1)
+    return k[:, :, :P], v[:, :, :P]
+
+
 def build_step_frame(cfg: LLMConfig, frame: Array) -> tuple[Array, Array]:
     """Sampled frame (B, ncb) -> next AR input ((B,1,C+1) tokens, mask):
     audio columns filled, text column zero/unmasked (fireredtts2.py:183-193)."""

@@ -378,6 +378,84 @@ def flash_decode_update_bounded(
                  write=True, interpret=interpret)
 
 
+def flash_voc_tp_ok(mesh, q: Array, k4: Array, interpret: bool = False
+                    ) -> bool:
+    """Eligibility of the tp-sharded VOCODER write-kernel route
+    (flash_decode_update_bounded_shard — VERDICT r4 #4): the vocoder is
+    MHA, so sharding the SLAB's head columns over tp makes every shard's
+    in-kernel write land exclusively in its own columns — the write-
+    divergence argument that used to pin the kernel off under a mesh
+    disappears. Requires: heads split evenly over tp, batch over dp, and
+    (real TPU) a 128-lane-aligned LOCAL slab width (H/ntp * Dh) so the
+    per-shard DMA slices stay tile-aligned; interpret mode has no
+    alignment constraint."""
+    if k4.ndim != 4:
+        return False
+    B, S, H, Dh = q.shape
+    if k4.shape[-1] != H * Dh or S % 8:
+        return False
+    ntp = int(mesh.shape.get("tp", 1))
+    ndp = int(mesh.shape.get("dp", 1))
+    if H % ntp or B % ndp:
+        return False
+    if not interpret and (H // ntp) * Dh % 128:
+        return False
+    return pick_chunk(k4.shape[-2]) is not None
+
+
+def flash_decode_update_bounded_shard(
+        mesh, q: Array, new_k: Array, new_v: Array, k4: Array, v4: Array,
+        layer: Array, pos: Array, q_end: Array, live_hi: Array,
+        interpret: bool = False) -> tuple[Array, Array, Array]:
+    """Tensor-parallel fused vocoder slab-write + flash attention
+    (VERDICT r4 #4): shard_map the write kernel over the serving mesh so
+    mesh serving keeps the 6x vocoder-attention win (28.8 -> 4.7 ms/block
+    at B=16, PERF.md r3p3) instead of falling back to the XLA dense-slab
+    path.
+
+    Layout: the vocoder KV slabs are column-sharded over tp and
+    batch-sharded over dp (parallel/mesh.py:vocoder_state_pspecs); q and
+    the fresh new_k/new_v arrive head-/column-sharded from the Megatron-
+    split projections, so each shard's kernel call is fully local — it
+    writes ONLY its own heads' slab columns and attends over them (MHA:
+    every head is independent). The head-sharded attention output feeds
+    the row-parallel wo matmul with no resharding; no collectives are
+    introduced. As with the LM kernel, a dp-only mesh (tp=1) MUST still
+    take this route: GSPMD has no partitioning rule for a raw pallas_call.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:  # JAX >= 0.8 moved shard_map out of experimental
+        from jax.sharding import shard_map
+        smap = functools.partial(shard_map, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        smap = functools.partial(shard_map, check_rep=False)
+
+    B, S, H, Dh = q.shape
+
+    def local(qs, nks, nvs, k4s, v4s, lyr, ps, qes, hi):
+        return flash_decode_update_bounded(qs, nks, nvs, k4s, v4s, lyr,
+                                           ps, qes, hi, interpret=interpret)
+
+    fn = smap(
+        local, mesh=mesh,
+        in_specs=(P("dp", None, "tp", None),           # q (B, S, H, Dh)
+                  P("dp", None, "tp"),                 # new_k (B, S, H*Dh)
+                  P("dp", None, "tp"),                 # new_v
+                  P(None, "dp", None, "tp"),           # k4 (L, B, T, H*Dh)
+                  P(None, "dp", None, "tp"),           # v4
+                  P(),                                 # layer
+                  P("dp"),                             # pos (B,)
+                  P("dp", None),                       # q_end (B, S)
+                  P()),                                # live_hi
+        out_specs=(P("dp", None, "tp", None),
+                   P(None, "dp", None, "tp"),
+                   P(None, "dp", None, "tp")))
+    return fn(q, new_k.reshape(B, S, H * Dh), new_v.reshape(B, S, H * Dh),
+              k4, v4, layer, pos.astype(jnp.int32), q_end.astype(jnp.int32),
+              live_hi)
+
+
 # ---------------------------------------------------------------------------
 # S = 1 GQA decode over a carried (L, B, T, Hkv*Dh) slab (the LM hot path)
 # ---------------------------------------------------------------------------

@@ -241,6 +241,31 @@ def lm_state_pspecs(state) -> Any:
     )
 
 
+def vocoder_state_pspecs(state) -> Any:
+    """VocoderStreamState sharding: stream (batch) dims on dp; the KV
+    slabs ADDITIONALLY column-shard their merged head dim over tp — the
+    vocoder is MHA, so each tp shard owns whole heads and the flash write
+    kernel's in-kernel DMAs land exclusively in the shard's own columns
+    (ops/pallas_flash.py:flash_decode_update_bounded_shard, VERDICT r4
+    #4). Conv/iSTFT caches are small and stay tp-replicated.
+
+    Fields (models/codec/decoder.py:VocoderStreamState): up1/up2/in_proj
+    caches (B, D, k), rb_caches (4, 2, B, D, 2), kv_k/kv_v
+    (L, B, T, H*Dh), istft_cache (B, n_fft, 3), pos (B,)."""
+    from fireredtts2_tpu.models.codec.decoder import VocoderStreamState
+
+    return VocoderStreamState(
+        up1_cache=P("dp", None, None),
+        up2_cache=P("dp", None, None),
+        in_proj_cache=P("dp", None, None),
+        rb_caches=P(None, None, "dp", None, None),
+        kv_k=P(None, "dp", None, "tp"),
+        kv_v=P(None, "dp", None, "tp"),
+        istft_cache=P("dp", None, None),
+        pos=P("dp"),
+    )
+
+
 def to_named(mesh: Mesh, pspec_tree):
     return jax.tree.map(lambda p: NamedSharding(mesh, p), pspec_tree,
                         is_leaf=lambda x: isinstance(x, P))

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from fireredtts2_tpu.config import EngineConfig
 from fireredtts2_tpu.models.lm.model import (
     init_lm_state, prefill_into_slots, prefill_into_slot_prefix,
-    reset_lm_slots,
+    reset_lm_slots, slot_kv_prefix,
 )
 from fireredtts2_tpu.models.codec.decoder import reset_vocoder_slots
 from fireredtts2_tpu.models.codec.model import stream_decode_init
@@ -57,6 +57,12 @@ class StreamHandle:
     # (fireredtts2.py:431-440).
     tokens: Optional[np.ndarray] = None
     first_packet_s: Optional[float] = None
+    # Dialogue mode (run_dialogue submits with keep_kv): at completion the
+    # worker extracts the slot's context+window KV rows as a (pk, pv,
+    # plen, P) prefix — the next utterance admits FROM it (O(new) prefill
+    # per turn, the engine's incremental-dialogue layout). Set before the
+    # terminating None, so it is visible once iteration ends.
+    kv_prefix: Optional[tuple] = None
     # Production-side accounting (set by the batcher, independent of how
     # fast the client drains the queue): wall seconds submit -> last chunk
     # PRODUCED, and total samples produced. Per-stream realtime factor for
@@ -85,6 +91,8 @@ class _Slot:
     last_tail: Optional[np.ndarray] = None
     collect_tokens: bool = False
     token_rows: Optional[list] = None
+    keep_kv: bool = False
+    base_len: int = 0        # plen + window real_len (prefix rows to keep)
 
 
 @dataclass
@@ -102,6 +110,7 @@ class _Pending:
     # starts from the cached context KV and append-prefills only the text.
     prefix: Optional[tuple] = None
     real_len: int = 0
+    keep_kv: bool = False    # dialogue turns: extract the KV prefix at EOS
 
 
 def voc_latent_capacity(ac_cfg, max_frames_cap: int) -> int:
@@ -206,6 +215,9 @@ class ContinuousBatcher:
             donate_argnames=("state",))
         from collections import OrderedDict
         self._prefix_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        # Slot KV-prefix extraction for dialogue turns (one compiled
+        # program per 128-aligned P; reads the live state, no donation).
+        self._slice_prefix = jax.jit(slot_kv_prefix, static_argnames=("P",))
         self._reset_lm = jax.jit(reset_lm_slots, donate_argnames=("state",))
         self._reset_vo = jax.jit(reset_vocoder_slots, donate_argnames=("state",))
         self.emitted = jnp.zeros((self.B,), jnp.int32)
@@ -360,6 +372,15 @@ class ContinuousBatcher:
             finally:
                 self._admit_paused.clear()
 
+    def _check_alive(self) -> None:
+        """Fail fast on every submit path when the worker can no longer
+        drain the pending queue — a dead or stopped worker would otherwise
+        hang the consumer forever on handle.chunks.get()."""
+        if self._dead is not None:
+            raise RuntimeError("batcher worker died") from self._dead
+        if self._stop.is_set():
+            raise RuntimeError("batcher stopped")
+
     def submit(self, text: str, speaker: str = "[S1]",
                context=(), temperature: Optional[float] = None,
                topk: Optional[int] = None,
@@ -374,11 +395,7 @@ class ContinuousBatcher:
         admission instead of O(context+text); greedy-exact vs the plain
         layout by RoPE shift invariance, the voice-state-cache
         equivalence class)."""
-        if self._dead is not None:
-            # Same fail-fast as submit_prompt: without it a prefix-admitted
-            # request would enqueue into a pending queue nobody drains and
-            # its consumer would block forever on handle.chunks.get().
-            raise RuntimeError("batcher worker died") from self._dead
+        self._check_alive()
         context = list(context)
         pre = self._context_prefix(context) if context else None
         if pre is not None:
@@ -458,8 +475,7 @@ class ContinuousBatcher:
         frames land in handle.tokens at completion. Used by the batched
         clone path, which must trim tokens BEFORE vocoding to match the
         reference (fireredtts2.py:440)."""
-        if self._dead is not None:
-            raise RuntimeError("batcher worker died") from self._dead
+        self._check_alive()
         bucket, tokens, tmask, valid = self.engine._bucketize(prompt, mask)
         if bucket >= self.seq_capacity:
             raise ValueError(
@@ -546,6 +562,114 @@ class ContinuousBatcher:
             pieces.append(e._decode_tokens(toks[2:]))  # trim 2, then vocode
         return (np.concatenate(pieces) if pieces
                 else np.zeros(0, np.float32))
+
+    def _submit_dialogue_window(self, win: np.ndarray, wmask: np.ndarray,
+                                prefix: Optional[tuple], temperature: float,
+                                topk: Optional[int],
+                                max_utterance_ms: float) -> StreamHandle:
+        """Admit one dialogue utterance window (new tokens only) onto its
+        carried KV prefix; the slot extracts the grown prefix at EOS
+        (keep_kv). Utterance 0 rides a zero prefix (plen=0) so every turn
+        uses the SAME contiguous-position layout (RoPE exactness across
+        turns — the incremental-dialogue equivalence class)."""
+        self._check_alive()
+        e = self.engine
+        bucket, tokens, tmask, valid = e._right_pad(win, wmask)
+        if prefix is None:
+            shp = self.lm_state.cache_k.shape            # (Lyr, B, T, W)
+            z = jnp.zeros((shp[0], 1, 128, shp[3]),
+                          self.lm_state.cache_k.dtype)
+            prefix = (z, z, 0, 128)
+        pk, pv, plen, P = prefix
+        cap = min(self.lm_state.cache_k.shape[2], self.seq_capacity)
+        if plen + bucket >= cap:
+            raise ValueError(
+                f"dialogue context overflow: {plen} + {bucket} >= {cap} "
+                f"(pool capacity class; the reference raises the same way, "
+                f"fireredtts2.py:166-171)")
+        handle = StreamHandle(request_id=uuid.uuid4().hex)
+        handle._t0 = time.perf_counter()
+        max_frames = min(int(max_utterance_ms / 80),
+                         self.seq_capacity - plen - bucket,
+                         self.max_frames_cap)
+        self.pending.put(_Pending(
+            handle=handle, tokens=tokens, mask=tmask, valid=valid,
+            temperature=(temperature if temperature is not None
+                         else self.cfg.default_temperature),
+            topk=(topk if topk is not None else self.default_topk),
+            max_frames=max_frames, prefix=(pk, pv, plen, P),
+            real_len=int(win.shape[0]), keep_kv=True))
+        return handle
+
+    def run_dialogue(self, text_list: list, prompt_wav_list=None,
+                     prompt_text_list=None, prompt_segments=None,
+                     temperature: float = 0.9, topk: Optional[int] = None,
+                     max_utterance_ms: float = 30_000):
+        """Multi-speaker incremental dialogue THROUGH the shared batched
+        decoder: yields (utterance_index, ~audio chunk) pairs while the
+        LM decode of every turn — and of every CONCURRENT dialogue — runs
+        in the pool's ONE batched block program (VERDICT r4 #1: dialogue
+        was the last thread-per-request serving path; the reference
+        serializes whole dialogues on one worker,
+        fireredtts2/fireredtts2.py:345-403).
+
+        A dialogue is a sequence of per-utterance slot occupancies:
+        utterance i admits a window of ONLY its new tokens ([re-encoded
+        codec tokens of turn i-1's audio] + [text i]; turn 0 carries the
+        prompt segments) onto the dialogue's carried KV prefix
+        (prefill_into_slot_prefix), decodes in the shared block program,
+        and at EOS the worker extracts the grown prefix (slot_kv_prefix)
+        for the next turn — O(new) prefill per turn, the engine
+        incremental path's layout exactly (contiguous absolute positions,
+        audio fed back as re-encoded codec tokens,
+        engine._generate_dialogue_incremental). Between turns the slot is
+        FREE for other requests, so N dialogues + M streams + clones all
+        share the pool.
+
+        Blocking generator — the serve layer runs one consumer per
+        dialogue session from its bounded pool (serve/server.py)."""
+        from fireredtts2_tpu.utils.text import process_text_list, SPEAKER_TAGS
+        from fireredtts2_tpu.utils.audio_io import resample
+
+        e = self.engine
+        text_list = process_text_list(list(text_list))
+        segs = list(prompt_segments) if prompt_segments else []
+        if prompt_wav_list is not None:
+            assert prompt_text_list is not None
+            assert len(prompt_wav_list) == len(prompt_text_list)
+            for wav, ptext in zip(prompt_wav_list, prompt_text_list):
+                speaker = ptext[:4]
+                assert speaker in SPEAKER_TAGS, speaker
+                segs.append(e.prepare_prompt(ptext, speaker, wav))
+
+        prefix: Optional[tuple] = None
+        audio_piece: Optional[tuple] = None
+        for i, text in enumerate(text_list):
+            speaker, utterance = text[:4], text[4:]
+            assert speaker in SPEAKER_TAGS, speaker
+            pieces: list[tuple[np.ndarray, np.ndarray]] = []
+            if i == 0:
+                pieces += [e._tokenize_segment(s) for s in segs]
+            elif audio_piece is not None:
+                pieces.append(audio_piece)
+            pieces.append(e._tokenize_text_segment(utterance, speaker))
+            win = np.concatenate([p[0] for p in pieces])
+            wmask = np.concatenate([p[1] for p in pieces])
+            handle = self._submit_dialogue_window(
+                win, wmask, prefix, temperature, topk, max_utterance_ms)
+            chunks: list[np.ndarray] = []
+            for c in handle:         # raises on worker death
+                chunks.append(c)
+                yield i, c
+            prefix = handle.kv_prefix
+            if prefix is None:       # worker stopped before EOS
+                return
+            if i + 1 < len(text_list):
+                audio24 = (np.concatenate(chunks) if chunks
+                           else np.zeros(0, np.float32))
+                audio16 = resample(audio24, e.output_sample_rate,
+                                   e.sample_rate)
+                audio_piece = e._tokenize_audio(audio16)
 
     @property
     def active_streams(self) -> int:
@@ -676,6 +800,9 @@ class ContinuousBatcher:
             slot.last_tail = None
             slot.collect_tokens = req.collect_tokens
             slot.token_rows = [] if req.collect_tokens else None
+            slot.keep_kv = req.keep_kv
+            slot.base_len = ((req.prefix[2] if req.prefix is not None else 0)
+                             + req.real_len)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -684,6 +811,18 @@ class ContinuousBatcher:
     def _finish(self, b: int) -> None:
         slot = self.slots[b]
         if slot.handle is not None:
+            if slot.keep_kv and slot.base_len > 0:
+                # Dialogue turn done: hand the slot's context+window KV
+                # rows to the driver BEFORE the terminating None (queue
+                # ordering publishes it). Safe vs the double-buffered
+                # in-flight block: decode only WRITES at cur_pos >=
+                # base_len, and this slot can't have been re-admitted yet
+                # (it frees only below). The extracted arrays are fresh jit
+                # outputs — later state donation never touches them.
+                P = min(-(-slot.base_len // 128) * 128,
+                        self.lm_state.cache_k.shape[2])
+                pk, pv = self._slice_prefix(self.lm_state, jnp.int32(b), P=P)
+                slot.handle.kv_prefix = (pk, pv, slot.base_len, P)
             if slot.collect_tokens:
                 rows = slot.token_rows or []
                 ncb = self.cfg.llm.audio_num_codebooks
@@ -699,6 +838,8 @@ class ContinuousBatcher:
         slot.handle = None
         slot.collect_tokens = False
         slot.token_rows = None
+        slot.keep_kv = False
+        slot.base_len = 0
 
     def _loop(self) -> None:
         try:

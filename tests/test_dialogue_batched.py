@@ -1,0 +1,149 @@
+"""Batched multi-speaker dialogue (VERDICT r4 #1): dialogues decode
+THROUGH the continuous batcher's shared block program instead of a
+dedicated engine thread per session — the flagship mode batches like
+plain utterances. A dialogue is a sequence of per-utterance slot
+occupancies with a carried KV prefix (runtime/batcher.py:run_dialogue),
+matching the engine's incremental layout (contiguous absolute positions,
+audio fed back as re-encoded codec tokens —
+engine._generate_dialogue_incremental; reference semantics:
+fireredtts2/fireredtts2.py:345-403)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from fireredtts2_tpu.config import tiny_engine_config
+from fireredtts2_tpu.engine import FireRedTTS2Engine
+from fireredtts2_tpu.runtime.batcher import ContinuousBatcher
+
+TEXTS = ["[S1]hello there friend", "[S2]hi right back"]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return FireRedTTS2Engine(config=tiny_engine_config(depth_topk=1), seed=0)
+
+
+@pytest.fixture(scope="module")
+def batcher(engine):
+    b = ContinuousBatcher(engine, max_streams=4, topk=1)
+    b.start()
+    yield b
+    b.stop()
+
+
+def _run(batcher, texts, **kw):
+    per_utt: dict[int, list] = {}
+    for i, chunk in batcher.run_dialogue(texts, topk=1,
+                                         max_utterance_ms=640, **kw):
+        per_utt.setdefault(i, []).append(chunk)
+    return per_utt
+
+
+def test_batched_dialogue_matches_engine_incremental(engine, batcher):
+    """Greedy batched dialogue == the engine's incremental dialogue (same
+    window layout: contiguous positions, right-padded buckets, re-encoded
+    audio feedback). Batched-vs-B=1 near-tie flips are the known
+    equivalence class; at tiny dims the audio matches within tolerance
+    (same bar as test_batcher.test_batched_stream_matches_single_engine)."""
+    want = engine.generate_dialogue(list(TEXTS), topk=1,
+                                    max_utterance_ms=640)
+    per_utt = _run(batcher, list(TEXTS))
+    assert sorted(per_utt) == [0, 1]          # chunks tagged per utterance
+    got = np.concatenate([c for i in sorted(per_utt) for c in per_utt[i]])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
+def test_dialogue_repeat_is_deterministic(engine, batcher):
+    """Greedy dialogues are key-independent: the same dialogue run twice
+    through the pool must produce identical audio (the carried-KV-prefix
+    extraction and re-admission are deterministic)."""
+    a = _run(batcher, list(TEXTS))
+    b = _run(batcher, list(TEXTS))
+    for i in a:
+        ca, cb = np.concatenate(a[i]), np.concatenate(b[i])
+        assert ca.shape == cb.shape
+        np.testing.assert_allclose(ca, cb, rtol=2e-3, atol=5e-4)
+
+
+def test_concurrent_dialogues_share_the_pool(engine, batcher):
+    """N concurrent dialogue sessions decode in the shared block program
+    (the VERDICT r4 done-bar): more sessions than slots still complete —
+    slots free between turns, so dialogues interleave."""
+    results = [None] * 5                       # > max_streams=4
+    def run(i):
+        results[i] = _run(batcher, list(TEXTS))
+    threads = [threading.Thread(target=run, args=(j,)) for j in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    for r in results:
+        assert r is not None and sorted(r) == [0, 1]
+        for i in r:
+            audio = np.concatenate(r[i])
+            assert audio.shape[0] > 0 and np.isfinite(audio).all()
+
+
+def test_dialogue_context_overflow_raises(engine):
+    """A dialogue outgrowing the pool's capacity class raises the
+    reference-shaped overflow error instead of clamping silently
+    (fireredtts2.py:166-171; engine raises the same way)."""
+    b = ContinuousBatcher(engine, max_streams=2, topk=1,
+                          seq_capacity=128, max_frames_cap=8)
+    b.start()
+    try:
+        texts = [f"[S1]utterance number {i} with several words"
+                 for i in range(40)]
+        with pytest.raises(ValueError, match="dialogue context overflow"):
+            for _ in b.run_dialogue(texts, topk=1, max_utterance_ms=320):
+                pass
+    finally:
+        b.stop()
+
+
+def test_submit_after_stop_fails_fast(engine):
+    """Every submit path must raise once the worker is stopped — the
+    dialogue driver's next-turn submit would otherwise enqueue into a
+    queue nobody drains and hang its consumer forever."""
+    b = ContinuousBatcher(engine, max_streams=2, topk=1)
+    b.start()
+    b.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        b.submit("text after stop", "[S1]")
+    with pytest.raises(RuntimeError, match="stopped"):
+        list(b.run_dialogue(["[S1]hello"], topk=1))
+
+
+def test_dialogue_through_batched_service(engine):
+    """The serve layer routes dialogue_stream through the batcher (no
+    dedicated engine thread): chunks arrive tagged with utterance
+    indices and completion fires."""
+    from fireredtts2_tpu.serve.server import BatchedTTSService, TTSRequest
+
+    svc = BatchedTTSService(engine, max_streams=2)
+    try:
+        done = threading.Event()
+        got: dict = {"chunks": [], "audio": None, "err": None}
+
+        def on_chunk(pair):
+            got["chunks"].append(pair)
+
+        def on_done(audio, err):
+            got["audio"], got["err"] = audio, err
+            done.set()
+
+        svc.submit(TTSRequest(
+            request_id="d1", text="", speaker="[S1]", temperature=0.9,
+            topk=1, streaming=True, max_audio_length_ms=640,
+            mode="dialogue_stream", text_list=list(TEXTS),
+            on_chunk=on_chunk, on_done=on_done))
+        assert done.wait(timeout=600)
+        assert got["err"] is None
+        assert got["audio"] is not None and got["audio"].shape[0] > 0
+        utts = {i for i, _ in got["chunks"]}
+        assert utts == {0, 1}
+    finally:
+        svc.shutdown()

@@ -99,6 +99,72 @@ async def run_load(uri: str, n_streams: int, text: str, max_ms: float,
     }
 
 
+async def _one_dialogue(uri: str, text_list: list, max_utt_ms: float,
+                        out: list) -> None:
+    """One streaming multi-speaker dialogue session over WS
+    (generate_dialogue — the batched dialogue path since r5,
+    runtime/batcher.py:run_dialogue)."""
+    import websockets
+
+    rec = {"fpl_ms": None, "audio_s": 0.0, "wall_s": None, "error": None,
+           "utterances": 0}
+    t0 = time.perf_counter()
+    try:
+        async with websockets.connect(uri, max_size=1 << 24) as ws:
+            await ws.send(json.dumps({
+                "type": "generate_dialogue", "text_list": text_list,
+                "max_utterance_ms": max_utt_ms}))
+            sr = 24_000
+            utts = set()
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(), 600))
+                if msg["type"] == "audio_chunk":
+                    if rec["fpl_ms"] is None:
+                        rec["fpl_ms"] = (time.perf_counter() - t0) * 1000.0
+                    sr = msg.get("sample_rate", sr)
+                    utts.add(msg.get("utterance"))
+                    rec["audio_s"] += len(msg["data"]) / 4.0 / sr
+                elif msg["type"] == "generation_complete":
+                    rec["utterances"] = len(utts)
+                    break
+                elif msg["type"] == "error":
+                    rec["error"] = msg.get("error", "?")
+                    break
+    except Exception as e:  # noqa: BLE001
+        rec["error"] = f"{type(e).__name__}: {e}"
+    rec["wall_s"] = time.perf_counter() - t0
+    out.append(rec)
+
+
+async def run_dialogue_load(uri: str, n: int, text_list: list,
+                            max_utt_ms: float) -> dict:
+    """N concurrent dialogue sessions (VERDICT r4 #1 done-criterion: the
+    sessions decode in the SHARED block program, not one engine thread
+    each). Per-stream RTF = produced audio seconds over session wall."""
+    warm: list = []
+    await asyncio.gather(*[_one_dialogue(uri, text_list, max_utt_ms, warm)
+                           for _ in range(n)])
+    out: list = []
+    t0 = time.perf_counter()
+    await asyncio.gather(*[_one_dialogue(uri, text_list, max_utt_ms, out)
+                           for _ in range(n)])
+    wall = time.perf_counter() - t0
+    ok = [r for r in out if r["error"] is None and r["audio_s"] > 0]
+    rtfs = [r["audio_s"] / r["wall_s"] for r in ok]
+    fpls = [r["fpl_ms"] for r in ok if r["fpl_ms"] is not None]
+    return {
+        "dialogue_streams": n, "ok": len(ok),
+        "errors": [r["error"] for r in out if r["error"]][:4],
+        "utterances": {"min": min((r["utterances"] for r in ok), default=0),
+                       "max": max((r["utterances"] for r in ok), default=0)},
+        "fpl_ms": {"p50": _pct(fpls, 0.5), "p95": _pct(fpls, 0.95)},
+        "per_stream_rtf": {"min": round(min(rtfs), 3) if rtfs else None,
+                           "p50": _pct(rtfs, 0.5)},
+        "aggregate_rtf": round(sum(r["audio_s"] for r in ok) / wall, 2),
+        "wall_s": round(wall, 2),
+    }
+
+
 async def _one_clone(base: str, voice_id: str, text: str, out: list) -> None:
     """One clone request via REST /api/v1/tts/clone (the batched clone
     path, runtime/batcher.py:generate_monologue_clone) in a worker
@@ -231,6 +297,10 @@ def main() -> int:
     ap.add_argument("--timeline", action="store_true",
                     help="dump the batcher's admit/block event timeline "
                     "after the timed wave (latency forensics)")
+    ap.add_argument("--dialogue-streams", type=int, default=0,
+                    help="ALSO run N concurrent 2-speaker streaming "
+                    "dialogue sessions over WS (generate_dialogue — the "
+                    "batched dialogue path) and report per-stream RTF")
     ap.add_argument("--clone-streams", type=int, default=0,
                     help="ALSO run N concurrent voice-clone requests "
                     "through REST /api/v1/tts/clone (the batched clone "
@@ -245,8 +315,9 @@ def main() -> int:
             import tempfile
             voice_dir = tempfile.mkdtemp(prefix="wsload_voices_")
         server = _self_host(args.self_host, args.port,
-                            max_streams=max(args.streams,
-                                            args.streams + args.clone_streams),
+                            max_streams=max(args.streams
+                                            + args.clone_streams,
+                                            args.dialogue_streams),
                             http_port=(args.http_port if args.clone_streams
                                        else None),
                             voice_dir=voice_dir)
@@ -263,6 +334,15 @@ def main() -> int:
                  warmup=not args.no_warmup,
                  after_warmup=(batcher.reset_host_stats
                                if batcher is not None else None)))
+    if args.dialogue_streams:
+        # Short turns (16 frames) so the session fits even the tiny dev
+        # config's 256-position class; context grows by ~(audio tokens +
+        # text) per turn and overflow is a hard error (reference parity).
+        res["dialogue"] = asyncio.run(run_dialogue_load(
+            uri, args.dialogue_streams,
+            ["[S1]Hello there friend.", "[S2]Hi right back at you.",
+             "[S1]Great, talk soon."],
+            max_utt_ms=16 * 80))
     if args.clone_streams:
         base = f"http://{args.host}:{args.http_port}"
         voice_id = _make_voice(base)
