@@ -199,6 +199,25 @@ def _layer(h: Array, lp: Params, cfg: TransformerConfig,
         T = k4.shape[2]
         kw = k.reshape(B, S, Hkv * Dh).astype(k4.dtype)
         vw = v.reshape(B, S, Hkv * Dh).astype(v4.dtype)
+        # Under a serving mesh the fresh rows arrive tp-SHARDED on their
+        # last dim (column-split wk/wv) while the slab is tp-replicated
+        # (lm_state_pspecs — Hkv too small to shard). Pin the rows to the
+        # slab's layout BEFORE the scatter: without this GSPMD scatters
+        # sharded columns locally and then re-gathers the ENTIRE slab
+        # over tp at the flash shard_map boundary — a full-slab
+        # all-gather per layer per frame (caught by
+        # tests/test_comm_pattern.py; gathering (B, S, W) here instead
+        # costs W bytes per stream).
+        from fireredtts2_tpu.parallel.mesh import serving_mesh
+        mesh = serving_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            row_spec = (P("dp", None, None)
+                        if B % int(mesh.shape.get("dp", 1)) == 0 else P())
+            kw = jax.lax.with_sharding_constraint(
+                kw, NamedSharding(mesh, row_spec))
+            vw = jax.lax.with_sharding_constraint(
+                vw, NamedSharding(mesh, row_spec))
         # In-place slab update at cache_pos: scalar = same slot across the
         # batch; (B,) = per-stream slots (continuous batching).
         if getattr(cache_pos, "ndim", 0) == 1:
