@@ -40,7 +40,7 @@ import time
 
 BASELINE_FIRST_PACKET_MS = 140.0
 STAGES = ("fpl", "offline", "clone", "batched8", "batched16", "batched32",
-          "clone8", "dialogue8", "device")
+          "batched64", "clone8", "dialogue8", "device")
 _RETRYABLE_RC = 17
 # RESOURCE_EXHAUSTED is deliberately NOT here: on TPU it means HBM OOM — a
 # deterministic property of the stage, not a tunnel blip (VERDICT r3 #1).
@@ -56,6 +56,12 @@ _TRANSIENT_MARKERS = (
 # latents. ~1/6 the slab HBM of full capacity per slot.
 _B32_SEQ_CAPACITY = 1024
 _B32_FRAMES_CAP = 128
+# B=64 capacity-class ladder probe (VERDICT r4 #8): halving the class to
+# (512 positions, 64 frames = 5.1 s utterances) makes 64 slots cost the
+# SAME slab HBM as the 32-slot (1024, 128) class — the open question is
+# whether aggregate RTF keeps scaling or 32 was the knee.
+_B64_SEQ_CAPACITY = 512
+_B64_FRAMES_CAP = 64
 
 
 def _is_transient(msg: str) -> bool:
@@ -67,6 +73,7 @@ def _headline(done: dict, errors: dict, partial: bool = False) -> str:
     fpl = done.get("fpl", {})
     b8, b16 = done.get("batched8", {}), done.get("batched16", {})
     b32 = done.get("batched32", {})
+    b64 = done.get("batched64", {})
     fp_ms = fpl.get("fpl_ms")
     extra = {
         "realtime_factor": fpl.get("rtf"),
@@ -86,6 +93,13 @@ def _headline(done: dict, errors: dict, partial: bool = False) -> str:
         "streams32_capacity_class": (
             {"seq": _B32_SEQ_CAPACITY, "frames": _B32_FRAMES_CAP}
             if b32 else None),
+        "streams64_aggregate_rtf": b64.get("aggregate_rtf"),
+        "streams64_per_stream_min_rtf": b64.get("per_stream_min_rtf"),
+        "streams64_host_ms_per_frame": b64.get("host_ms_per_frame"),
+        "streams64_fetch_ms_per_frame": b64.get("fetch_ms_per_frame"),
+        "streams64_capacity_class": (
+            {"seq": _B64_SEQ_CAPACITY, "frames": _B64_FRAMES_CAP}
+            if b64 else None),
         "backend": fpl.get("backend"),
         **done.get("clone", {}),
         **{f"clone8_{k}": v for k, v in done.get("clone8", {}).items()},
@@ -311,6 +325,7 @@ def worker(results_path: str, skip: set[str]) -> int:
         "batched8": lambda: _bench_batched(engine, 8),
         "batched16": lambda: _bench_batched(engine, 16),
         "batched32": lambda: _stage_batched32(engine, jax),
+        "batched64": lambda: _stage_batched64(engine, jax),
         "clone8": lambda: _stage_clone8(engine),
         "dialogue8": lambda: _stage_dialogue8(engine),
         "device": lambda: _bench_device(engine, llm),
@@ -601,6 +616,26 @@ def _stage_batched32(engine, jax) -> dict:
                 f"~{est / 1e9:.2f} GB, free HBM {free / 1e9:.2f} GB")
     return _bench_batched(engine, 32, seq_capacity=_B32_SEQ_CAPACITY,
                           frames_cap=_B32_FRAMES_CAP)
+
+
+def _stage_batched64(engine, jax) -> dict:
+    """64 concurrent streams in the halved (512, 64) class — same slab
+    HBM as the 32-stream class (VERDICT r4 #8: the 32-stream point left
+    ~5x aggregate-RTF headroom at 0.56 ms/frame fetch; this probes
+    whether scaling continues or 32 was the knee). Same memory gate."""
+    est = _slab_bytes(engine.config, 64, _B64_SEQ_CAPACITY, _B64_FRAMES_CAP)
+    stats = {}
+    try:
+        stats = engine_device_memory_stats(jax)
+    except Exception:  # noqa: BLE001
+        pass
+    limit, used = stats.get("bytes_limit"), stats.get("bytes_in_use")
+    if limit and used is not None and est > (limit - used) * 0.8:
+        raise RuntimeError(
+            f"batched64 skipped by memory gate: slabs need "
+            f"~{est / 1e9:.2f} GB, free HBM {(limit - used) / 1e9:.2f} GB")
+    return _bench_batched(engine, 64, seq_capacity=_B64_SEQ_CAPACITY,
+                          frames_cap=_B64_FRAMES_CAP)
 
 
 def engine_device_memory_stats(jax) -> dict:

@@ -181,9 +181,12 @@ def test_clone8_stage_smoke():
 
 
 def test_stage_list_covers_verdict_fields():
-    """BENCH_r03 must carry FPL, streaming/offline RTF, the clone-path
-    FPL A/B (prompt-token cache win, VERDICT r2 #4), batched aggregate
-    AND per-stream-min at 8/16/32 streams (32 = 2x the BASELINE.json
-    16-streams/chip bar), and the device accounting."""
+    """The headline artifact must carry FPL, streaming/offline RTF, the
+    clone-path FPL A/B (prompt-token cache win, VERDICT r2 #4), batched
+    aggregate AND per-stream-min at 8/16/32/64 streams (64 = the r5
+    capacity-ladder probe, VERDICT r4 #8), concurrent clone (clone8) and
+    concurrent dialogue (dialogue8, VERDICT r4 #1), and the device
+    accounting."""
     assert bench.STAGES == ("fpl", "offline", "clone", "batched8",
-                            "batched16", "batched32", "clone8", "device")
+                            "batched16", "batched32", "batched64",
+                            "clone8", "dialogue8", "device")
