@@ -39,8 +39,12 @@ import time
 
 
 BASELINE_FIRST_PACKET_MS = 140.0
+# Order = execution order under the deadline: every r4 stage keeps its
+# slot (incl. the budget-guarded `device`), the two r5 probes run LAST so
+# a deadline kill costs the probes, not the headline fields (the partial
+# line flushes after every stage either way).
 STAGES = ("fpl", "offline", "clone", "batched8", "batched16", "batched32",
-          "batched64", "clone8", "dialogue8", "device")
+          "clone8", "device", "dialogue8", "batched64")
 _RETRYABLE_RC = 17
 # RESOURCE_EXHAUSTED is deliberately NOT here: on TPU it means HBM OOM — a
 # deterministic property of the stage, not a tunnel blip (VERDICT r3 #1).

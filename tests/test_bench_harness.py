@@ -188,5 +188,5 @@ def test_stage_list_covers_verdict_fields():
     concurrent dialogue (dialogue8, VERDICT r4 #1), and the device
     accounting."""
     assert bench.STAGES == ("fpl", "offline", "clone", "batched8",
-                            "batched16", "batched32", "batched64",
-                            "clone8", "dialogue8", "device")
+                            "batched16", "batched32", "clone8", "device",
+                            "dialogue8", "batched64")
