@@ -56,7 +56,7 @@ N_FRAMES = 16         # fixed utterance length (teaches EOS at t=16)
 
 
 def gt_frame(s: int, t: int, ncb: int) -> np.ndarray:
-    """Ground-truth audio frame at time t for text-sum class s."""
+    """Ground-truth audio frame at time t for first-token class s."""
     q = np.arange(ncb)
     return 1 + (7 * t + 13 * q + s) % (V_AUDIO - 1)
 
