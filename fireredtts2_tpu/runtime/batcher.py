@@ -325,6 +325,31 @@ class ContinuousBatcher:
                 topk=jnp.asarray(topks))
             self.frames = self.frames.at[jnp.asarray(dummy[:Np])].set(
                 frames, mode="drop")
+        # Dialogue prefix-admission warmup: turn 0 of every run_dialogue
+        # admits via the (P=128, smallest-bucket) prefix program and the
+        # finished turn extracts with the P=128 slicer — compile both now
+        # (a cold compile inside a live admission stalls every active
+        # stream; prefill_ms=45266 measured in the 2026-08-19 timeline).
+        # Later turns' larger P values still compile on first use. The
+        # garbage this writes into slot 0 is reset at real admission,
+        # like the block warmup above.
+        shp = self.lm_state.cache_k.shape
+        z = jnp.zeros((shp[0], 1, 128, shp[3]), self.lm_state.cache_k.dtype)
+        wtok = np.zeros((1, S0, C), np.int32)
+        wmask = np.zeros((1, S0, C), bool)
+        wval = np.zeros((1, S0), bool)
+        wmask[0, 0, -1] = wval[0, 0] = True
+        self.lm_state, _ = self._prefill_prefix(
+            self.engine.lm_params, state=self.lm_state, b=jnp.int32(0),
+            pk=z, pv=z, plen=jnp.asarray([0], jnp.int32),
+            tokens=jnp.asarray(wtok), tokens_mask=jnp.asarray(wmask),
+            valid=jnp.asarray(wval), real_len=jnp.asarray([1], jnp.int32),
+            key=self._next_key(),
+            temperature=jnp.full((1, 1), self.cfg.default_temperature,
+                                 jnp.float32),
+            topk=jnp.asarray([self.default_topk], jnp.int32))
+        pk, _pv = self._slice_prefix(self.lm_state, jnp.int32(0), P=128)
+        np.asarray(pk[0, 0, 0, :1])  # force the slicer through the relay
         rsj = jnp.asarray(dummy)
         self.lm_state = self._reset_lm(self.lm_state, rsj)
         self.vo_state = self._reset_vo(self.vo_state, rsj)
