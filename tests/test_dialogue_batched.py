@@ -117,6 +117,69 @@ def test_submit_after_stop_fails_fast(engine):
         list(b.run_dialogue(["[S1]hello"], topk=1))
 
 
+def test_mixed_concurrent_modes_stress(engine):
+    """The VERDICT r4 #2 done-criterion: mixed concurrent clone +
+    dialogue + stream requests through ONE BatchedTTSService — all
+    complete without error, all audio finite, and the engine's
+    lock-guarded LRU caches stay within bounds."""
+    import numpy as np
+    from fireredtts2_tpu.serve.server import BatchedTTSService, TTSRequest
+
+    rng = np.random.default_rng(3)
+    prompt = (rng.standard_normal(6000) * 0.05).astype(np.float32)
+    import tempfile
+    from scipy.io import wavfile
+    import os
+    wav = os.path.join(tempfile.mkdtemp(prefix="frtts2_mix_"), "p.wav")
+    wavfile.write(wav, 16_000, (prompt * 32767).astype(np.int16))
+
+    svc = BatchedTTSService(engine, max_streams=4)
+    try:
+        done = threading.Barrier(7)   # 6 requests + main
+        results: dict = {}
+        lock = threading.Lock()
+
+        def on_done_for(name):
+            def on_done(audio, err):
+                with lock:
+                    results[name] = (audio, err)
+                done.wait(timeout=600)
+            return on_done
+
+        reqs = []
+        for i in range(2):
+            reqs.append(TTSRequest(
+                request_id=f"s{i}", text=f"stream number {i}",
+                speaker="[S1]", temperature=0.9, topk=1, streaming=True,
+                max_audio_length_ms=480, on_chunk=lambda c: None,
+                on_done=on_done_for(f"s{i}")))
+            reqs.append(TTSRequest(
+                request_id=f"c{i}", text=f"clone number {i}",
+                speaker="[S1]", temperature=0.75, topk=1, streaming=False,
+                max_audio_length_ms=480, mode="monologue_clone",
+                prompt_wav=wav, prompt_text="A short voice prompt.",
+                on_chunk=lambda c: None, on_done=on_done_for(f"c{i}")))
+            reqs.append(TTSRequest(
+                request_id=f"d{i}", text="", speaker="[S1]",
+                temperature=0.9, topk=1, streaming=True,
+                max_audio_length_ms=480, mode="dialogue_stream",
+                text_list=list(TEXTS), on_chunk=lambda p: None,
+                on_done=on_done_for(f"d{i}")))
+        for r in reqs:
+            svc.submit(r)
+        done.wait(timeout=600)
+        assert len(results) == 6
+        for name, (audio, err) in results.items():
+            assert err is None, f"{name}: {err}"
+            assert audio is not None and audio.shape[0] > 0, name
+            assert np.isfinite(audio).all(), name
+        assert len(engine._audio_token_cache) <= 64
+        assert len(engine._voice_state_cache) <= \
+            engine.config.voice_state_cache
+    finally:
+        svc.shutdown()
+
+
 def test_dialogue_through_batched_service(engine):
     """The serve layer routes dialogue_stream through the batcher (no
     dedicated engine thread): chunks arrive tagged with utterance
