@@ -424,8 +424,8 @@ def flash_decode_update_bounded_shard(
     take this route: GSPMD has no partitioning rule for a raw pallas_call.
     """
     from jax.sharding import PartitionSpec as P
-    try:  # JAX >= 0.8 moved shard_map out of experimental
-        from jax.sharding import shard_map
+    try:  # JAX >= 0.8 moved shard_map out of experimental (jax.shard_map)
+        from jax import shard_map
         smap = functools.partial(shard_map, check_vma=False)
     except ImportError:
         from jax.experimental.shard_map import shard_map
@@ -714,8 +714,8 @@ def flash_decode_gqa1_shard(mesh, q: Array, k4: Array, v4: Array,
     resharding. No collectives are introduced — the kernel is read-only.
     """
     from jax.sharding import PartitionSpec as P
-    try:  # JAX >= 0.8 moved shard_map out of experimental
-        from jax.sharding import shard_map
+    try:  # JAX >= 0.8 moved shard_map out of experimental (jax.shard_map)
+        from jax import shard_map
         smap = functools.partial(shard_map, check_vma=False)
     except ImportError:
         from jax.experimental.shard_map import shard_map
