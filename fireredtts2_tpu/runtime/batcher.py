@@ -674,7 +674,19 @@ class ContinuousBatcher:
             assert speaker in SPEAKER_TAGS, speaker
             pieces: list[tuple[np.ndarray, np.ndarray]] = []
             if i == 0:
-                pieces += [e._tokenize_segment(s) for s in segs]
+                if segs:
+                    # Repeat voice sets admit turn 0 from the cached KV
+                    # prefix (_context_prefix — the engine voice-state
+                    # cache, cache-on-second-use): the speaker prompts
+                    # prefill once per VOICE SET, not once per dialogue
+                    # session. Both layouts place rows at contiguous
+                    # absolute positions from 0, so this stays in the
+                    # prefix-layout equivalence class
+                    # (tests/test_clone_batched.py:
+                    # test_context_prefix_admission).
+                    prefix = self._context_prefix(segs)
+                    if prefix is None:
+                        pieces += [e._tokenize_segment(s) for s in segs]
             elif audio_piece is not None:
                 pieces.append(audio_piece)
             pieces.append(e._tokenize_text_segment(utterance, speaker))

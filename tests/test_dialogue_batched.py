@@ -15,6 +15,7 @@ import pytest
 
 from fireredtts2_tpu.config import tiny_engine_config
 from fireredtts2_tpu.engine import FireRedTTS2Engine
+from fireredtts2_tpu.engine.engine import Segment
 from fireredtts2_tpu.runtime.batcher import ContinuousBatcher
 
 TEXTS = ["[S1]hello there friend", "[S2]hi right back"]
@@ -66,6 +67,33 @@ def test_dialogue_repeat_is_deterministic(engine, batcher):
         ca, cb = np.concatenate(a[i]), np.concatenate(b[i])
         assert ca.shape == cb.shape
         np.testing.assert_allclose(ca, cb, rtol=2e-3, atol=5e-4)
+
+
+def test_dialogue_prompt_prefix_cache(engine, batcher):
+    """Turn 0 of a dialogue with a REPEAT voice set admits from the
+    cached KV prefix (batcher._context_prefix → the engine voice-state
+    cache): the speaker prompts prefill once per voice set, not once per
+    session. Cache-on-second-use: run 1 takes the plain window path
+    (first sighting), run 2 builds AND admits from the prefix, runs 3-4
+    hit. Equivalence class as test_clone_batched.
+    test_context_prefix_admission: prefix-path runs must be identical in
+    shape and allclose; cross-path bitwise equality is not asserted."""
+    rng = np.random.default_rng(21)
+    seg = Segment(speaker="[S1]", text="A fixed dialogue voice.",
+                  audio=(rng.standard_normal(4000) * 0.05).astype(np.float32))
+    builds0 = engine.voice_state_builds
+    outs = []
+    for _ in range(4):
+        per_utt = _run(batcher, list(TEXTS), prompt_segments=[seg])
+        assert sorted(per_utt) == [0, 1]
+        outs.append(np.concatenate([c for i in sorted(per_utt)
+                                    for c in per_utt[i]]))
+    assert engine.voice_state_builds == builds0 + 1   # built exactly once
+    for o in outs:
+        assert o.shape[0] > 0 and np.isfinite(o).all()
+    assert outs[1].shape == outs[2].shape == outs[3].shape
+    np.testing.assert_allclose(outs[2], outs[1], rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(outs[3], outs[1], rtol=2e-3, atol=5e-4)
 
 
 def test_concurrent_dialogues_share_the_pool(engine, batcher):
